@@ -1,24 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and prints
+  * ONE JSON line {"metric":...,"queries":{...}}. Queries are materialized via
+  * the noop sink so the full plan (scan → transform → shuffle) executes
+  * without collect-to-driver or disk-write skew.
+  */
 object Bench {
+
+  /** Headline set: covers scan+agg, broadcast joins, windows, the CDC write
+    * path, text/dedup/similarity pipelines. Excludes the deliberately
+    * quadratic oracle formulations (ngram all-pairs, embedding all-pairs,
+    * simhash all-pairs) — their scalable counterparts are included instead. */
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_shipping_topk", "q5_local_revenue", "q_window_rank",
+    "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_micro_stamp",
+    "text_fingerprint", "text_quality", "dedup_exact", "dedup_minhash_lsh",
+    "sim_brute_topk", "mm_media_meta"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

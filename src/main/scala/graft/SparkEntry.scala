@@ -1,13 +1,557 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.MysqlValues
+import graft.operators.{Cdc, Dedup, Multimodal, Similarity, Text}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * plus the training-data-pipeline operators (dedup / similarity / text /
+  * multimodal). Each `queries` entry has a DuckDB oracle in `oracleSql`
+  * unless the operator is not SQL-expressible (LSH bucketing internals,
+  * hash-seeded signatures, mapPartitions codecs) — those get rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Table loader. The driver's parquet uses TIMESTAMP(NANOS) for `events.ts`
+    * (Spark 4 rejects nanos unless read as raw longs) and unadjusted-UTC ms
+    * timestamps elsewhere (which would infer as TIMESTAMP_NTZ); normalize both
+    * to plain TIMESTAMP in the UTC session so epoch arithmetic matches the
+    * DuckDB oracle exactly (both floor-truncate nanos → micros). */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else df
+  }
+
+  /** Flagship: the CDC pipeline end-to-end on sf0.001 — classify events as
+    * row changes, stamp transaction metadata + salted row keys, and answer
+    * the time-machine "latest state per key" read. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = t(spark, dir, "events")
+    val typed = events.withColumn("change_type",
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type").isin("click", "view", "purchase"), "UPDATE")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("QUERY"))
+      .withColumn("row_key", MysqlValues.saltedRowKey(Seq(col("user_id"), col("event_id"))))
+    val stamped = Cdc.microStamp(
+      Cdc.perSecondSequence(typed, col("ts"), col("event_id")), col("ts"), col("seq"))
+    Cdc.latestStateAgg(stamped, col("user_id"), col("micros"), col("event_id"),
+      Seq("event_id", "change_type", "row_key", "value"))
+  }
+
+  // ==========================================================================
+  // Queries
+  // ==========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- CDC pipeline stages (SURVEY §2.2-2.7) -----
+    "cdc_event_type_counts" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type").agg(count(lit(1)).as("cnt"))),
+
+    "cdc_filter_project" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase") && col("value") > 50.0)
+        .select("event_id", "user_id", "event_type", "value")),
+
+    "cdc_txn_group" -> ((s, d) =>
+      Cdc.transactionSummary(t(s, d, "events"), col("user_id"), col("event_id"), col("value"))),
+
+    "cdc_txn_seq" -> ((s, d) =>
+      Cdc.perSecondSequence(t(s, d, "events"), col("ts"), col("event_id"))
+        .select("event_id", "sec", "seq")),
+
+    "cdc_micro_stamp" -> ((s, d) =>
+      Cdc.microStamp(Cdc.perSecondSequence(t(s, d, "events"), col("ts"), col("event_id")),
+          col("ts"), col("seq"))
+        .select("event_id", "micros")),
+
+    "cdc_ts_organizer" -> ((s, d) =>
+      Cdc.organizeTimestamps(t(s, d, "events"), col("user_id"), col("ts"), col("event_id"))
+        .select("event_id", "user_id", "cell_ts")),
+
+    "cdc_salted_rowkey" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("row_key", MysqlValues.saltedRowKey(Seq(col("user_id"), col("event_id"))))
+        .select("event_id", "row_key")),
+
+    "cdc_changed_cols" -> ((s, d) =>
+      Cdc.changedValues(t(s, d, "events"), col("user_id"), col("event_id"), col("value"))
+        .select("event_id", "user_id", "before_value", "after_value")),
+
+    "cdc_latest_state" -> ((s, d) =>
+      Cdc.latestStateAgg(t(s, d, "events"), col("user_id"), col("ts"), col("event_id"),
+          Seq("event_id", "event_type", "value"))
+        .select(col("key").as("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))),
+
+    "cdc_partition_route" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(Cdc.xxidPartition(col("event_id"), 8).as("partition_id"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "cdc_replay_dedup" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type")
+      Cdc.replayDedup(ev.unionAll(ev.filter(col("event_id") >= 500)), Seq("event_id"))
+    }),
+
+    "cdc_safe_checkpoint" -> ((s, d) =>
+      Cdc.safeCheckpointPerKey(t(s, d, "events"), col("user_id"), col("event_id"))
+        .select(col("key").as("user_id"), col("safe_checkpoint"))),
+
+    "cdc_table_merge" -> ((s, d) =>
+      Cdc.tableNameMerge(t(s, d, "documents"), "source", "[0-9]+$")
+        .groupBy(col("source").as("merged_table"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // ----- MySQL type-decode semantics (SURVEY §1.3) -----
+    "mysql_unsigned_decode" -> ((s, d) => {
+      val sgn = (col("event_id") % 300) - 150
+      t(s, d, "events").select(
+        col("event_id"), sgn.as("s"),
+        MysqlValues.unsignedTiny(sgn).as("utiny"),
+        MysqlValues.unsignedSmall(sgn).as("usmall"),
+        MysqlValues.unsignedInt(sgn).as("uint"),
+        MysqlValues.unsignedBigint(sgn).as("ubig"))
+    }),
+
+    "mysql_hex_bit_decode" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        MysqlValues.bitString(col("event_id") % 256).as("bits"),
+        MysqlValues.hexBytes(col("props").cast("binary")).as("hex_props"),
+        MysqlValues.hexBytesPadded(col("props").cast("binary"), 40).as("hex_padded"))),
+
+    "mysql_enum_set_decode" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        MysqlValues.enumDecode(col("event_id") % 5,
+          Seq("animalia", "plantae", "fungi", "bacteria")).as("enum_val"),
+        MysqlValues.setDecode(col("event_id") % 16,
+          Seq("read", "write", "exec", "admin")).as("set_val"))),
+
+    "mysql_datetime_decode" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        MysqlValues.epochMillisString(col("ts")).as("epoch_str"),
+        MysqlValues.dateString(col("ts")).as("date_str"))),
+
+    // ----- Relational substrate (SURVEY §2.9) -----
+    "q1_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (expr("CAST(1 AS DECIMAL(1,0))") - col("l_discount").cast("decimal(4,2)")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_shipping_topk" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (expr("CAST(1 AS DECIMAL(1,0))") - col("l_discount").cast("decimal(4,2)")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), unix_millis(col("o_orderdate")).as("o_date_ms"))
+    }),
+
+    "q5_local_revenue" -> ((s, d) => {
+      val region = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val supp = t(s, d, "supplier")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val li = t(s, d, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+                               col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (expr("CAST(1 AS DECIMAL(1,0))") - col("l_discount").cast("decimal(4,2)")))
+          .as("revenue"))
+    }),
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    "q_setop_users" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def users(c: Column) = ev.filter(c).select("user_id").distinct()
+      users(col("event_type") === "click")
+        .intersect(users(col("event_type") === "purchase"))
+        .except(users(col("event_type") === "error" && col("value") > 90))
+    }),
+
+    "q_distinct_agg" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
+    "q_scalar_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        length(col("p_name")).as("name_len"),
+        concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"))),
+
+    // ----- Text analysis -----
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.wordSetFingerprint(col("text")).as("wfp"))),
+
+    "text_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.wsTokenCount(col("text")).as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
+    "text_quality" -> ((s, d) =>
+      Text.qualityMetrics(t(s, d, "documents"), col("text"))
+        .select("doc_id", "n_chars_m", "n_tokens", "alpha_ppm", "stopword_ppm")),
+
+    "text_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))),
+
+    // ----- Deduplication -----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactClusters(
+        t(s, d, "documents").withColumn("wfp", Text.wordSetFingerprint(col("text"))),
+        col("doc_id"), col("wfp"))),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"), 3, 800000L)),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 128, bands = 32, thresholdPpm = 800000L)),
+
+    "dedup_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      val a = docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+      val b = docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("hamming", Dedup.hammingDistance(col("a_sig"), col("b_sig")))
+        .filter(col("hamming") <= 8)
+        .select("a_id", "b_id", "hamming")
+    }),
+
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
+
+    // ----- Similarity search -----
+    "sim_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshCosineCandidates(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), planes = 8)
+    }),
+
+    // ----- Multimodal plumbing -----
+    "mm_media_meta" -> ((s, d) =>
+      Multimodal.withMediaMeta(
+          t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+          col("payload"))
+        .select(col("doc_id"), col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.magic").as("magic"))),
+
+    "mm_decode_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select(col("doc_id"), col("frame.width").as("width"),
+          col("frame.height").as("height"), col("frame.n_frames").as("n_frames")))
+  )
+
+  // ==========================================================================
+  // DuckDB oracles — same column names, engine-divergence-safe arithmetic
+  // (decimal sums, ppm integer ratios, epoch integers).
+  // ==========================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_event_type_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+
+    "cdc_filter_project" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type IN ('click','purchase') AND value > 50.0""",
+
+    "cdc_txn_group" ->
+      """SELECT user_id AS txn_id, count(*) AS n_events, min(event_id) AS first_event,
+           max(event_id) AS last_event, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+         FROM events GROUP BY user_id""",
+
+    "cdc_txn_seq" ->
+      """SELECT event_id, epoch_us(ts) // 1000000 AS sec,
+           row_number() OVER (PARTITION BY epoch_us(ts) // 1000000 ORDER BY event_id) AS seq
+         FROM events""",
+
+    "cdc_micro_stamp" ->
+      """WITH s AS (SELECT event_id, ts,
+           row_number() OVER (PARTITION BY epoch_us(ts) // 1000000 ORDER BY event_id) AS seq
+         FROM events)
+         SELECT event_id, epoch_ms(ts) * 1000 + seq * 100 AS micros FROM s""",
+
+    "cdc_ts_organizer" ->
+      """SELECT event_id, user_id,
+           epoch_us(ts) - 50 + least(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1, 50) AS cell_ts
+         FROM events""",
+
+    "cdc_salted_rowkey" ->
+      """SELECT event_id,
+           substr(md5(CAST(user_id AS VARCHAR)), 1, 8) || ';' || CAST(user_id AS VARCHAR)
+             || ';' || CAST(event_id AS VARCHAR) AS row_key
+         FROM events""",
+
+    "cdc_changed_cols" ->
+      """WITH s AS (SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS before_value FROM events)
+         SELECT event_id, user_id, before_value, value AS after_value FROM s
+         WHERE before_value IS NOT NULL AND before_value <> value""",
+
+    "cdc_latest_state" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+
+    "cdc_partition_route" ->
+      "SELECT event_id % 8 AS partition_id, count(*) AS cnt FROM events GROUP BY 1",
+
+    "cdc_replay_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
+
+    "cdc_safe_checkpoint" ->
+      """WITH s AS (SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+           min(event_id) OVER (PARTITION BY user_id) AS mn FROM events)
+         SELECT user_id, max(event_id) AS safe_checkpoint FROM s
+         WHERE event_id - rn = mn - 1 GROUP BY user_id""",
+
+    "cdc_table_merge" ->
+      """SELECT regexp_replace(source, '[0-9]+$', '') AS merged_table, count(*) AS cnt
+         FROM documents GROUP BY 1""",
+
+    "mysql_unsigned_decode" ->
+      """WITH s AS (SELECT event_id, (event_id % 300) - 150 AS s FROM events)
+         SELECT event_id, s, s & 255 AS utiny, s & 65535 AS usmall,
+           s & 4294967295 AS uint,
+           CAST(CASE WHEN s < 0 THEN 18446744073709551616 + s ELSE s END AS DECIMAL(20,0)) AS ubig
+         FROM s""",
+
+    "mysql_hex_bit_decode" ->
+      """SELECT event_id, bin(event_id % 256) AS bits, hex(props) AS hex_props,
+           rpad(hex(props), 80, '0') AS hex_padded
+         FROM events""",
+
+    "mysql_enum_set_decode" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 5 BETWEEN 1 AND 4
+                THEN list_extract(['animalia','plantae','fungi','bacteria'], CAST(event_id % 5 AS INT))
+                ELSE NULL END AS enum_val,
+           nullif(concat_ws(',',
+             CASE WHEN (event_id % 16) & 1 <> 0 THEN 'read' END,
+             CASE WHEN (event_id % 16) & 2 <> 0 THEN 'write' END,
+             CASE WHEN (event_id % 16) & 4 <> 0 THEN 'exec' END,
+             CASE WHEN (event_id % 16) & 8 <> 0 THEN 'admin' END), '') AS set_val
+         FROM events""",
+
+    "mysql_datetime_decode" ->
+      """SELECT event_id, CAST(epoch_ms(ts) AS VARCHAR) AS epoch_str,
+           strftime(ts, '%Y-%m-%d') AS date_str
+         FROM events""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_topk" ->
+      """SELECT l_orderkey,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+           epoch_ms(o_orderdate) AS o_date_ms
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_revenue" ->
+      """SELECT n_name,
+           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name""",
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+         QUALIFY rn <= 3""",
+
+    "q_setop_users" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 90""",
+
+    "q_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY event_type""",
+
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+           regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+           length(p_name) AS name_len,
+           concat_ws(':', p_brand, p_type) AS brand_type,
+           substr(p_name, 1, 5) AS name5,
+           replace(p_name, ' ', '_') AS name_us
+         FROM part""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' ')) AS wfp
+         FROM documents""",
+
+    "text_tokens" ->
+      """SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+         FROM documents""",
+
+    "text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 / length(text)) AS BIGINT) AS alpha_ppm,
+           CAST(floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x IN ('the','a','an','of','and','in','to','is'))) * 1000000.0
+             / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS stopword_ppm
+         FROM documents""",
+
+    "text_langid" ->
+      """WITH w AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','in','is'))) AS en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS de,
+           len(list_filter(toks, x -> x IN ('el','la','de','y','es','un'))) AS es,
+           len(list_filter(toks, x -> x IN ('le','la','de','et','est','un'))) AS fr
+         FROM w)
+         SELECT doc_id,
+           CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                WHEN es >= fr AND es > 0 THEN 'es'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+         FROM sc""",
+
+    "dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' ')) AS fp,
+           min(doc_id) AS canonical_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    "dedup_minhash_lsh" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+
+    "sim_brute_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, vec_id,
+           round(list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM c, q WHERE vec_id <> query_id
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    "mm_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           hex(substr(text, 1, 4)) AS magic
+         FROM documents"""
+    // dedup_simhash, sim_ann_lsh, mm_decode_features: hash-seeded / codec
+    // operators — not SQL-expressible, driver records rows-only checks.
+  )
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The CDC pipeline stages of the reference, re-expressed as declarative
+  * DataFrame transforms so Catalyst plans them (predicate pushdown, partial
+  * aggregation, broadcast) instead of the reference's hand-scheduled queue
+  * pipeline (reference: streams/StreamsImplementation.java,
+  * augmenter/Augmenter.java, applier/hbase).
+  *
+  * Scale notes are attached per operator: every transform here either
+  * shuffles on an explicit key (documented) or is a narrow map — nothing
+  * collects to the driver.
+  */
+object Cdc {
+
+  // --------------------------------------------------------------------------
+  // Filters (reference: StreamsBuilder.filter, AugmenterContext.shouldAugmentTable)
+  // --------------------------------------------------------------------------
+
+  /** Table include/exclude gate: include list overrides exclude regex
+    * (reference: AugmenterContext.java:711-730). A plain `filter`, so it
+    * pushes into the scan (PushedFilters) — at 100 TB the excluded tables'
+    * row groups are never read when the source is partitioned by table. */
+  def tableFilter(df: DataFrame, tableCol: Column, include: Seq[String], excludePattern: Option[String]): DataFrame = {
+    val inc: Column = if (include.nonEmpty) tableCol.isin(include: _*) else lit(false)
+    val exc: Column = excludePattern.map(p => tableCol.rlike(p)).getOrElse(lit(false))
+    df.filter(inc || !exc)
+  }
+
+  /** Table-name merge: strip a regex suffix so time-sharded physical tables
+    * (`Some_Table_201812`) merge into one logical table (reference:
+    * augmenter/filters/TableNameMergePatternFilter.java:29-101). */
+  def tableNameMerge(df: DataFrame, tableCol: String, pattern: String): DataFrame =
+    df.withColumn(tableCol, regexp_replace(col(tableCol), pattern, ""))
+
+  // --------------------------------------------------------------------------
+  // Transaction semantics (reference: CurrentTransaction.java, AugmenterContext)
+  // --------------------------------------------------------------------------
+
+  /** Per-transaction rollup: the batch analog of buffering events between
+    * BEGIN and COMMIT and emitting the whole txn at commit (reference:
+    * augmenter/CurrentTransaction.java:40-139). Hash-aggregates on the txn
+    * key with map-side partial aggregation — one shuffle on `txnCol`. */
+  def transactionSummary(df: DataFrame, txnCol: Column, eventIdCol: Column, valueCol: Column): DataFrame =
+    df.groupBy(txnCol.as("txn_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(eventIdCol).as("first_event"),
+        max(eventIdCol).as("last_event"),
+        sum(valueCol.cast("decimal(18,2)")).as("total_value")
+      )
+
+  /** Per-second transaction sequence numbers (reference:
+    * AugmenterContext.updateTransactionCounter, AugmenterContext.java:579-591
+    * — counter resets each second). Window shuffles on the second bucket;
+    * at scale the per-second partitions are tiny and uniformly spread. */
+  def perSecondSequence(df: DataFrame, tsCol: Column, orderCol: Column): DataFrame = {
+    val sec = floor(unix_micros(tsCol) / lit(1000000.0d)).cast("long")
+    df.withColumn("sec", sec)
+      .withColumn("seq", row_number().over(Window.partitionBy(col("sec")).orderBy(orderCol)))
+  }
+
+  /** Row microsecond stamping: micros = commitTs(ms)*1000 + seq*100
+    * (reference: AugmentedEventRowExtractor.java:20-108,
+    * AugmentedRow.java:113-116). Narrow projection — no shuffle beyond the
+    * sequence window it builds on. */
+  def microStamp(df: DataFrame, tsCol: Column, seqCol: Column): DataFrame =
+    df.withColumn("micros", unix_millis(tsCol) * lit(1000L) + seqCol.cast("long") * lit(100L))
+
+  /** Intra-transaction per-row-key version timestamps: first version at
+    * commit-50µs, +1µs each, capped 50 steps — preserves multi-update order
+    * under one-version-per-timestamp sinks (reference:
+    * applier/hbase/time/RowTimestampOrganizer.java:46-97, span const :60). */
+  def organizeTimestamps(df: DataFrame, keyCol: Column, tsCol: Column, orderCol: Column): DataFrame = {
+    val rn = row_number().over(Window.partitionBy(keyCol).orderBy(orderCol))
+    df.withColumn("cell_ts", unix_micros(tsCol) - lit(50L) + least(rn.cast("long") - 1L, lit(50L)))
+  }
+
+  // --------------------------------------------------------------------------
+  // Row images (reference: EventDeserializer {"b","a"} nesting,
+  // HBaseApplierMutationGenerator changed-column projection)
+  // --------------------------------------------------------------------------
+
+  /** UPDATE delta: emit only rows whose value actually changed, with both
+    * images (reference: HBaseApplierMutationGenerator.java:186-259 — UPDATE
+    * writes only changed columns). `lag` reconstructs the before-image from
+    * the stream itself; one shuffle on the row key. */
+  def changedValues(df: DataFrame, keyCol: Column, orderCol: Column, valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    df.withColumn("before_value", lag(valueCol, 1).over(w))
+      .filter(col("before_value").isNotNull && col("before_value") =!= valueCol)
+      .withColumn("after_value", valueCol)
+  }
+
+  /** Latest state per key — the "time machine" read path: newest version of
+    * every row (reference semantics: HBase cell versions read at max ts).
+    * row_number over (key, desc order) then rank=1; with AQE this compiles
+    * to a single shuffle on the key. For the 100 TB table the alternative
+    * formulation `max_by` aggregate avoids materializing the window sort —
+    * see `latestStateAgg`. */
+  def latestState(df: DataFrame, keyCol: Column, tsCol: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol.desc, tieCol.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Aggregate formulation of latest-state: partial-aggregates map-side, so
+    * the shuffle carries one row per key per input partition instead of the
+    * whole table — the formulation to prefer at 100 TB. */
+  def latestStateAgg(df: DataFrame, keyCol: Column, tsCol: Column, tieCol: Column, payload: Seq[String]): DataFrame = {
+    val ord = struct(tsCol.as("ts"), tieCol.as("tie"))
+    df.groupBy(keyCol.as("key"))
+      .agg(max_by(struct(payload.map(col): _*), ord).as("latest"))
+      .select(col("key") +: payload.map(p => col(s"latest.$p").as(p)): _*)
+  }
+
+  // --------------------------------------------------------------------------
+  // Partitioners (reference: applier/Partitioner.java:14-103)
+  // --------------------------------------------------------------------------
+
+  /** XXID strategy: route by unsigned remainder of the txn xid
+    * (reference: Partitioner.java:34-46 remainderUnsigned). Exposed as a
+    * column so routing is testable; `repartitionByXxid` applies it. */
+  def xxidPartition(xxidCol: Column, n: Int): Column = pmod(xxidCol, lit(n.toLong))
+
+  /** Apply a partitioner strategy as a physical repartition. TABLE_NAME /
+    * TRID hash the key (Partitioner.java:16-33,47-73); RANDOM is round-robin
+    * (:74-79); NONE collapses to one partition (:80-85). */
+  def repartitionBy(df: DataFrame, strategy: String, n: Int, key: Option[Column]): DataFrame =
+    strategy match {
+      case "TABLE_NAME" | "TRID" | "XXID" => df.repartition(n, key.get)
+      case "RANDOM"                       => df.repartition(n)
+      case "NONE"                         => df.coalesce(1)
+      case other => throw new IllegalArgumentException(s"unknown partitioner $other")
+    }
+
+  // --------------------------------------------------------------------------
+  // Replay dedup + safe checkpoint (reference: KafkaSeeker, GtidSetAlgebra)
+  // --------------------------------------------------------------------------
+
+  /** Replay dedup: after a rewind the source re-delivers a suffix; dropping
+    * duplicate event ids restores exactly-once output (reference:
+    * applier/kafka/KafkaSeeker.java:116-144 — checkpoint-watermark filter).
+    * `dropDuplicates` partial-aggregates map-side before the shuffle. */
+  def replayDedup(df: DataFrame, idCols: Seq[String]): DataFrame =
+    df.dropDuplicates(idCols)
+
+  /** Per-key safe checkpoint: the highest event id reachable from the key's
+    * minimum without a gap — the relational form of the GTID gap scan
+    * (reference: GtidSetAlgebra.java:149-175). Two shuffles on the key
+    * (window + aggregate), both partial-aggregated. */
+  def safeCheckpointPerKey(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__mn", min(idCol).over(Window.partitionBy(keyCol)))
+      .filter(idCol - col("__rn") === col("__mn") - 1)
+      .groupBy(keyCol.as("key"))
+      .agg(max(idCol).as("safe_checkpoint"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * near-dup. Designed around one principle for 100 TB: never compare all
+  * pairs — bucket first (hash, LSH band, simhash prefix), then compare only
+  * within buckets, so the quadratic step runs on tiny groups while the
+  * bucketing is a linear scan + one shuffle.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: one hash-aggregate shuffle on the
+    * fingerprint; map-side partial aggregation collapses local duplicates
+    * before the shuffle, so the shuffle volume is ~#distinct docs. */
+  def exactClusters(df: DataFrame, idCol: Column, fpCol: Column): DataFrame =
+    df.groupBy(fpCol.as("fp"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles of normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(Text.normalized(text), " ")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k independent permutation approximations via seeded
+    * xxhash64 over each shingle; signature element j = min over shingles of
+    * hash(j, shingle). Pure column expressions — the whole signature build is
+    * a narrow projection. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** MinHash LSH banding: split the k-length signature into bands of r rows;
+    * docs sharing any band hash become candidate pairs. Returns (band_id,
+    * band_hash) rows — the shuffle key is the band hash, so candidate
+    * generation is a self-join on tiny buckets, not an all-pairs product. */
+  def lshBands(df: DataFrame, idCol: Column, sigCol: Column, bands: Int, rows: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"), xxhash64(slice(sigCol, b * rows + 1, rows).cast("string")).as("band_hash"))
+    }
+    df.select(idCol.as("doc_id"), explode(array(bandRows: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets (a < b), deduplicated across bands. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val l = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("a_id"))
+    val r = bandsDf.select(col("band_id"), col("band_hash"), col("doc_id").as("b_id"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Jaccard in parts-per-million as an exact integer (floor of the scaled
+    * float quotient — bit-identical across engines since both operands and
+    * the division are the same IEEE doubles; no rounding-mode divergence). */
+  def jaccardPpm(aSh: Column, bSh: Column): Column =
+    floor(size(array_intersect(aSh, bSh)).cast("double") * lit(1000000.0d) /
+      size(array_union(aSh, bSh))).cast("long")
+
+  /** Exact Jaccard verification of candidate pairs against the shingle sets
+    * — the standard LSH postfilter killing false positives. */
+  def jaccardVerify(cands: DataFrame, docsWithShingles: DataFrame, idCol: String, shCol: String,
+                    thresholdPpm: Long): DataFrame = {
+    val a = docsWithShingles.select(col(idCol).as("a_id"), col(shCol).as("a_sh"))
+    val b = docsWithShingles.select(col(idCol).as("b_id"), col(shCol).as("b_sh"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .withColumn("jaccard_ppm", jaccardPpm(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select("a_id", "b_id", "jaccard_ppm")
+  }
+
+  /** All-pairs n-gram Jaccard above a threshold — the exact (quadratic)
+    * formulation, used as the correctness oracle for LSH and directly when
+    * one side is small enough to broadcast. */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int, thresholdPpm: Long): DataFrame = {
+    val docs = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    val a = docs.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard_ppm", jaccardPpm(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select("a_id", "b_id", "jaccard_ppm")
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → band-bucket →
+    * candidate join → exact verify. The only quadratic work happens inside
+    * LSH buckets (expected O(1) sizes); everything else is linear scans plus
+    * shuffles on band hashes — the 100 TB-safe formulation of
+    * [[ngramJaccardPairs]]. */
+  def minhashNearDupPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int,
+                          numHashes: Int, bands: Int, thresholdPpm: Long): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rows = numHashes / bands
+    val docs = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val cands = lshCandidates(lshBands(docs, col("id"), col("sig"), bands, rows))
+    jaccardVerify(cands, docs, "id", "sh", thresholdPpm)
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
+    * of token-hash bits — near-dups differ in few bits. Built as column
+    * expressions over the token array; Hamming distance via bit_count(xor). */
+  def simhash(text: Column): Column = {
+    val toks = split(Text.normalized(text), " ")
+    val bitSums = (0 until 64).map { i =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    }
+    val bits = bitSums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-dup: pairs with cosine above threshold. Exact/quadratic;
+    * for the 100 TB path see Similarity.lshCosineCandidates which buckets by
+    * random hyperplane signs first. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column, threshold: Double): DataFrame = {
+    val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("v"))
+    val a = docs.select(col("id").as("a_id"), col("v").as("a_v"))
+    val b = docs.select(col("id").as("b_id"), col("v").as("b_v"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(Similarity.cosine(col("a_v"), col("b_v")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
+  /** Dedup resolution: given verified duplicate pairs, keep the minimum id
+    * of each pair-connected group's direct neighbors as canonical — a single
+    * agg pass (union-find's first iteration; iterate to fixpoint for deep
+    * chains, which near-dup clusters rarely need). */
+  def resolveCanonical(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("id"), col("b_id").as("peer"))
+      .union(pairs.select(col("b_id").as("id"), col("a_id").as("peer")))
+    edges.groupBy(col("id")).agg(least(min(col("peer")), min(col("id"))).as("canonical_id"))
+  }
+}

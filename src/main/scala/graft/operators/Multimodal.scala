@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata structs. The Spark-side mechanics —
+  * schema, batch iteration, partition sizing — are real; the actual codec
+  * call is stubbed behind [[FakeCodec]] (decode libraries are not in this
+  * container) with a deterministic fake so tests exercise the full path.
+  *
+  * At 100 TB the key constraints this module encodes:
+  *  - payload bytes stay OFF the shuffle: decode/feature-extract runs
+  *    `mapPartitions` in place, metadata-only columns shuffle afterwards;
+  *  - `spark.sql.files.maxPartitionBytes` governs scan partition sizing, and
+  *    binary rows are large, so feature extraction is per-partition batched.
+  */
+object Multimodal {
+
+  /** Metadata struct carried beside every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("magic", StringType, nullable = true),
+    StructField("media_type", StringType, nullable = true)
+  ))
+
+  /** Decoded-frame feature schema produced by the (stubbed) codec. */
+  val frameFeatureType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature", ArrayType(DoubleType), nullable = false)
+  ))
+
+  /** Sniff payload metadata from the raw bytes — pure column expressions:
+    * byte length, 4-byte magic prefix (hex), and a magic→type map. */
+  def withMediaMeta(df: DataFrame, binCol: Column): DataFrame = {
+    val magic = hex(substring(binCol, 1, 4))
+    val mediaType = when(magic.startsWith("FFD8"), "image/jpeg")
+      .when(magic === "89504E47", "image/png")
+      .when(magic === "52494646", "audio/wav")
+      .otherwise("application/octet-stream")
+    df.withColumn("media_meta",
+      struct(octet_length(binCol).cast("long").as("byte_len"),
+             magic.as("magic"), mediaType.as("media_type")))
+  }
+
+  /** STUB codec: a real build links an image/audio library here. The fake is
+    * deterministic in the payload bytes so the distributed plumbing (batch
+    * shape, schema, partition boundaries) is fully testable. */
+  object FakeCodec {
+    def decodeDims(bytes: Array[Byte]): (Int, Int, Int) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      val w = 16 + math.floorMod(h, 640)
+      val ht = 16 + math.floorMod(h / 640, 480)
+      val frames = 1 + math.floorMod(h / 307200, 16)
+      (w, ht, frames)
+    }
+    /** Fake per-frame feature: 8-dim moments of the byte histogram. */
+    def feature(bytes: Array[Byte]): Array[Double] = {
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 5) += 1; i += 1 }
+      val n = math.max(1, bytes.length).toDouble
+      hist.map(_ / n)
+    }
+  }
+
+  /** Decode + feature-extract over the binary column via `mapPartitions` —
+    * the Scala analog of a pandas_udf/mapInPandas batch: one codec context
+    * per partition, rows streamed through it, payload never shuffled. */
+  def extractFeatures(df: DataFrame, binColName: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("frame", frameFeatureType))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition codec init would happen here (the expensive part)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (w, h, f) = FakeCodec.decodeDims(bytes)
+        Row.fromSeq(r.toSeq :+ Row(w, h, f, FakeCodec.feature(bytes)))
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling: keep every `stride`-th frame index up to
+    * `n_frames` — pure column math over the decoded metadata. */
+  def sampleFrameIndices(nFrames: Column, stride: Int): Column =
+    sequence(lit(0), nFrames - 1, lit(stride))
+}

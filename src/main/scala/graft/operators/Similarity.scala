@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Baseline: brute-force cosine top-k (exact, O(n) per query — fine when the
+  * query set is small and broadcastable). Scale path: random-hyperplane LSH
+  * bucketing so each query only scans its bucket, turning the 100 TB scan
+  * into a bucket-local probe; and an IVF-style coarse quantizer built from a
+  * deterministic seed set.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns, as a single
+    * codegen'd expression tree: zip_with product + sequential fold. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Cast a float embedding to double for numerically stable arithmetic. */
+  def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Brute-force top-k: broadcast the (small) query set against the corpus,
+    * score every pair, keep the top k per query. The corpus scan is a single
+    * pass; ordering uses one shuffle bounded by k·#queries rows after the
+    * window filter. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column, k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "cos_sim")
+  }
+
+  /** Random-hyperplane signature: sign bits of dot(v, h_i) for planes derived
+    * deterministically from xxhash64(seed=i, dim=j) — no stored plane matrix,
+    * reproducible across the cluster, no driver state. */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { i =>
+      // pseudo-random plane component in [-1,1): hash(i,j) scaled
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * ((xxhash64(lit(i), j) % 1000L).cast("double") / 1000.0d)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: bucket corpus and queries by hyperplane signature,
+    * join on the bucket, score within. Recall<1 by construction; multiprobe
+    * (flipping one bit) widens recall. The join shuffles on the bucket id —
+    * uniformly distributed by the hash, so no skew at scale. */
+  def lshCosineCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          queries: DataFrame, queryId: Column, queryVec: Column,
+                          planes: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
+      .withColumn("bucket", hyperplaneSignature(col("cv"), planes))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+      .withColumn("bucket", hyperplaneSignature(col("qv"), planes))
+    c.join(q, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
+      .select("query_id", "vec_id", "cos_sim", "bucket")
+  }
+
+  /** IVF-style coarse quantizer: assign each vector to its nearest of
+    * `nlist` deterministic centroid seeds (the first nlist vectors by id —
+    * reproducible without k-means iterations). Queries probe only their
+    * centroid's inverted list. */
+  def ivfAssign(df: DataFrame, idCol: Column, vecCol: Column, centroids: DataFrame): DataFrame = {
+    val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
+    val cts = centroids.select(col("centroid_id"), col("cvec"))
+    val scored = v.join(broadcast(cts))
+      .withColumn("sim", cosine(col("v"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("v"))
+  }
+}
