@@ -15,7 +15,7 @@ object Bench {
     * simhash all-pairs) — their scalable counterparts are included instead. */
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_topk", "q5_local_revenue", "q_window_rank",
-    "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_micro_stamp",
+    "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_time_machine",
     "text_fingerprint", "text_quality", "dedup_exact", "dedup_minhash_lsh",
     "sim_brute_topk", "mm_media_meta"
   )

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MysqlValues
-import graft.operators.{Cdc, Dedup, Multimodal, Similarity, Text}
+import graft.operators.{Cdc, Dedup, EventsAsCdc, Multimodal, Similarity, Text}
+import graft.streaming.{TimeMachineSink, TransactionAssembler}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * plus the training-data-pipeline operators (dedup / similarity / text /
@@ -108,6 +109,17 @@ object SparkEntry {
       Cdc.tableNameMerge(t(s, d, "documents"), "source", "[0-9]+$")
         .groupBy(col("source").as("merged_table"))
         .agg(count(lit(1)).as("cnt"))),
+
+    "cdc_time_machine" -> ((s, d) => {
+      // the full CDC write path: events-as-ops → transaction assembly
+      // (flatMapGroupsWithState) → mutation cells (changed-column deltas)
+      // → intra-txn timestamp organizing. SURVEY §2.3 A4/A7/A12 + §2.6 W7/W9.
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assemble(ops, sizeLimit = Int.MaxValue).toDF()
+      TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+        .select(col("row_key"), col("column").as("col_name"), col("value"),
+          col("cell_ts"), col("event_id"))
+    }),
 
     // ----- MySQL type-decode semantics (SURVEY §1.3) -----
     "mysql_unsigned_decode" -> ((s, d) => {
@@ -368,6 +380,29 @@ object SparkEntry {
     "cdc_table_merge" ->
       """SELECT regexp_replace(source, '[0-9]+$', '') AS merged_table, count(*) AS cnt
          FROM documents GROUP BY 1""",
+
+    "cdc_time_machine" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ms
+           FROM events)
+         SELECT CAST(user_id AS VARCHAR) AS row_key, 'value' AS col_name,
+           CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+           commit_ms * 1000 - 50 + least(rn - 1, 50) AS cell_ts, event_id FROM e
+         WHERE rn = 1 OR value <> pv
+         UNION ALL
+         SELECT CAST(user_id AS VARCHAR), 'event_type', event_type,
+           commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+         WHERE rn = 1 OR event_type <> pt
+         UNION ALL
+         SELECT CAST(user_id AS VARCHAR), 'row_status', CASE WHEN rn = 1 THEN 'I' ELSE 'U' END,
+           commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+         UNION ALL
+         SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
+           commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e""",
 
     "mysql_unsigned_decode" ->
       """WITH s AS (SELECT event_id, (event_id % 300) - 150 AS s FROM events)

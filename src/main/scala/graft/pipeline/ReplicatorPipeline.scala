@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.{Op, StampedOp, TimeMachineSink, TransactionAssembler}
+import graft.sink.Sinks
+
+/** Pipeline assembly: source → transaction assembly → table filter →
+  * partition → time-machine sink, with checkpointed exactly-once via the
+  * engine's offset log — the Spark-native shape of the reference's
+  * Replicator wiring (reference: Replicator.java:151-204; SURVEY §3.1).
+  *
+  * The reference's three thread boundaries (binlog thread → queues → worker
+  * tasks → checkpoint timer) collapse into one StreamingQuery: micro-batch
+  * scheduling replaces the queues, `checkpointLocation` replaces the
+  * ZooKeeper checkpoint store, and query restart replaces ForceRewind.
+  */
+final case class PipelineConfig(
+    sinkDir: String,
+    checkpointDir: String,
+    tables: TableFilterConfig = TableFilterConfig(),
+    partitioner: String = "TRID",      // reference default (Partitioner.java:98-102)
+    partitions: Int = 8,                // reference prod sample: 8 tasks
+    txnSizeLimit: Int = 1000,           // reference transaction buffer limit
+    validationSampleN: Int = 100,       // reference ValidationService default
+    validationDir: Option[String] = None,
+    triggerMs: Long = 5000L             // reference safe-checkpoint period
+)
+
+final case class TableFilterConfig(include: Seq[String] = Nil, excludePattern: Option[String] = None)
+
+object ReplicatorPipeline {
+
+  /** The shared transform: ops → committed stamped rows, filtered and routed.
+    * Works identically over a batch Dataset and a streaming one (the
+    * assembler's flatMapGroupsWithState runs in both modes). */
+  def transform(ops: Dataset[Op], cfg: PipelineConfig): Dataset[StampedOp] = {
+    val filtered =
+      if (cfg.tables.include.isEmpty && cfg.tables.excludePattern.isEmpty) ops
+      else ops.filter { op =>
+        op.kind == "BEGIN" || op.kind == "COMMIT" ||
+          cfg.tables.include.contains(op.table) ||
+          cfg.tables.excludePattern.forall(p => !op.table.matches(p))
+      }
+    TransactionAssembler.assemble(filtered, cfg.txnSizeLimit)
+  }
+
+  /** Route a stamped micro-batch by the configured partitioner strategy
+    * (reference: Partitioner.java:14-103) before the sink write. */
+  def route(df: DataFrame, cfg: PipelineConfig): DataFrame = cfg.partitioner match {
+    case "TRID"       => df.repartition(cfg.partitions, col("txnUuid"))
+    case "XXID"       => df.repartition(cfg.partitions, col("xxid"))
+    case "TABLE_NAME" => df.repartition(cfg.partitions, col("table"))
+    case "RANDOM"     => df.repartition(cfg.partitions)
+    case "NONE"       => df.coalesce(1)
+    case other        => throw new IllegalArgumentException(s"unknown partitioner $other")
+  }
+
+  /** Launch the streaming pipeline over a stream of Ops. */
+  def start(ops: Dataset[Op], cfg: PipelineConfig): StreamingQuery = {
+    val stamped = transform(ops, cfg)
+    stamped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: Dataset[StampedOp], _: Long) =>
+        val df = route(batch.toDF(), cfg)
+        TimeMachineSink.write(df, cfg.sinkDir)
+        cfg.validationDir.foreach { vd =>
+          Sinks.validationSample(df, cfg.validationSampleN, "rowKey")
+            .write.mode("append").parquet(vd)
+        }
+      }
+      .start()
+  }
+
+  /** Batch replay of a bounded op set through the identical transform+sink
+    * path — used for backfills (the binlog-flusher analog, SURVEY §2.1 S4)
+    * and in tests. */
+  def runBatch(ops: Dataset[Op], cfg: PipelineConfig): Unit = {
+    val df = route(transform(ops, cfg).toDF(), cfg)
+    TimeMachineSink.write(df, cfg.sinkDir)
+    cfg.validationDir.foreach { vd =>
+      Sinks.validationSample(df, cfg.validationSampleN, "rowKey")
+        .write.mode("append").parquet(vd)
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's non-HBase appliers re-expressed as Spark sinks
+  * (reference: applier/console/ConsoleApplier.java:23-80,
+  * applier/count/CountApplier.java:15-46, applier/kafka/KafkaApplier.java). */
+object Sinks {
+
+  /** Console applier: JSON-serialize each event (reference: ConsoleApplier).
+    * For streams use `writeStream.format("console")`; this is the foreachBatch
+    * body form. */
+  def console(df: DataFrame, limit: Int = 20): Unit =
+    df.select(to_json(struct(col("*"))).as("event")).show(limit, truncate = false)
+
+  /** Count applier: event counts by type (reference: CountApplier). */
+  def counts(df: DataFrame, typeCol: String = "kind"): DataFrame =
+    df.groupBy(typeCol).agg(count(lit(1)).as("cnt"))
+
+  /** Kafka-applier analog without a broker: an append-only partitioned log
+    * directory. Each record becomes (partition, key, value) exactly as the
+    * KafkaApplier produces — key is the header JSON, value the event JSON
+    * (reference: KafkaApplier.java:209-237 JSON mode) — routed by the same
+    * partitioner column the reference uses (Partitioner.TRID/XXID). The
+    * `partition` column maps 1:1 onto Kafka topic partitions when a real
+    * broker connector replaces the directory. */
+  def kafkaLikeJson(df: DataFrame, partitions: Int, partitionKey: String, logDir: String): Unit =
+    df.withColumn("partition", pmod(xxhash64(col(partitionKey)), lit(partitions.toLong)))
+      .withColumn("key", to_json(struct(col("txnUuid"), col("table"), col("eventId"))))
+      .withColumn("value", to_json(struct(col("*"))))
+      .select("partition", "key", "value", "eventId")
+      .write.mode("append").partitionBy("partition").parquet(logDir)
+
+  /** Sink-tail watermark seek: read the max applied event id per partition of
+    * the log, so replayed input below the watermark can be dropped — the
+    * KafkaSeeker analog (reference: applier/kafka/KafkaSeeker.java:64-144
+    * reads the last message of every partition and filters below it). */
+  def seekWatermarks(spark: SparkSession, logDir: String): Map[Long, Long] =
+    try {
+      spark.read.parquet(logDir)
+        .groupBy("partition").agg(max(col("eventId")).as("hi"))
+        .select(col("partition").cast("long"), col("hi").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** Drop events at or below their partition's applied watermark. */
+  def seekFilter(df: DataFrame, partitions: Int, partitionKey: String,
+                 watermarks: Map[Long, Long]): DataFrame =
+    if (watermarks.isEmpty) df
+    else {
+      val wmEntries = watermarks.toSeq.flatMap { case (p, hi) => Seq(lit(p), lit(hi)) }
+      val wm = map(wmEntries: _*)
+      val part = pmod(xxhash64(col(partitionKey)), lit(partitions.toLong))
+      df.filter(element_at(wm, part).isNull || col("eventId") > element_at(wm, part))
+    }
+
+  /** Validation sampler: emit 1-of-N mutations as source-vs-target compare
+    * tasks (reference: applier/validation/ValidationService.java:37-100).
+    * Hash-deterministic sampling (not a counter) so it is stable under
+    * retries and across executors. */
+  def validationSample(df: DataFrame, n: Int, keyCol: String): DataFrame =
+    df.filter(pmod(xxhash64(col(keyCol)), lit(n.toLong)) === 0)
+      .withColumn("validation_task",
+        to_json(struct(col(keyCol).as("key"), current_timestamp().as("emitted_at"))))
+}

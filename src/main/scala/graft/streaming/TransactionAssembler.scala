@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One binlog-level operation entering the assembler. `kind` is
+  * BEGIN | INSERT | UPDATE | DELETE | COMMIT. Before/after row images are
+  * schema-agnostic string maps (SURVEY §1.1). */
+final case class Op(
+    kind: String,
+    txnId: String,
+    xxid: Long,
+    eventId: Long,
+    tsMs: Long,
+    table: String,
+    rowKey: String,
+    before: Map[String, String],
+    after: Map[String, String]
+)
+
+/** A row of a committed transaction, stamped with commit metadata
+  * (reference: CurrentTransaction.getAndClear, CurrentTransaction.java:73-102;
+  * AugmentedEventTransaction.java:17-24). `chunk` > 0 marks a partial emit of
+  * an oversize transaction. */
+final case class StampedOp(
+    txnUuid: String,
+    xxid: Long,
+    commitTsMs: Long,
+    chunk: Int,
+    eventId: Long,
+    tsMs: Long,
+    table: String,
+    kind: String,
+    rowKey: String,
+    before: Map[String, String],
+    after: Map[String, String]
+)
+
+/** Buffered state per open transaction. */
+final case class TxnBuffer(ops: List[Op], chunksEmitted: Int)
+
+/** Transaction assembly as a stateful streaming operator: buffer events
+  * between BEGIN and COMMIT, emit the whole transaction stamped with its
+  * commit timestamp at commit (reference: augmenter/CurrentTransaction.java:
+  * 40-139; flow Augmenter.java:149-191).
+  *
+  * Spark-native shape: `groupByKey(txnId).flatMapGroupsWithState` — state is
+  * per-transaction (not a global binlog cursor), so assembly scales out by
+  * transaction id instead of serializing on one thread like the reference.
+  * The per-second sequence number is deliberately NOT assigned here: it needs
+  * binlog-global ordering, which the sink assigns deterministically per
+  * micro-batch via a window (see TimeMachineSink / Cdc.perSecondSequence).
+  *
+  * Oversize transactions (> sizeLimit buffered ops) emit in chunks instead of
+  * rewinding the pipeline — the Spark analog of the reference's resume-time
+  * chunked emit (Augmenter.java:178-186); chunk index marks partials.
+  */
+object TransactionAssembler {
+
+  def assemble(ops: Dataset[Op], sizeLimit: Int = 1000,
+               timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[StampedOp] = {
+    implicit val opEnc = Encoders.product[Op]
+    implicit val outEnc = Encoders.product[StampedOp]
+    implicit val stateEnc = Encoders.product[TxnBuffer]
+    implicit val keyEnc = Encoders.STRING
+
+    ops.groupByKey(_.txnId)
+      .flatMapGroupsWithState[TxnBuffer, StampedOp](OutputMode.Append(), timeout) {
+        (txnId: String, incoming: Iterator[Op], state: GroupState[TxnBuffer]) =>
+          if (state.hasTimedOut) {
+            // abandoned transaction: drop buffered ops, free state
+            state.remove()
+            Iterator.empty
+          } else {
+            var buf = state.getOption.getOrElse(TxnBuffer(Nil, 0))
+            val out = List.newBuilder[StampedOp]
+            // binlog order within a group = eventId order
+            incoming.toSeq.sortBy(_.eventId).foreach { op =>
+              op.kind match {
+                case "BEGIN" => // explicit begin: fresh buffer (keep chunk count)
+                  buf = TxnBuffer(Nil, buf.chunksEmitted)
+                case "COMMIT" =>
+                  out ++= stamp(buf.ops.reverse, txnId, op.xxid, op.tsMs, buf.chunksEmitted)
+                  buf = TxnBuffer(Nil, 0)
+                case _ =>
+                  buf = buf.copy(ops = op :: buf.ops)
+                  if (buf.ops.length >= sizeLimit) {
+                    // oversize: chunked partial emit stamped with last-seen ts
+                    out ++= stamp(buf.ops.reverse, txnId, op.xxid, op.tsMs, buf.chunksEmitted)
+                    buf = TxnBuffer(Nil, buf.chunksEmitted + 1)
+                  }
+              }
+            }
+            if (buf.ops.isEmpty && buf.chunksEmitted == 0) state.remove()
+            else {
+              state.update(buf)
+              timeout match {
+                case t if t == GroupStateTimeout.ProcessingTimeTimeout() =>
+                  state.setTimeoutDuration("1 hour")
+                case _ => ()
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  private def stamp(ops: List[Op], txnId: String, xxid: Long, commitTsMs: Long,
+                    chunk: Int): List[StampedOp] =
+    ops.map(o => StampedOp(txnId, xxid, commitTsMs, chunk, o.eventId, o.tsMs,
+      o.table, o.kind, o.rowKey, o.before, o.after))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+
+/** Operator-semantics specs for the CDC stages on small hand-built frames. */
+class CdcOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tableFilter: include overrides exclude (AugmenterContext.java:711-730)") {
+    val df = Seq("keep_me", "drop_2018", "other").toDF("table")
+    val out = Cdc.tableFilter(df, col("table"), include = Seq("drop_2018"),
+      excludePattern = Some(".*_\\d+$")).as[String].collect().toSet
+    assert(out == Set("keep_me", "drop_2018", "other")) // include wins for drop_2018
+    val out2 = Cdc.tableFilter(df, col("table"), Nil, Some(".*_\\d+$")).as[String].collect().toSet
+    assert(out2 == Set("keep_me", "other"))
+  }
+
+  test("tableNameMerge strips time-shard suffix (TableNameMergePatternFilter)") {
+    val df = Seq("Some_Table_201812", "Some_Table_201901", "Plain").toDF("table")
+    val out = Cdc.tableNameMerge(df, "table", "_20\\d{4}$").as[String].collect().toSet
+    assert(out == Set("Some_Table", "Plain"))
+  }
+
+  test("organizeTimestamps: -50µs first version, +1µs each, capped at 50 steps") {
+    val base = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val rows = (1 to 55).map(i => ("k", base, i))
+    val df = rows.toDF("key", "ts", "ev")
+    val out = Cdc.organizeTimestamps(df, col("key"), col("ts"), col("ev"))
+      .orderBy("ev").select("cell_ts").as[Long].collect()
+    val commitMicros = 1704067200000000L
+    assert(out(0) == commitMicros - 50)
+    assert(out(1) == commitMicros - 49)
+    assert(out(49) == commitMicros - 1)
+    assert(out(50) == commitMicros)     // cap reached
+    assert(out(54) == commitMicros)     // stays capped
+  }
+
+  test("changedValues emits only real changes with before/after images") {
+    val df = Seq((1, "k", 10.0), (2, "k", 10.0), (3, "k", 12.0), (4, "k", 12.0))
+      .toDF("ev", "key", "v")
+    val out = Cdc.changedValues(df, col("key"), col("ev"), col("v"))
+      .select("ev", "before_value", "after_value").as[(Int, Double, Double)].collect().toSet
+    assert(out == Set((3, 10.0, 12.0)))
+  }
+
+  test("latestState window and latestStateAgg agree") {
+    val df = Seq((1, "a", 100L, "x"), (2, "a", 200L, "y"), (3, "b", 50L, "z"))
+      .toDF("ev", "key", "ts", "payload")
+    val win = Cdc.latestState(df, col("key"), col("ts"), col("ev"))
+      .select("key", "ev", "payload").as[(String, Int, String)].collect().toSet
+    val agg = Cdc.latestStateAgg(df, col("key"), col("ts"), col("ev"), Seq("ev", "payload"))
+      .select("key", "ev", "payload").as[(String, Int, String)].collect().toSet
+    assert(win == Set(("a", 2, "y"), ("b", 3, "z")))
+    assert(agg == win)
+  }
+
+  test("safeCheckpointPerKey finds gap-free prefix max (GtidSetAlgebra relational form)") {
+    val df = Seq(("u", 1L), ("u", 2L), ("u", 3L), ("u", 7L), ("u", 8L), ("v", 5L), ("v", 6L))
+      .toDF("key", "id")
+    val out = Cdc.safeCheckpointPerKey(df, col("key"), col("id"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("u" -> 3L, "v" -> 6L))
+  }
+
+  test("repartitionBy applies the five reference strategies") {
+    val df = (1 to 100).map(i => (i, s"t${i % 5}")).toDF("id", "tbl")
+    assert(Cdc.repartitionBy(df, "TABLE_NAME", 4, Some(col("tbl"))).rdd.getNumPartitions == 4)
+    assert(Cdc.repartitionBy(df, "RANDOM", 3, None).rdd.getNumPartitions == 3)
+    assert(Cdc.repartitionBy(df, "NONE", 9, None).rdd.getNumPartitions == 1)
+    // hash routing co-locates identical keys
+    val parts = Cdc.repartitionBy(df, "TRID", 4, Some(col("tbl")))
+      .withColumn("p", spark_partition_id())
+      .groupBy("tbl").agg(countDistinct("p").as("n")).as[(String, Long)].collect()
+    assert(parts.forall(_._2 == 1L))
+  }
+
+  test("replayDedup restores exactly-once after re-delivery") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val replayed = df.unionAll(df)
+    assert(Cdc.replayDedup(replayed, Seq("id")).count() == 2)
+  }
+}

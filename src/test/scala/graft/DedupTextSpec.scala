@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, Text}
+
+/** Dedup / similarity / text-analysis operator specs on planted fixtures. */
+class DedupTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = base.replace("today", "tonight") // one-token edit
+  private val shuffled = "dog lazy the over jumps fox brown quick the near bank river old the today"
+  private val unrelated = "completely different words about spark query engines and distributed joins here"
+
+  private def docs = Seq((0L, base), (1L, nearDup), (2L, shuffled), (3L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exact clusters: shuffled text shares a word-set fingerprint with base") {
+    val out = Dedup.exactClusters(
+      docs.withColumn("wfp", Text.wordSetFingerprint(col("text"))), col("doc_id"), col("wfp"))
+    val byCanon = out.select("canonical_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(byCanon(0L) == 2L) // base + shuffled (same word set)
+    assert(out.count() == 3)
+  }
+
+  test("trigram jaccard pairs find the near-dup, not the shuffle or unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 500000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("minhash LSH pipeline returns the same verified pairs as all-pairs") {
+    val lsh = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 128, bands = 32, thresholdPpm = 500000L)
+      .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 500000L)
+      .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhash: near-dup within small hamming distance, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(3L)))
+    assert(ham(sigs(0L), sigs(2L)) <= ham(sigs(0L), sigs(1L))) // shuffle: identical token bag
+  }
+
+  test("resolveCanonical maps every member of a dup group to its minimum id") {
+    val pairs = Seq((0L, 1L), (1L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.resolveCanonical(pairs).as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L && out(4L) == 1L && out(0L) == 0L)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, col("vec_id"), col("embedding"),
+      vecs.filter(col("vec_id") === 0), col("vec_id"), col("embedding"), 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("hyperplane LSH buckets identical vectors together") {
+    val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val b = vecs.select(col("vec_id"),
+      Similarity.hyperplaneSignature(Similarity.asDouble(col("embedding")), 8).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+  }
+
+  test("text metrics: token counts, ppm ratios, langid, fingerprints") {
+    val df = Seq((1L, "The cat and the dog!  Extra   spaces here."))
+      .toDF("doc_id", "text")
+    val q = Text.qualityMetrics(df, col("text"))
+      .select("n_tokens", "alpha_ppm", "stopword_ppm").as[(Long, Long, Long)].collect()(0)
+    assert(q._1 == 8)
+    assert(q._2 > 0 && q._2 < 1000000)
+    val tok = df.select(Text.wsTokenCount(col("text")).as("c")).as[Int].collect()(0)
+    assert(tok == 8)
+    val lang = df.select(Text.langId(col("text"))).as[String].collect()(0)
+    assert(lang == "en")
+    val de = Seq((1L, "der hund und die katze ist ein tier")).toDF("doc_id", "text")
+    assert(de.select(Text.langId(col("text"))).as[String].collect()(0) == "de")
+    // fingerprint is whitespace/case-insensitive
+    val fp1 = df.select(Text.fingerprint(col("text"))).as[String].collect()(0)
+    val fp2 = Seq((1L, "the cat and the dog! extra spaces here."))
+      .toDF("doc_id", "text").select(Text.fingerprint(col("text"))).as[String].collect()(0)
+    assert(fp1 == fp2)
+  }
+}

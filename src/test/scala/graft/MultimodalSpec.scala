@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sink.AvroPresenter
+import graft.model.{ColumnSpec, TableSchemaV}
+
+/** Multimodal binary plumbing + Avro presentation specs. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("media meta sniffs magic bytes into typed metadata") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2)
+    val png = "PNG1234".getBytes("ISO-8859-1")
+    val df = Seq((1L, jpeg), (2L, png), (3L, "plain text".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.withMediaMeta(df, col("payload"))
+      .select(col("id"), col("media_meta.media_type")).as[(Long, String)].collect().toMap
+    assert(rows(1L) == "image/jpeg")
+    assert(rows(2L) == "image/png")
+    assert(rows(3L) == "application/octet-stream")
+  }
+
+  test("extractFeatures runs the stub codec per partition with stable schema") {
+    val df = Seq((1L, "aaaa".getBytes), (2L, "bbbbbbbb".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(df, "payload")
+    assert(out.schema.fieldNames.contains("frame"))
+    val rows = out.select(col("doc_id"), col("frame.width")).as[(Long, Int)].collect().toMap
+    assert(rows.size == 2 && rows.values.forall(_ >= 16))
+    // deterministic in the payload
+    val again = Multimodal.extractFeatures(df, "payload")
+      .select(col("doc_id"), col("frame.width")).as[(Long, Int)].collect().toMap
+    assert(again == rows)
+  }
+
+  test("frame sampling indices") {
+    val idx = Seq(10).toDF("n")
+      .select(Multimodal.sampleFrameIndices(col("n"), 3)).as[Seq[Int]].collect()(0)
+    assert(idx == Seq(0, 3, 6, 9))
+  }
+
+  test("avro presenter reproduces the reference type mapping + meta fields") {
+    val table = TableSchemaV("db", "organisms", 0, Seq(
+      ColumnSpec("id", "int(11)", nullable = false, "PRI", None, None),
+      ColumnSpec("lifespan", "tinyint(3) unsigned", nullable = true, "", None, None),
+      ColumnSpec("big_u", "bigint(20) unsigned", nullable = true, "", None, None),
+      ColumnSpec("name", "varchar(30)", nullable = true, "", None, None)), None, 0L)
+    val schema = AvroPresenter.avroSchema(table)
+    val row = schema.getField("row").schema()
+    assert(row.getField("id").schema().getTypes.get(1).getType.getName == "int")
+    assert(row.getField("lifespan").schema().getTypes.get(1).getType.getName == "int")
+    assert(row.getField("big_u").schema().getTypes.get(1).getType.getName == "string")
+    assert(schema.getField("__timestamp") != null && schema.getField("__is_deleted") != null
+      && schema.getField("__binlog_position") != null)
+    assert(AvroPresenter.subject("db", "organisms") == "bigdata-db-organisms-value")
+    val bytes = AvroPresenter.encode(schema, table,
+      Map("id" -> "2", "lifespan" -> "240", "big_u" -> "18446744071615", "name" -> "Ñandú"),
+      timestampMs = 123L, isDeleted = false, binlogPosition = 456L)
+    assert(bytes.nonEmpty)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MysqlValues
+
+/** Golden type-decode vectors mirroring the reference's deserializer tests
+  * (reference: MysqlTypeDeserializerTest.java; boundary values from
+  * mysql.init.sql via FIXTURES.md §1). */
+class MysqlValuesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("v")).collect()(0).get(0)
+
+  test("unsigned masks reproduce the organisms boundary row") {
+    // TINYINT UNSIGNED 240 stored as signed byte -16
+    assert(one(MysqlValues.unsignedTiny(lit(-16L))) == 240L)
+    // SMALLINT UNSIGNED 65500 stored as -36
+    assert(one(MysqlValues.unsignedSmall(lit(-36L))) == 65500L)
+    // MEDIUMINT UNSIGNED 16770215 stored as -7001
+    assert(one(MysqlValues.unsignedMedium(lit(-7001L))) == 16770215L)
+    // INT UNSIGNED 4294897295 stored as -70001
+    assert(one(MysqlValues.unsignedInt(lit(-70001L))) == 4294897295L)
+  }
+
+  test("unsigned BIGINT reconstructs 2^64 + x as Decimal(20,0)") {
+    val v = one(MysqlValues.unsignedBigint(lit(-2094967296L)))
+    assert(v.toString == "18446744071614584320")
+    assert(one(MysqlValues.unsignedBigint(lit(5L))).toString == "5")
+  }
+
+  test("BIT renders as minimal binary string, 0 as '0'") {
+    assert(one(MysqlValues.bitString(lit(170L))) == "10101010")
+    assert(one(MysqlValues.bitString(lit(0L))) == "0")
+  }
+
+  test("BINARY hex is upper-case; fixed BINARY(n) zero-pads to declared bytes") {
+    assert(one(MysqlValues.hexBytes(lit("za").cast("binary"))) == "7A61")
+    // BINARY(16) padding (organisms.soylent_dummy_id semantics)
+    assert(one(MysqlValues.hexBytesPadded(lit(Array[Byte](0x01, 0x34.toByte)), 16))
+      == "0134" + "0" * 28)
+  }
+
+  test("ENUM decodes 1-based, 0 -> null; SET decodes bitmask, 0 -> null") {
+    val members = Seq("animalia", "plantae")
+    assert(one(MysqlValues.enumDecode(lit(1), members)) == "animalia")
+    assert(one(MysqlValues.enumDecode(lit(2), members)) == "plantae")
+    assert(one(MysqlValues.enumDecode(lit(0), members)) == null)
+    val set = Seq("a", "b", "c", "d")
+    assert(one(MysqlValues.setDecode(lit(5L), set)) == "a,c")
+    assert(one(MysqlValues.setDecode(lit(15L), set)) == "a,b,c,d")
+    assert(one(MysqlValues.setDecode(lit(0L), set)) == null)
+  }
+
+  test("charset decode: latin1 collation -> ISO-8859-1, else UTF-8") {
+    val latin1Bytes = Array[Byte](0xD1.toByte) // 'Ñ' in ISO-8859-1
+    assert(one(MysqlValues.charsetDecode(lit(latin1Bytes), "latin1_swedish_ci")) == "Ñ")
+    val utf8Bytes = "Ñandú".getBytes("UTF-8")
+    assert(one(MysqlValues.charsetDecode(lit(utf8Bytes), "utf8_general_ci")) == "Ñandú")
+  }
+
+  test("datetime normalizes to UTC epoch-millis string; date to yyyy-MM-dd") {
+    assert(one(MysqlValues.epochMillisString(to_timestamp(lit("2024-01-01 00:00:07.179")))) == "1704067207179")
+    assert(one(MysqlValues.dateString(to_timestamp(lit("2024-01-02 03:04:05")))) == "2024-01-02")
+  }
+
+  test("salted row key: md5-prefix of first PK + ';'-joined PKs (composite)") {
+    // HBaseRowKeyMapper semantics on the sometable fixture shape
+    val k = one(MysqlValues.saltedRowKey(Seq(lit("pk1"), lit(42)))).toString
+    val md5pk1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("pk1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(k == md5pk1.take(8) + ";pk1;42")
+  }
+
+  test("decimal plain string") {
+    assert(one(MysqlValues.decimalPlainString(lit(BigDecimal("100.000000000")))) == "100.000000000")
+  }
+}

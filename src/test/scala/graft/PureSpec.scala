@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.checkpoint.GtidSetAlgebra
+import graft.model.{Checkpoint, Gtid}
+import graft.augment.{DdlClassifier, SchemaCatalog}
+
+/** Pure (Spark-free) semantics: GTID algebra, checkpoint ordering, DDL
+  * classification, schema catalog evolution. */
+class PureSpec extends AnyFunSuite {
+
+  // --- GtidSetAlgebra (reference: GtidSetAlgebra.java:21-175) ---
+
+  test("parse + normalize merges adjacent and overlapping ranges") {
+    assert(GtidSetAlgebra.parse("u:1-3:4-6") == Map("u" -> List((1L, 6L))))
+    assert(GtidSetAlgebra.parse("u:1-5:3-8") == Map("u" -> List((1L, 8L))))
+    assert(GtidSetAlgebra.parse("u:1-3:7-9") == Map("u" -> List((1L, 3L), (7L, 9L))))
+  }
+
+  test("safe checkpoint is the gap-free prefix end across task sets") {
+    val safe = GtidSetAlgebra.safeCheckpoint(Seq("u:1-4", "u:6-9"))
+    assert(safe == Map("u" -> 4L)) // 5 missing: cannot advance past 4
+    val safe2 = GtidSetAlgebra.safeCheckpoint(Seq("u:1-4", "u:5-9"))
+    assert(safe2 == Map("u" -> 9L)) // union closes the gap
+    val multi = GtidSetAlgebra.safeCheckpoint(Seq("a:1-3,b:1-2", "a:4-5", "b:4"))
+    assert(multi == Map("a" -> 5L, "b" -> 2L))
+  }
+
+  test("render is deterministic") {
+    assert(GtidSetAlgebra.render(Map("b" -> 2L, "a" -> 5L)) == "a:1-5,b:1-2")
+  }
+
+  test("property: normalize of random range sets is sorted/disjoint with exact gap-free prefix") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val rs = List.fill(1 + rnd.nextInt(8)) {
+        val a = 1L + rnd.nextInt(50); (a, a + rnd.nextInt(10))
+      }
+      val norm = GtidSetAlgebra.normalize(rs)
+      norm.sliding(2).foreach {
+        case List((_, e1), (s2, _)) => assert(s2 > e1 + 1)
+        case _ => ()
+      }
+      val covered = rs.flatMap { case (a, b) => a to b }.toSet
+      val expectedEnd = Iterator.iterate(norm.head._1)(_ + 1).takeWhile(covered).toSeq.last
+      assert(GtidSetAlgebra.gapFreePrefixEnd(norm).contains(expectedEnd))
+    }
+  }
+
+  // --- Checkpoint ordering (reference: Checkpoint.java:81-120) ---
+
+  test("checkpoint order: GTID first, then timestamp across servers, then file+pos") {
+    def cp(server: Long, file: String, pos: Long, gtid: Option[Gtid], ts: Long) =
+      Checkpoint(server, file, pos, gtid, None, ts)
+    val ord = Checkpoint.ordering
+    assert(ord.compare(cp(1, "f1", 10, Some(Gtid("u", 5)), 0), cp(1, "f1", 2, Some(Gtid("u", 7)), 0)) < 0)
+    assert(ord.compare(cp(1, "f2", 1, None, 100), cp(2, "f1", 999, None, 200)) < 0) // cross-server: ts
+    assert(ord.compare(cp(1, "binlog.0002", 5, None, 0), cp(1, "binlog.0001", 900, None, 0)) > 0)
+    assert(ord.compare(cp(1, "f1", 5, None, 0), cp(1, "f1", 9, None, 0)) < 0)
+  }
+
+  // --- DDL classification (reference: AugmenterContext.java:415-577) ---
+
+  test("query classification covers the reference's classes") {
+    import DdlClassifier._
+    assert(classify("BEGIN") == Begin)
+    assert(classify("/* comment */ begin") == Begin)
+    assert(classify("COMMIT") == Commit)
+    assert(classify("ALTER TABLE t ADD COLUMN c INT") == DdlTable)
+    assert(classify("create table `x` (id int)") == DdlTable)
+    assert(classify("RENAME TABLE a TO b") == DdlTable)
+    assert(classify("TRUNCATE TABLE t") == DdlTable)
+    assert(classify("CREATE TEMPORARY TABLE tmp (i int)") == DdlTemporaryTable)
+    assert(classify("CREATE VIEW v AS SELECT 1") == DdlView)
+    assert(classify("ANALYZE TABLE t") == DdlAnalyze)
+    assert(classify("CREATE DEFINER=`u`@`h` TRIGGER trg BEFORE INSERT ON t FOR EACH ROW SET @a=1") == DdlDefiner)
+    assert(classify("INSERT INTO t VALUES (1)") == Other)
+  }
+
+  test("cross-schema rename guard (reference: ActiveSchemaHelpers.java:173-198)") {
+    assert(DdlClassifier.shouldReplayRename("RENAME TABLE a TO b", "mydb"))
+    assert(DdlClassifier.shouldReplayRename("RENAME TABLE mydb.a TO mydb.b", "mydb"))
+    assert(!DdlClassifier.shouldReplayRename("RENAME TABLE mydb.a TO otherdb.b", "mydb"))
+    assert(!DdlClassifier.shouldReplayRename("RENAME TABLE otherdb.a TO mydb.a", "mydb"))
+  }
+
+  test("schema-name rewrite strips the source qualifier (reference: ActiveSchemaHelpers.java:150-171)") {
+    assert(DdlClassifier.rewriteSchemaName("ALTER TABLE mydb.t ADD c INT", "mydb") == "ALTER TABLE t ADD c INT")
+    assert(DdlClassifier.rewriteSchemaName("ALTER TABLE `mydb`.t ADD c INT", "mydb") == "ALTER TABLE t ADD c INT")
+  }
+
+  // --- Schema catalog evolution (reference: ActiveSchemaManager + fixtures) ---
+
+  test("catalog: create, alter add (mysql.init.sql flow), versions at position") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE organisms (id INT NOT NULL PRIMARY KEY, name VARCHAR(30), lifespan TINYINT UNSIGNED)", 1000L)
+    val v0 = cat.current("organisms").get
+    assert(v0.columns.map(_.name) == Seq("id", "name", "lifespan"))
+    assert(v0.primaryKeyColumns == Seq("id"))
+
+    cat.applyDdl("ALTER TABLE organisms ADD COLUMN lifespan_float FLOAT(7,4)", 2000L)
+    assert(cat.current("organisms").get.columns.map(_.name).contains("lifespan_float"))
+    assert(cat.at("organisms", 1500L).get.version == 0) // old version still resolvable
+    assert(cat.at("organisms", 2500L).get.version == 1)
+  }
+
+  test("catalog: table-swap RENAME flow (mysql.binlog.test.sql)") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE animal (id INT PRIMARY KEY, name VARCHAR(30))", 1L)
+    cat.applyDdl("CREATE TABLE _animal_new (id INT PRIMARY KEY, name VARCHAR(30), sc_name VARCHAR(30))", 2L)
+    cat.applyDdl("RENAME TABLE animal TO _animal_old, _animal_new TO animal", 3L)
+    cat.applyDdl("DROP TABLE _animal_old", 4L)
+    val now = cat.current("animal").get
+    assert(now.columns.map(_.name) == Seq("id", "name", "sc_name"))
+    assert(cat.current("_animal_old").isEmpty && cat.current("_animal_new").isEmpty)
+  }
+
+  test("catalog: cross-schema rename does not replay") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE t (id INT)", 1L)
+    cat.applyDdl("RENAME TABLE t TO otherdb.t", 2L)
+    assert(cat.current("t").isDefined) // guard refused the move
+  }
+
+  // --- TxnInfo micro stamping (reference: AugmentedRow.java:113-116) ---
+
+  test("micro timestamp = commitMs*1000 + seq*100") {
+    assert(graft.model.TxnInfo("u", 1, 1700000000123L, 7).microTimestamp == 1700000000123000L + 700L)
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.pipeline.{PipelineConfig, ReplicatorPipeline, TableFilterConfig}
+import graft.streaming.{Op, TimeMachineSink, TransactionAssembler}
+import graft.sink.Sinks
+
+/** Streaming CDC semantics: transaction assembly, time-machine sink golden
+  * cells, end-to-end pipeline with checkpointed restart, seek dedup. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def op(kind: String, txn: String, ev: Long, table: String = "t", key: String = "k1",
+                 before: Map[String, String] = null, after: Map[String, String] = null,
+                 ts: Long = 1704067200000L): Op =
+    Op(kind, txn, txn.hashCode.toLong & 0xFFFF, ev, ts, table, key,
+      Option(before).getOrElse(Map.empty), Option(after).getOrElse(Map.empty))
+
+  test("assembler: buffers until COMMIT, stamps commit ts, drops uncommitted") {
+    val ops = Seq(
+      op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("UPDATE", "t1", 3, before = Map("a" -> "1"), after = Map("a" -> "2")),
+      op("COMMIT", "t1", 4, ts = 1704067205000L),
+      op("BEGIN", "t2", 5),
+      op("INSERT", "t2", 6, after = Map("b" -> "9")) // never commits
+    ).toDS()
+    val out = TransactionAssembler.assemble(ops).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.commitTsMs == 1704067205000L))
+    assert(out.forall(_.txnUuid == "t1"))
+    assert(out.map(_.kind).toSet == Set("INSERT", "UPDATE"))
+  }
+
+  test("assembler: oversize transaction emits chunks instead of stalling") {
+    val rows = (1 to 7).map(i => op("INSERT", "big", i.toLong, after = Map("i" -> i.toString)))
+    val ops = (op("BEGIN", "big", 0) +: rows :+ op("COMMIT", "big", 99)).toDS()
+    val out = TransactionAssembler.assemble(ops, sizeLimit = 3).collect()
+    assert(out.length == 7)
+    assert(out.map(_.chunk).toSet == Set(0, 1, 2)) // 3+3+1 chunked emit
+  }
+
+  test("time-machine cells: INSERT all cols, UPDATE changed-only, DELETE marker") {
+    val stamped = Seq(
+      ("u1", 7L, 1000L, 0, 1L, 1000L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "1", "b" -> "x")),
+      ("u1", 7L, 1000L, 0, 2L, 1000L, "t", "UPDATE", "k1", Map("a" -> "1", "b" -> "x"), Map("a" -> "2", "b" -> "x")),
+      ("u2", 8L, 2000L, 0, 3L, 2000L, "t", "DELETE", "k1", Map("a" -> "2", "b" -> "x"), Map.empty[String, String])
+    ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
+    val cells = TimeMachineSink.mutationCells(stamped)
+      .select("column", "value", "event_id").as[(String, String, Long)].collect().toSet
+    // INSERT: both cols + status + audit; UPDATE: only changed col 'a'; DELETE: status only
+    assert(cells.contains(("a", "1", 1L)) && cells.contains(("b", "x", 1L)))
+    assert(cells.contains(("a", "2", 2L)) && !cells.contains(("b", "x", 2L)))
+    assert(cells.contains(("row_status", "I", 1L)) && cells.contains(("row_status", "U", 2L))
+      && cells.contains(("row_status", "D", 3L)))
+    assert(cells.contains(("_transaction_uuid", "u1", 1L)))
+  }
+
+  test("timestamp organizing + latest/as-of reads over a sink dir") {
+    val dir = Files.createTempDirectory("tm").toString
+    val stamped = Seq(
+      ("u1", 7L, 1000L, 0, 1L, 900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "1")),
+      ("u1", 7L, 1000L, 0, 2L, 950L, "t", "UPDATE", "k1", Map("a" -> "1"), Map("a" -> "2")),
+      ("u2", 8L, 5000L, 0, 3L, 4900L, "t", "UPDATE", "k1", Map("a" -> "2"), Map("a" -> "3"))
+    ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
+    TimeMachineSink.write(stamped, dir)
+
+    // intra-txn ordering: event 1 at commitMicros-50, event 2 at -49
+    val ts = spark.read.parquet(dir).filter(col("column") === "a")
+      .select("event_id", "cell_ts").as[(Long, Long)].collect().toMap
+    assert(ts(1L) == 1000L * 1000 - 50 && ts(2L) == 1000L * 1000 - 49)
+
+    val latest = TimeMachineSink.latestRows(spark, dir)
+      .select(element_at(col("cols"), "a")).as[String].collect()
+    assert(latest.toSeq == Seq("3"))
+    val asOf = TimeMachineSink.rowsAsOf(spark, dir, 1000L * 1000)
+      .select(element_at(col("cols"), "a")).as[String].collect()
+    assert(asOf.toSeq == Seq("2")) // before the second txn
+  }
+
+  test("pipeline end-to-end over a stream with restart from checkpoint") {
+    val sink = Files.createTempDirectory("sink").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val cfg = PipelineConfig(sink, ckpt, partitions = 2)
+    implicit val sq = spark.sqlContext
+
+    val mem = MemoryStream[Op]
+    val q1 = ReplicatorPipeline.start(mem.toDS(), cfg)
+    mem.addData(op("BEGIN", "t1", 1), op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("COMMIT", "t1", 3))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: same checkpoint, new data only
+    val q2 = ReplicatorPipeline.start(mem.toDS(), cfg)
+    mem.addData(op("BEGIN", "t2", 4), op("UPDATE", "t2", 5,
+      before = Map("a" -> "1"), after = Map("a" -> "2")), op("COMMIT", "t2", 6))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val latest = TimeMachineSink.latestRows(spark, sink)
+      .select(element_at(col("cols"), "a")).as[String].collect()
+    assert(latest.toSeq == Seq("2"))
+    // exactly-once: only two 'a' versions despite restart
+    assert(spark.read.parquet(sink).filter(col("column") === "a").count() == 2)
+  }
+
+  test("seek watermarks drop replayed events below the sink tail") {
+    val log = Files.createTempDirectory("log").toString
+    val batch1 = Seq(("u1", "t", 1L), ("u2", "t", 2L), ("u3", "t", 3L))
+      .toDF("txnUuid", "table", "eventId")
+    Sinks.kafkaLikeJson(batch1, partitions = 2, partitionKey = "txnUuid", log)
+    val wm = Sinks.seekWatermarks(spark, log)
+    assert(wm.nonEmpty)
+    val replay = Seq(("u1", "t", 1L), ("u2", "t", 2L), ("u4", "t", 9L))
+      .toDF("txnUuid", "table", "eventId")
+    val kept = Sinks.seekFilter(replay, 2, "txnUuid", wm).select("eventId").as[Long].collect().toSet
+    assert(kept == Set(9L))
+  }
+
+  test("validation sampler emits a deterministic 1-in-N subset") {
+    val df = (1 to 1000).map(i => (s"k$i", i)).toDF("rowKey", "v")
+    val n = Sinks.validationSample(df, 10, "rowKey").count()
+    assert(n > 50 && n < 200) // hash-uniform ~100
+    assert(Sinks.validationSample(df, 10, "rowKey").count() == n) // deterministic
+  }
+
+  test("table filter config: include overrides exclude in the pipeline transform") {
+    val ops = Seq(
+      op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, table = "keep_2018", after = Map("a" -> "1")),
+      op("INSERT", "t1", 3, table = "drop_2018", after = Map("a" -> "2")),
+      op("INSERT", "t1", 4, table = "plain", after = Map("a" -> "3")),
+      op("COMMIT", "t1", 5)).toDS()
+    val cfg = PipelineConfig("/tmp/x", "/tmp/y",
+      tables = TableFilterConfig(include = Seq("keep_2018"), excludePattern = Some(".*_\\d+$")))
+    val out = ReplicatorPipeline.transform(ops, cfg).collect().map(_.table).toSet
+    assert(out == Set("keep_2018", "plain"))
+  }
+}
