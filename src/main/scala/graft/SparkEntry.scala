@@ -266,8 +266,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"), 3, 800000L)),
 
     "dedup_minhash_lsh" -> ((s, d) =>
+      // 16 bands x 4 rows: P(candidate) at the 0.8 threshold = 1-(1-J^4)^16
+      // => recall ~0.9998 at J=0.8, ~1-4e-8 at J=0.9 (the data's true pairs
+      // all sit >= 0.9); verification kills every false positive.
       Dedup.minhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"),
-        n = 3, numHashes = 128, bands = 32, thresholdPpm = 800000L)),
+        n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L)),
 
     "dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))

@@ -25,14 +25,19 @@ object Dedup {
     array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
-  /** MinHash signature: k independent permutation approximations via seeded
-    * xxhash64 over each shingle; signature element j = min over shingles of
-    * hash(j, shingle). Pure column expressions — the whole signature build is
-    * a narrow projection. */
+  /** MinHash signature: k independent permutation approximations; signature
+    * element j = min over shingles of hash_j(shingle). A single-pass fold:
+    * `aggregate` walks the shingle array once, hashing each shingle STRING
+    * exactly once (the lambda variable binds the hash, so Catalyst cannot
+    * re-inline it k times), then `zip_with` updates the k-vector of running
+    * minima with cheap long re-hashes. At 100 TB the signature build is
+    * hash-bound — k string hashes per shingle vs one is a ~k× CPU cliff. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { j =>
-      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
-    }: _*)
+    aggregate(
+      transform(shingleCol, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, j) => least(a, xxhash64(j, h))))
 
   /** MinHash LSH banding: split the k-length signature into bands of r rows;
     * docs sharing any band hash become candidate pairs. Returns (band_id,
@@ -40,7 +45,7 @@ object Dedup {
     * generation is a self-join on tiny buckets, not an all-pairs product. */
   def lshBands(df: DataFrame, idCol: Column, sigCol: Column, bands: Int, rows: Int): DataFrame = {
     val bandRows = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"), xxhash64(slice(sigCol, b * rows + 1, rows).cast("string")).as("band_hash"))
+      struct(lit(b).as("band_id"), xxhash64(slice(sigCol, b * rows + 1, rows)).as("band_hash"))
     }
     df.select(idCol.as("doc_id"), explode(array(bandRows: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
@@ -96,9 +101,16 @@ object Dedup {
                           numHashes: Int, bands: Int, thresholdPpm: Long): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
+    // Persist the signed docs: they feed both LSH-join sides and the verify
+    // join — without it the shingle+signature build (the expensive narrow
+    // stage) re-executes once per consumer. At 100 TB this persist becomes a
+    // checkpoint to storage; the shape is the same.
     val docs = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val cands = lshCandidates(lshBands(docs, col("id"), col("sig"), bands, rows))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsDf = lshBands(docs, col("id"), col("sig"), bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(bandsDf)
     jaccardVerify(cands, docs, "id", "sh", thresholdPpm)
   }
 
