@@ -17,7 +17,8 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_topk", "q5_local_revenue", "q_window_rank",
     "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_time_machine",
     "text_fingerprint", "text_quality", "dedup_exact", "dedup_minhash_lsh",
-    "sim_brute_topk", "mm_media_meta"
+    "dedup_simhash", "sim_brute_topk", "sim_ann_ivf", "q_time_window",
+    "mm_media_meta"
   )
 
   def main(args: Array[String]): Unit = {

@@ -226,6 +226,23 @@ object SparkEntry {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
 
+    "q_time_window" -> ((s, d) =>
+      // event-time tumbling window — the streaming-native aggregation shape
+      // (windowed agg + watermark in stream mode; SURVEY §2.9 streaming row)
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value").cast("decimal(18,2)")).as("total"))
+        .select(unix_millis(col("window.start")).as("window_ms"), col("event_type"),
+          col("cnt"), col("total"))),
+
+    "q_json_extract" -> ((s, d) =>
+      // JSON path extraction over the props payload (reference JSON surface:
+      // MysqlTypeDeserializer JSON + KafkaApplier JSON mode)
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
+
     "q_scalar_funcs" -> ((s, d) =>
       t(s, d, "part").select(
         col("p_partkey"),
@@ -272,15 +289,9 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L)),
 
-    "dedup_simhash" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
-      val a = docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
-      val b = docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
-      a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .withColumn("hamming", Dedup.hammingDistance(col("a_sig"), col("b_sig")))
-        .filter(col("hamming") <= 8)
-        .select("a_id", "b_id", "hamming")
-    }),
+    "dedup_simhash" -> ((s, d) =>
+      // banded scale path: bucket on 16-bit signature bands, verify Hamming
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"), maxHamming = 8)),
 
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
@@ -291,6 +302,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         emb, col("vec_id"), col("embedding"),
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+    }),
+
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          Similarity.asDouble(col("embedding")).as("cvec"))
+      Similarity.ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+        .select("vec_id", "centroid_id")
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
@@ -486,6 +506,26 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
            min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY event_type""",
+
+    "q_time_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_ms, event_type,
+           count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total
+         FROM events GROUP BY 1, 2""",
+
+    "q_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+         FROM events""",
+
+    "sim_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)
+         SELECT vec_id, centroid_id FROM v, c
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+           round(list_dot_product(vv, cv)
+             / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+           centroid_id) = 1""",
 
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,

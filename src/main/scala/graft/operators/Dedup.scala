@@ -26,18 +26,16 @@ object Dedup {
   }
 
   /** MinHash signature: k independent permutation approximations; signature
-    * element j = min over shingles of hash_j(shingle). A single-pass fold:
-    * `aggregate` walks the shingle array once, hashing each shingle STRING
-    * exactly once (the lambda variable binds the hash, so Catalyst cannot
-    * re-inline it k times), then `zip_with` updates the k-vector of running
-    * minima with cheap long re-hashes. At 100 TB the signature build is
-    * hash-bound — k string hashes per shingle vs one is a ~k× CPU cliff. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    aggregate(
-      transform(shingleCol, s => xxhash64(s)),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
-        (a, j) => least(a, xxhash64(j, h))))
+    * element j = min over shingles of hash_j(shingle). A native Catalyst
+    * expression ([[graft.functions.MinHashSigExpr]]): one codegen'd pass,
+    * each shingle string hashed exactly once, k cheap long re-mixes into a
+    * running-minimum accumulator — no intermediate arrays. At 100 TB the
+    * signature build is the CPU budget; the composed-built-in formulation
+    * (aggregate+zip_with) allocates a k-array per shingle. */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.MinHashSigExpr(GraftBridge.toExpr(shingleCol), k))
+  }
 
   /** MinHash LSH banding: split the k-length signature into bands of r rows;
     * docs sharing any band hash become candidate pairs. Returns (band_id,
@@ -115,18 +113,33 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
-    * of token-hash bits — near-dups differ in few bits. Built as column
-    * expressions over the token array; Hamming distance via bit_count(xor). */
+    * of token-hash bits — near-dups differ in few bits. Native expression
+    * ([[graft.functions.SimHash64Expr]]): one codegen'd pass over the token
+    * array (the built-in formulation needs 64 aggregate traversals).
+    * Hamming distance via bit_count(xor). */
   def simhash(text: Column): Column = {
-    val toks = split(Text.normalized(text), " ")
-    val bitSums = (0 until 64).map { i =>
-      aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    }
-    val bits = bitSums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.SimHash64Expr(
+      GraftBridge.toExpr(split(Text.normalized(text), " "))))
+  }
+
+  /** Banded SimHash near-dup: bucket by 16-bit signature bands (any shared
+    * band → candidate), verify by Hamming distance — the scale path that
+    * replaces the all-pairs cross join. */
+  def simhashNearDupPairs(df: DataFrame, idCol: Column, textCol: Column, maxHamming: Int): DataFrame = {
+    val docs = df.select(idCol.as("id"), simhash(textCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_val"))): _*)).as("band"))
+      .select(col("id"), col("sig"), col("band.band_id"), col("band.band_val"))
+    val l = banded.select(col("band_id"), col("band_val"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val r = banded.select(col("band_id"), col("band_val"), col("id").as("b_id"), col("sig").as("b_sig"))
+    l.join(r, Seq("band_id", "band_val")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Hamming distance between two simhash signatures. */

@@ -80,7 +80,7 @@ object Similarity {
     val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
     val cts = centroids.select(col("centroid_id"), col("cvec"))
     val scored = v.join(broadcast(cts))
-      .withColumn("sim", cosine(col("v"), col("cvec")))
+      .withColumn("sim", round(cosine(col("v"), col("cvec")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
