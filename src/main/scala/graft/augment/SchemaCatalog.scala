@@ -122,6 +122,22 @@ final class SchemaCatalog(val ownSchema: String) {
     }
   }
 
+  /** Schema-history rows for the history sink — the append-only analog of
+    * the reference's HBase schema-history table (reference:
+    * HBaseSchemaManager.writeSchemaSnapshot, HBaseSchemaManager.java:152-280:
+    * ddl + pre/post schemas keyed by timestamp). */
+  def historyDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    transitions.map { t =>
+      (t.table, t.ddl, t.tsMs, t.before.map(renderSchema).orNull, t.after.map(renderSchema).orNull)
+    }.toDF("table", "ddl", "ts_ms", "schema_before", "schema_after")
+  }
+
+  private def renderSchema(v: TableSchemaV): String =
+    s"""{"table":"${v.table}","version":${v.version},"columns":[""" +
+      v.columns.map(c => s"""{"name":"${c.name}","type":"${c.mysqlType}","key":"${c.key}"}""").mkString(",") +
+      "]}"
+
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; val cur = new StringBuilder

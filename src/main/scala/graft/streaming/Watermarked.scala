@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Watermark-governed streaming operators — the engine-native forms of the
+  * reference's freshness/dedup machinery (SURVEY §2.9 streaming row):
+  * the watermark is the safe-checkpoint analog (everything older is final),
+  * and bounded-state dedup replaces KafkaSeeker's replay filter when the
+  * replay window is time-bounded.
+  */
+object Watermarked {
+
+  /** Event-time tumbling-window counts with bounded state: windows older
+    * than the watermark finalize and evict. */
+  def windowedCounts(ops: Dataset[Op], windowLen: String, delay: String): DataFrame =
+    ops.withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), windowLen), col("kind"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("kind"), col("cnt"))
+
+  /** Replay dedup with bounded state: duplicate event ids arriving within the
+    * watermark horizon are dropped; state for older ids evicts. The
+    * time-bounded form of Cdc.replayDedup (KafkaSeeker analog K2). */
+  def dedupWithinWatermark(ops: Dataset[Op], delay: String): Dataset[Op] = {
+    import ops.sparkSession.implicits._
+    ops.withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("eventId")
+      .drop("event_time")
+      .as[Op]
+  }
+}
