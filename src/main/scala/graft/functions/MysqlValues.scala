@@ -55,6 +55,23 @@ object MysqlValues {
     decode(bytes, cs)
   }
 
+  /** Parse the member list out of an `enum('a','b')` / `set('a','b')` column
+    * type string (reference: AugmenterContext.java:78-79,934-955 — the
+    * per-batch member cache; here members land in the schema catalog once,
+    * broadcast with it). */
+  def parseMembers(columnType: String): Seq[String] = {
+    val m = "(?i)^(?:enum|set)\\s*\\((.*)\\)".r.findFirstMatchIn(columnType.trim)
+    m.map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("'").stripSuffix("'"))).getOrElse(Nil)
+  }
+
+  /** ENUM decode straight from the column type string. */
+  def enumDecodeFromType(idx: Column, columnType: String): Column =
+    enumDecode(idx, parseMembers(columnType))
+
+  /** SET decode straight from the column type string. */
+  def setDecodeFromType(mask: Column, columnType: String): Column =
+    setDecode(mask, parseMembers(columnType))
+
   /** ENUM: 1-based index into the parsed member list; index 0 → NULL
     * (reference: MysqlTypeDeserializer.java:144-152, members parsed at
     * AugmenterContext.java:934-955). `element_at` is 1-based like MySQL. */

@@ -78,6 +78,15 @@ object AvroPresenter {
     serialize(schema, rec)
   }
 
+  /** DDL schema-compatibility gate (reference:
+    * KafkaApplier.handleIncompatibleSchemaChange, KafkaApplier.java:261-287):
+    * a new table schema must be able to READ data written with the previous
+    * one; if not, the subject needs forced re-registration. Uses Avro's own
+    * compatibility checker. */
+  def isBackwardCompatible(newSchema: Schema, oldSchema: Schema): Boolean =
+    org.apache.avro.SchemaCompatibility.checkReaderWriterCompatibility(newSchema, oldSchema)
+      .getType == org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
+
   private def serialize(schema: Schema, rec: GenericRecord): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val enc = EncoderFactory.get().binaryEncoder(out, null)

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.functions.MysqlValues
+import graft.model.{ColumnSpec, TableSchemaV}
+import graft.pipeline.{PipelineConfig, ReplicatorPipeline}
+import graft.sink.AvroPresenter
+import graft.sources.OpSource
+import graft.streaming.{Op, TimeMachineSink}
+
+/** Op sources (S1/S3/S4), enum/set member parsing (A9), Avro schema
+  * compatibility gate (W4). */
+class SourceAvroSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parquet op source: file-dropped segments stream through the pipeline") {
+    val opsDir = Files.createTempDirectory("ops").toString
+    val sink = Files.createTempDirectory("sink").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val batch = Seq(
+      Op("BEGIN", "t1", 1, 1, 1000L, "t", "k", Map.empty, Map.empty),
+      Op("INSERT", "t1", 1, 2, 1000L, "t", "k", Map.empty, Map("a" -> "1")),
+      Op("COMMIT", "t1", 1, 3, 2000L, "t", "k", Map.empty, Map.empty))
+    batch.toDS().write.mode("append").parquet(opsDir)
+
+    val q = ReplicatorPipeline.start(
+      OpSource.parquetStream(spark, opsDir, maxFilesPerTrigger = 4),
+      PipelineConfig(sink, ckpt, partitions = 2))
+    q.processAllAvailable()
+    q.stop()
+    val latest = TimeMachineSink.latestRows(spark, sink)
+      .select(element_at(col("cols"), "a")).as[String].collect().toSeq
+    assert(latest == Seq("1"))
+  }
+
+  test("batch backfill reads the same layout (bootstrap path)") {
+    val opsDir = Files.createTempDirectory("ops2").toString
+    Seq(Op("INSERT", "t9", 9, 1, 100L, "t", "k", Map.empty, Map("x" -> "7")),
+      Op("COMMIT", "t9", 9, 2, 200L, "t", "k", Map.empty, Map.empty))
+      .toDS().write.mode("overwrite").parquet(opsDir)
+    assert(OpSource.parquetBatch(spark, opsDir).count() == 2)
+  }
+
+  test("rate source emits well-formed single-op transactions") {
+    // schema-level check (rate source needs a running stream to emit rows)
+    val ds = OpSource.rateStream(spark, rps = 10)
+    assert(ds.schema.fieldNames.toSeq == OpSource.opSchema.fieldNames.toSeq)
+    assert(ds.isStreaming)
+  }
+
+  test("enum/set member parsing from column type strings (A9)") {
+    assert(MysqlValues.parseMembers("enum('animalia','plantae')") == Seq("animalia", "plantae"))
+    assert(MysqlValues.parseMembers("set('a','b','c')") == Seq("a", "b", "c"))
+    assert(MysqlValues.parseMembers("int(11)") == Nil)
+    val v = Seq(2).toDF("i")
+      .select(MysqlValues.enumDecodeFromType(col("i"), "enum('animalia','plantae')"))
+      .collect()(0).getString(0)
+    assert(v == "plantae")
+  }
+
+  test("avro schema-compat gate: add-nullable ok, type flip incompatible (W4)") {
+    def table(cols: Seq[ColumnSpec]) = TableSchemaV("db", "t", 0, cols, None, 0L)
+    val v0 = AvroPresenter.avroSchema(table(Seq(
+      ColumnSpec("id", "int(11)", nullable = false, "PRI", None, None))))
+    val v1 = AvroPresenter.avroSchema(table(Seq(
+      ColumnSpec("id", "int(11)", nullable = false, "PRI", None, None),
+      ColumnSpec("extra", "varchar(10)", nullable = true, "", None, None))))
+    val v2 = AvroPresenter.avroSchema(table(Seq(
+      ColumnSpec("id", "varchar(10)", nullable = false, "PRI", None, None))))
+    assert(AvroPresenter.isBackwardCompatible(v1, v0))  // new column w/ default: readable
+    assert(!AvroPresenter.isBackwardCompatible(v2, v0)) // int -> string flip: not
+  }
+}
