@@ -219,6 +219,22 @@ object SparkEntry {
         .except(users(col("event_type") === "error" && col("value") > 90))
     }),
 
+    "q_semi_anti" -> ((s, d) => {
+      val cust = t(s, d, "customer").select("c_custkey")
+      val ord = t(s, d, "orders").select("o_custkey")
+      val withOrders = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(true))
+      val without = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(false))
+      withOrders.unionByName(without)
+    }),
+
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          count(lit(1)).as("cnt"))),
+
     "q_distinct_agg" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users"),
@@ -501,6 +517,18 @@ object SparkEntry {
          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
          EXCEPT
          SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 90""",
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, TRUE AS has_orders FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, FALSE AS has_orders FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
