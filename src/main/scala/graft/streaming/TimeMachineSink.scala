@@ -23,36 +23,37 @@ import org.apache.spark.sql.functions._
 object TimeMachineSink {
 
   /** Expand stamped transaction rows into versioned cells. Pure column
-    * expressions (explode over map_filter) — fully codegen'd, no UDFs;
-    * the changed-column delta is computed per-entry with null-safe compare. */
+    * expressions — fully codegen'd, no UDFs; the changed-column delta is
+    * computed per-entry with null-safe compare.
+    *
+    * All three cell kinds (data, row_status marker, txn audit) emit from ONE
+    * `explode` over a concatenated entry array: a union of three selects
+    * would re-execute the whole upstream (scan → windows → transaction
+    * assembly) once per branch — 3× the pipeline at 100 TB. */
   def mutationCells(stamped: DataFrame): DataFrame = {
-    val dataCells = stamped
-      .withColumn("cells",
-        when(col("kind") === "INSERT", col("after"))
-          .when(col("kind") === "UPDATE",
-            map_filter(col("after"), (k, v) => !(v <=> element_at(col("before"), k))))
-          .otherwise(lit(null).cast("map<string,string>")))
-      .select(col("*"), explode_outer(col("cells")).as(Seq("column", "value")))
-      .filter(col("column").isNotNull)
-    val statusCells = stamped
-      .withColumn("column", lit("row_status"))
-      .withColumn("value",
-        when(col("kind") === "INSERT", "I")
-          .when(col("kind") === "UPDATE", "U")
-          .when(col("kind") === "DELETE", "D"))
+    val dataMap =
+      when(col("kind") === "INSERT", col("after"))
+        .when(col("kind") === "UPDATE",
+          map_filter(col("after"), (k, v) => !(v <=> element_at(col("before"), k))))
+        .otherwise(lit(null).cast("map<string,string>"))
+    val statusVal =
+      when(col("kind") === "INSERT", "I")
+        .when(col("kind") === "UPDATE", "U")
+        .when(col("kind") === "DELETE", "D")
+    val cells = concat(
+      coalesce(map_entries(dataMap), array().cast("array<struct<key:string,value:string>>")),
+      array(
+        struct(lit("row_status").as("key"), statusVal.as("value")),
+        struct(lit("_transaction_uuid").as("key"), col("txnUuid").as("value"))))
+    stamped
+      .select(col("table"), col("rowKey").as("row_key"), col("txnUuid").as("txn_uuid"),
+        col("xxid"), col("commitTsMs").as("commit_ts_ms"), col("eventId").as("event_id"),
+        explode(cells).as("cell"))
+      .select(col("table"), col("row_key"), col("cell.key").as("column"),
+        col("cell.value").as("value"), col("txn_uuid"), col("xxid"),
+        col("commit_ts_ms"), col("event_id"))
       .filter(col("value").isNotNull)
-    val auditCells = stamped
-      .withColumn("column", lit("_transaction_uuid"))
-      .withColumn("value", col("txnUuid"))
-    dataCells.select(cellCols: _*)
-      .unionByName(statusCells.select(cellCols: _*))
-      .unionByName(auditCells.select(cellCols: _*))
   }
-
-  private val cellCols: Seq[Column] = Seq(
-    col("table"), col("rowKey").as("row_key"), col("column"), col("value"),
-    col("txnUuid").as("txn_uuid"), col("xxid"), col("commitTsMs").as("commit_ts_ms"),
-    col("eventId").as("event_id"))
 
   /** Intra-transaction per-(table,row_key) version timestamps: first touch of
     * a row inside a txn versions at commitMicros-50, each later touch +1µs,
