@@ -26,7 +26,9 @@ final case class PipelineConfig(
     txnSizeLimit: Int = 1000,           // reference transaction buffer limit
     validationSampleN: Int = 100,       // reference ValidationService default
     validationDir: Option[String] = None,
-    triggerMs: Long = 5000L             // reference safe-checkpoint period
+    triggerMs: Long = 5000L,            // reference safe-checkpoint period
+    schemaCatalog: Option[graft.augment.SchemaCatalog] = None,
+    schemaHistoryDir: Option[String] = None
 )
 
 final case class TableFilterConfig(include: Seq[String] = Nil, excludePattern: Option[String] = None)
@@ -40,7 +42,7 @@ object ReplicatorPipeline {
     val filtered =
       if (cfg.tables.include.isEmpty && cfg.tables.excludePattern.isEmpty) ops
       else ops.filter { op =>
-        op.kind == "BEGIN" || op.kind == "COMMIT" ||
+        op.kind == "BEGIN" || op.kind == "COMMIT" || op.kind == "DDL" ||
           cfg.tables.include.contains(op.table) ||
           cfg.tables.excludePattern.forall(p => !op.table.matches(p))
       }
@@ -58,6 +60,31 @@ object ReplicatorPipeline {
     case other        => throw new IllegalArgumentException(s"unknown partitioner $other")
   }
 
+  /** One micro-batch through the sink side: DDL barrier events update the
+    * versioned schema catalog sequentially (binlog order = eventId order)
+    * and land in the history sink (reference: Augmenter.java:210-225 +
+    * HBaseSchemaManager.writeSchemaSnapshot); row events become versioned
+    * cells; sampled validation tasks emit beside them. */
+  private def writeBatch(batch: Dataset[StampedOp], cfg: PipelineConfig): Unit = {
+    val spark = batch.sparkSession
+    cfg.schemaCatalog.foreach { cat =>
+      // DDL is rare and tiny: collecting it to the driver is O(statements),
+      // and catalog updates MUST be sequential — this is the one place the
+      // reference's single-threaded semantics are load-bearing.
+      val ddls = batch.filter(_.kind == "DDL").collect().sortBy(_.eventId)
+      ddls.foreach(d => cat.applyDdl(d.after.getOrElse("ddl", ""), d.commitTsMs))
+      if (ddls.nonEmpty) cfg.schemaHistoryDir.foreach { hd =>
+        cat.historyDf(spark).write.mode("overwrite").parquet(hd)
+      }
+    }
+    val df = route(batch.filter(_.kind != "DDL").toDF(), cfg)
+    TimeMachineSink.write(df, cfg.sinkDir)
+    cfg.validationDir.foreach { vd =>
+      Sinks.validationSample(df, cfg.validationSampleN, "rowKey")
+        .write.mode("append").parquet(vd)
+    }
+  }
+
   /** Launch the streaming pipeline over a stream of Ops. */
   def start(ops: Dataset[Op], cfg: PipelineConfig): StreamingQuery = {
     val stamped = transform(ops, cfg)
@@ -65,26 +92,13 @@ object ReplicatorPipeline {
       .outputMode("append")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-      .foreachBatch { (batch: Dataset[StampedOp], _: Long) =>
-        val df = route(batch.toDF(), cfg)
-        TimeMachineSink.write(df, cfg.sinkDir)
-        cfg.validationDir.foreach { vd =>
-          Sinks.validationSample(df, cfg.validationSampleN, "rowKey")
-            .write.mode("append").parquet(vd)
-        }
-      }
+      .foreachBatch { (batch: Dataset[StampedOp], _: Long) => writeBatch(batch, cfg) }
       .start()
   }
 
   /** Batch replay of a bounded op set through the identical transform+sink
     * path — used for backfills (the binlog-flusher analog, SURVEY §2.1 S4)
     * and in tests. */
-  def runBatch(ops: Dataset[Op], cfg: PipelineConfig): Unit = {
-    val df = route(transform(ops, cfg).toDF(), cfg)
-    TimeMachineSink.write(df, cfg.sinkDir)
-    cfg.validationDir.foreach { vd =>
-      Sinks.validationSample(df, cfg.validationSampleN, "rowKey")
-        .write.mode("append").parquet(vd)
-    }
-  }
+  def runBatch(ops: Dataset[Op], cfg: PipelineConfig): Unit =
+    writeBatch(transform(ops, cfg), cfg)
 }

@@ -55,6 +55,21 @@ object Sinks {
       df.filter(element_at(wm, part).isNull || col("eventId") > element_at(wm, part))
     }
 
+  /** Close the validation loop: compare a source-of-truth table against the
+    * time-machine latest rows (the external validator's job in the
+    * reference); returns mismatching keys with both images. Full outer join
+    * on the row key catches missing AND phantom rows. */
+  def validateAgainstSource(source: DataFrame, keyCol: String, valueCols: Seq[String],
+                            latestRows: DataFrame): DataFrame = {
+    val src = source.select(col(keyCol).cast("string").as("row_key"),
+      map(valueCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("src_cols"))
+    val tgt = latestRows.select(col("row_key"), col("cols").as("tgt_cols"))
+    src.join(tgt, Seq("row_key"), "full_outer")
+      .filter(valueCols.map(c =>
+        !(element_at(col("src_cols"), c) <=> element_at(col("tgt_cols"), c)))
+        .reduce(_ || _) || col("src_cols").isNull || col("tgt_cols").isNull)
+  }
+
   /** Validation sampler: emit 1-of-N mutations as source-vs-target compare
     * tasks (reference: applier/validation/ValidationService.java:37-100).
     * Hash-deterministic sampling (not a counter) so it is stable under

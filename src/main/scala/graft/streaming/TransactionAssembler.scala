@@ -82,6 +82,12 @@ object TransactionAssembler {
                 case "COMMIT" =>
                   out ++= stamp(buf.ops.reverse, txnId, op.xxid, op.tsMs, buf.chunksEmitted)
                   buf = TxnBuffer(Nil, 0)
+                case "DDL" =>
+                  // DDL is a non-transactional barrier in the binlog: emit
+                  // immediately, stamped at its own timestamp (reference:
+                  // Augmenter.java:210-225 — schema snapshot on DDL events)
+                  out += StampedOp(txnId, op.xxid, op.tsMs, 0, op.eventId, op.tsMs,
+                    op.table, "DDL", op.rowKey, op.before, op.after)
                 case _ =>
                   buf = buf.copy(ops = op :: buf.ops)
                   if (buf.ops.length >= sizeLimit) {

@@ -128,6 +128,46 @@ class StreamingSpec extends SparkTestBase {
     assert(Sinks.validationSample(df, 10, "rowKey").count() == n) // deterministic
   }
 
+  test("DDL barrier flows through the pipeline: catalog versioned, history written, cells clean") {
+    val sink = Files.createTempDirectory("sink2").toString
+    val hist = Files.createTempDirectory("hist2").toString
+    val cat = new graft.augment.SchemaCatalog("mydb")
+    val cfg = PipelineConfig(sink, "/tmp/unused-ckpt", partitions = 2,
+      schemaCatalog = Some(cat), schemaHistoryDir = Some(hist))
+    val ops = Seq(
+      Op("DDL", "ddl1", 0, 1, 500L, "organisms", "",
+        Map.empty, Map("ddl" -> "CREATE TABLE organisms (id INT PRIMARY KEY, name VARCHAR(30))")),
+      op("BEGIN", "t1", 2),
+      op("INSERT", "t1", 3, table = "organisms", after = Map("id" -> "1", "name" -> "cat")),
+      op("COMMIT", "t1", 4),
+      Op("DDL", "ddl2", 0, 5, 1500L, "organisms", "",
+        Map.empty, Map("ddl" -> "ALTER TABLE organisms ADD COLUMN lifespan INT"))
+    ).toDS()
+    ReplicatorPipeline.runBatch(ops, cfg)
+    assert(cat.current("organisms").get.columns.map(_.name) == Seq("id", "name", "lifespan"))
+    assert(cat.current("organisms").get.version == 1)
+    assert(spark.read.parquet(hist).count() == 2)
+    // DDL events did not become cells
+    assert(spark.read.parquet(sink).filter(col("column") === "ddl").count() == 0)
+    assert(TimeMachineSink.latestRows(spark, sink).count() == 1)
+  }
+
+  test("validation loop: source-vs-target compare finds drift and missing rows") {
+    val sink = Files.createTempDirectory("sink3").toString
+    val ops = Seq(
+      op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, key = "1", after = Map("v" -> "10")),
+      op("INSERT", "t1", 3, key = "2", after = Map("v" -> "20")),
+      op("COMMIT", "t1", 4)).toDS()
+    ReplicatorPipeline.runBatch(ops, PipelineConfig(sink, "/tmp/unused", partitions = 2))
+    val latest = TimeMachineSink.latestRows(spark, sink)
+    // source agrees on key 1, drifts on key 2, and has an extra key 3
+    val source = Seq(("1", "10"), ("2", "99"), ("3", "30")).toDF("k", "v")
+    val mismatches = Sinks.validateAgainstSource(source, "k", Seq("v"), latest)
+      .select("row_key").as[String].collect().toSet
+    assert(mismatches == Set("2", "3"))
+  }
+
   test("table filter config: include overrides exclude in the pipeline transform") {
     val ops = Seq(
       op("BEGIN", "t1", 1),
