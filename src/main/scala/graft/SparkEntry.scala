@@ -305,6 +305,12 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L)),
 
+    "dedup_resolve" -> ((s, d) =>
+      // end of the dedup pipeline: candidate pairs -> canonical-id mapping
+      Dedup.resolveCanonical(
+        Dedup.minhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))),
+
     "dedup_simhash" -> ((s, d) =>
       // banded scale path: bucket on 16-bit signature bands, verify Hamming
       Dedup.simhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"), maxHamming = 8)),
@@ -633,6 +639,20 @@ object SparkEntry {
            CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    "dedup_resolve" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
+         edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
+                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs)
+         SELECT id, least(min(peer), min(id)) AS canonical_id FROM edges GROUP BY id""",
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -32,6 +32,29 @@ object Sinks {
       .select("partition", "key", "value", "eventId")
       .write.mode("append").partitionBy("partition").parquet(logDir)
 
+  /** Avro mode of the Kafka-applier analog: encode each row's after-image
+    * through [[AvroPresenter]] (reference type mapping + __timestamp/
+    * __is_deleted/__binlog_position meta fields) inside mapPartitions — one
+    * schema parse per partition, payload bytes produced executor-side, never
+    * on the driver (reference: KafkaApplier.java:154-207 avro path). */
+  def kafkaLikeAvro(df: DataFrame, table: graft.model.TableSchemaV, partitions: Int,
+                    partitionKey: String, logDir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schemaJson = AvroPresenter.avroSchema(table).toString
+    val encoded = df.select(col(partitionKey).cast("string").as("pk"), col("kind"),
+        col("after"), col("tsMs"), col("eventId"))
+      .as[(String, String, Map[String, String], Long, Long)]
+      .mapPartitions { it =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        it.map { case (pk, kind, after, ts, ev) =>
+          (pk, AvroPresenter.encode(schema, table, after, ts, kind == "DELETE", ev), ev)
+        }
+      }.toDF("pk", "value_avro", "eventId")
+    encoded.withColumn("partition", pmod(xxhash64(col("pk")), lit(partitions.toLong)))
+      .write.mode("append").partitionBy("partition").parquet(logDir)
+  }
+
   /** Sink-tail watermark seek: read the max applied event id per partition of
     * the log, so replayed input below the watermark can be dropped — the
     * KafkaSeeker analog (reference: applier/kafka/KafkaSeeker.java:64-144

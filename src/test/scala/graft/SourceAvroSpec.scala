@@ -60,6 +60,47 @@ class SourceAvroSpec extends SparkTestBase {
     assert(v == "plantae")
   }
 
+  test("distributed avro write path round-trips through the log (W3 avro mode)") {
+    val table = TableSchemaV("db", "t", 0, Seq(
+      ColumnSpec("id", "int(11)", nullable = false, "PRI", None, None),
+      ColumnSpec("name", "varchar(30)", nullable = true, "", None, None)), None, 0L)
+    val log = Files.createTempDirectory("avrolog").toString
+    val stamped = Seq(
+      ("k1", "INSERT", Map("id" -> "1", "name" -> "cat"), 100L, 1L),
+      ("k2", "DELETE", Map("id" -> "2"), 200L, 2L)
+    ).toDF("rowKey", "kind", "after", "tsMs", "eventId")
+    graft.sink.Sinks.kafkaLikeAvro(stamped, table, partitions = 2, "rowKey", log)
+
+    val rows = spark.read.parquet(log).select("value_avro").as[Array[Byte]].collect()
+    assert(rows.length == 2)
+    // decode one payload back through plain avro
+    val schema = AvroPresenter.avroSchema(table)
+    val reader = new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord](schema)
+    val decoded = rows.map { bytes =>
+      val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, null)
+      reader.read(null, dec)
+    }
+    val byId = decoded.map(r => r.get("row").asInstanceOf[org.apache.avro.generic.GenericRecord])
+      .map(r => r.get("id").asInstanceOf[Int] -> Option(r.get("name")).map(_.toString).orNull).toMap
+    assert(byId == Map(1 -> "cat", 2 -> null))
+    assert(decoded.map(_.get("__is_deleted").asInstanceOf[Int]).sorted.toSeq == Seq(0, 1))
+  }
+
+  test("salted two-phase aggregation matches the direct aggregate under skew") {
+    import graft.operators.Skew
+    // one hot key with 10k rows, many cold keys
+    val df = ((1 to 10000).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"cold$i", 2.0)))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, col("k"), saltBuckets = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == direct)
+    val sums = Skew.saltedSum(df, col("k"), col("v"), 8)
+      .select(col("key"), col("total").cast("double")).as[(String, Double)].collect().toMap
+    assert(sums("hot") == 10000.0 && sums("cold7") == 2.0)
+  }
+
   test("avro schema-compat gate: add-nullable ok, type flip incompatible (W4)") {
     def table(cols: Seq[ColumnSpec]) = TableSchemaV("db", "t", 0, cols, None, 0L)
     val v0 = AvroPresenter.avroSchema(table(Seq(
