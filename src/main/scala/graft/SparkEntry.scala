@@ -289,6 +289,19 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))),
 
+    "text_vocab_topk" -> ((s, d) =>
+      // corpus vocabulary: explode tokens -> count -> top-k (map-side
+      // partial agg; the shuffle carries distinct tokens, not occurrences)
+      t(s, d, "documents")
+        .select(explode(split(Text.normalized(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)),
+
+    "text_length_hist" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // ----- Deduplication -----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactClusters(
@@ -355,7 +368,16 @@ object SparkEntry {
           t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
           "payload")
         .select(col("doc_id"), col("frame.width").as("width"),
-          col("frame.height").as("height"), col("frame.n_frames").as("n_frames")))
+          col("frame.height").as("height"), col("frame.n_frames").as("n_frames"))),
+
+    "mm_frame_sample" -> ((s, d) =>
+      // deterministic frame sampling over decoded media: one row per kept
+      // frame index (stride 4), payload bytes never shuffled
+      Multimodal.extractFeatures(
+          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select(col("doc_id"),
+          explode(Multimodal.sampleFrameIndices(col("frame.n_frames"), 4)).as("frame_idx")))
   )
 
   // ==========================================================================
@@ -609,6 +631,16 @@ object SparkEntry {
                 WHEN fr > 0 THEN 'fr'
                 ELSE 'und' END AS pred_lang
          FROM sc""",
+
+    "text_vocab_topk" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+
+    "text_length_hist" ->
+      """SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bucket, count(*) AS cnt
+         FROM documents GROUP BY 1""",
 
     "dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
