@@ -65,7 +65,7 @@ object ReplicatorPipeline {
     * and land in the history sink (reference: Augmenter.java:210-225 +
     * HBaseSchemaManager.writeSchemaSnapshot); row events become versioned
     * cells; sampled validation tasks emit beside them. */
-  private def writeBatch(batch: Dataset[StampedOp], cfg: PipelineConfig): Unit = {
+  private def writeBatch(batch: Dataset[StampedOp], cfg: PipelineConfig, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     cfg.schemaCatalog.foreach { cat =>
       // DDL is rare and tiny: collecting it to the driver is O(statements),
@@ -78,7 +78,7 @@ object ReplicatorPipeline {
       }
     }
     val df = route(batch.filter(_.kind != "DDL").toDF(), cfg)
-    TimeMachineSink.write(df, cfg.sinkDir)
+    TimeMachineSink.write(df, cfg.sinkDir, batchId)
     cfg.validationDir.foreach { vd =>
       Sinks.validationSample(df, cfg.validationSampleN, "rowKey")
         .write.mode("append").parquet(vd)
@@ -92,7 +92,7 @@ object ReplicatorPipeline {
       .outputMode("append")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-      .foreachBatch { (batch: Dataset[StampedOp], _: Long) => writeBatch(batch, cfg) }
+      .foreachBatch { (batch: Dataset[StampedOp], batchId: Long) => writeBatch(batch, cfg, batchId) }
       .start()
   }
 

@@ -67,10 +67,24 @@ object TimeMachineSink {
       col("commit_ts_ms") * 1000L - lit(50L) + least(rank.cast("long") - 1L, lit(50L)))
   }
 
-  /** Append one micro-batch of stamped rows to the time-machine table. */
-  def write(stamped: DataFrame, sinkDir: String): Unit =
-    organize(mutationCells(stamped))
-      .write.mode("append").partitionBy("table").parquet(sinkDir)
+  /** Append one micro-batch of stamped rows to the time-machine table.
+    *
+    * Idempotent under micro-batch retries when a batchId is supplied: the
+    * batch writes into its own `batch_id=N` partition with DYNAMIC partition
+    * overwrite, so a re-delivered batch replaces its previous output instead
+    * of duplicating it — foreachBatch's at-least-once becomes exactly-once
+    * (the sink-side half of the reference's KafkaSeeker dedup contract). */
+  def write(stamped: DataFrame, sinkDir: String, batchId: Long = -1L): Unit =
+    if (batchId < 0) {
+      organize(mutationCells(stamped))
+        .write.mode("append").partitionBy("table").parquet(sinkDir)
+    } else {
+      organize(mutationCells(stamped))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "table").parquet(sinkDir)
+    }
 
   /** Read path: latest value of every (table, row_key, column) — the "now"
     * view of the time machine. max_by aggregates partial map-side (shuffle

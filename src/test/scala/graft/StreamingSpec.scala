@@ -108,6 +108,18 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).filter(col("column") === "a").count() == 2)
   }
 
+  test("batch-id partitioned write is idempotent under retries") {
+    val dir = Files.createTempDirectory("idem").toString
+    val stamped = Seq(
+      ("u1", 7L, 1000L, 0, 1L, 900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "1"))
+    ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
+    TimeMachineSink.write(stamped, dir, batchId = 5L)
+    TimeMachineSink.write(stamped, dir, batchId = 5L) // retry of the same batch
+    assert(spark.read.parquet(dir).filter(col("column") === "a").count() == 1)
+    TimeMachineSink.write(stamped, dir, batchId = 6L) // a genuinely new batch appends
+    assert(spark.read.parquet(dir).filter(col("column") === "a").count() == 2)
+  }
+
   test("seek watermarks drop replayed events below the sink tail") {
     val log = Files.createTempDirectory("log").toString
     val batch1 = Seq(("u1", "t", 1L), ("u2", "t", 2L), ("u3", "t", 3L))
