@@ -36,7 +36,7 @@ final class SchemaCatalog(val ownSchema: String) {
   def tables: Seq[String] = versions.keys.toSeq.sorted
 
   private val createRe =
-    "(?i)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*(?:engine.*)?".r
+    "(?is)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*(?:engine.*)?".r
   private val addColRe =
     "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+(?:column\\s+)?`?(\\w+)`?\\s+([^;]+)".r
   private val dropColRe =

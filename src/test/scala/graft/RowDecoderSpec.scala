@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.augment.{RowDecoder, SchemaCatalog}
+import graft.pipeline.{PipelineConfig, ReplicatorPipeline}
+import graft.streaming.{Op, TimeMachineSink}
+
+/** The organisms type-coverage fixture end-to-end: schema catalog from DDL →
+  * schema-driven wire decode (golden values from the reference's Kafka e2e
+  * test, FIXTURES.md §1) → time-machine sink. */
+class RowDecoderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cat = new SchemaCatalog("test")
+  cat.applyDdl(
+    """CREATE TABLE organisms (
+      id INT NOT NULL PRIMARY KEY,
+      name VARCHAR(30),
+      lifespan TINYINT UNSIGNED,
+      lifespan_small SMALLINT UNSIGNED,
+      lifespan_medium MEDIUMINT UNSIGNED,
+      lifespan_int INT UNSIGNED,
+      lifespan_bigint BIGINT UNSIGNED,
+      bits BIT(8),
+      soylent_dummy_id BINARY(16),
+      dob TIMESTAMP,
+      mydecimal DECIMAL(27,9),
+      kingdom ENUM('animalia','plantae'))""", 1000L)
+
+  // the marked row (id=2) as it crosses the wire: signed two's-complement
+  // ints, enum index, bit int, hex binary, epoch-ms timestamp
+  private val rawRow = Map(
+    "id" -> "2", "name" -> "Ñandú",
+    "lifespan" -> "-16",            // 240 unsigned
+    "lifespan_small" -> "-36",      // 65500
+    "lifespan_medium" -> "-7001",   // 16770215
+    "lifespan_int" -> "-70001",     // 4294897295
+    "lifespan_bigint" -> "18446744071615",
+    "bits" -> "170",                // 10101010
+    "soylent_dummy_id" -> "000001348bb470a5129e6c8d332d89cc",
+    "dob" -> "1704067207179",
+    "mydecimal" -> "100.000000000",
+    "kingdom" -> "1")
+
+  test("organisms golden row decodes to the reference's asserted cell values") {
+    val schema = cat.current("organisms").get
+    val decoded = Seq(Tuple1(rawRow)).toDF("after")
+      .select(RowDecoder.decodeImage(col("after"), schema).as("d"))
+      .select(explode(col("d"))).as[(String, String)].collect().toMap
+    assert(decoded("id") == "2")
+    assert(decoded("name") == "Ñandú")
+    assert(decoded("lifespan") == "240")
+    assert(decoded("lifespan_small") == "65500")
+    assert(decoded("lifespan_medium") == "16770215")
+    assert(decoded("lifespan_int") == "4294897295")
+    assert(decoded("lifespan_bigint") == "18446744071615")
+    assert(decoded("bits") == "10101010")
+    assert(decoded("soylent_dummy_id") == "000001348BB470A5129E6C8D332D89CC")
+    assert(decoded("dob") == "1704067207179")
+    assert(decoded("mydecimal") == "100.000000000")
+    assert(decoded("kingdom") == "animalia")
+  }
+
+  test("decoded image flows through the time-machine sink with PK row keys") {
+    val schema = cat.current("organisms").get
+    assert(schema.primaryKeyColumns == Seq("id"))
+    val sink = Files.createTempDirectory("orgsink").toString
+    val ops = Seq(
+      Op("BEGIN", "t1", 1, 1, 1000L, "organisms", "2", Map.empty, Map.empty),
+      Op("INSERT", "t1", 1, 2, 1000L, "organisms", "2", Map.empty, rawRow),
+      Op("COMMIT", "t1", 1, 3, 2000L, "organisms", "2", Map.empty, Map.empty)).toDS()
+    val stamped = graft.streaming.TransactionAssembler.assemble(ops).toDF()
+    TimeMachineSink.write(RowDecoder.decodeStamped(stamped, schema), sink)
+    val row = TimeMachineSink.latestRows(spark, sink).collect()(0)
+    val cols = row.getAs[Map[String, String]]("cols")
+    assert(cols("lifespan") == "240" && cols("kingdom") == "animalia")
+    assert(cols("row_status") == "I")
+  }
+
+  test("update after ALTER decodes with the new schema version") {
+    cat.applyDdl("ALTER TABLE organisms ADD COLUMN lifespan_float FLOAT(7,4)", 2000L)
+    val v1 = cat.current("organisms").get
+    val decoded = Seq(Tuple1(rawRow + ("lifespan_float" -> "12.5"))).toDF("after")
+      .select(RowDecoder.decodeImage(col("after"), v1).as("d"))
+      .select(explode(col("d"))).as[(String, String)].collect().toMap
+    assert(decoded("lifespan_float") == "12.5")
+    // old version still decodes the old shape (no phantom column)
+    val v0 = cat.at("organisms", 1500L).get
+    val old = Seq(Tuple1(rawRow)).toDF("after")
+      .select(RowDecoder.decodeImage(col("after"), v0).as("d"))
+      .select(map_keys(col("d"))).as[Seq[String]].collect()(0)
+    assert(!old.contains("lifespan_float"))
+  }
+}
