@@ -15,10 +15,11 @@ object Bench {
     * simhash all-pairs) — their scalable counterparts are included instead. */
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_topk", "q5_local_revenue", "q_window_rank",
+    "q_rollup", "q_semi_anti", "q_json_extract", "q_time_window",
     "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_time_machine",
-    "text_fingerprint", "text_quality", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "sim_brute_topk", "sim_ann_ivf", "q_time_window",
-    "mm_media_meta"
+    "cdc_safe_checkpoint", "text_fingerprint", "text_quality", "text_vocab_topk",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_resolve",
+    "sim_brute_topk", "sim_ann_ivf", "mm_media_meta"
   )
 
   def main(args: Array[String]): Unit = {

@@ -61,15 +61,23 @@ object Similarity {
     * uniformly distributed by the hash, so no skew at scale. */
   def lshCosineCandidates(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                           queries: DataFrame, queryId: Column, queryVec: Column,
-                          planes: Int): DataFrame = {
+                          planes: Int, multiprobe: Boolean = false): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
       .withColumn("bucket", hyperplaneSignature(col("cv"), planes))
-    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
-      .withColumn("bucket", hyperplaneSignature(col("qv"), planes))
+    val q0 = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+      .withColumn("bucket0", hyperplaneSignature(col("qv"), planes))
+    // multiprobe: also probe every bucket one hyperplane-flip away — recall
+    // rises steeply (vectors near a plane land on either side) for planes×
+    // the probe fan-out, with no extra corpus passes
+    val q =
+      if (!multiprobe) q0.withColumn("bucket", col("bucket0"))
+      else q0.select(col("query_id"), col("qv"),
+        explode(array((col("bucket0") +:
+          (0 until planes).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
     c.join(q, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
-      .select("query_id", "vec_id", "cos_sim", "bucket")
+      .select("query_id", "vec_id", "cos_sim", "bucket").distinct()
   }
 
   /** IVF-style coarse quantizer: assign each vector to its nearest of

@@ -90,10 +90,37 @@ object TimeMachineSink {
     * view of the time machine. max_by aggregates partial map-side (shuffle
     * carries one row per key-column per input partition, not all versions). */
   def latestCells(spark: SparkSession, sinkDir: String): DataFrame =
-    spark.read.parquet(sinkDir)
-      .groupBy("table", "row_key", "column")
+    latestCellsOf(spark.read.parquet(sinkDir))
+
+  def latestCellsOf(cells: DataFrame): DataFrame =
+    cells.groupBy("table", "row_key", "column")
       .agg(max_by(col("value"), struct(col("cell_ts"), col("event_id"))).as("value"),
         max(col("cell_ts")).as("cell_ts"))
+
+  /** Bucketed variant of the sink: cells land in a managed table bucketed by
+    * row_key, so every read-path aggregation/join keyed on row_key is
+    * SHUFFLE-FREE (HashPartitioning(row_key) satisfies the clustered
+    * distribution of groupBy(table,row_key,...)). At 100 TB this converts
+    * the latest-state read from a full shuffle of the version history into
+    * bucket-local folds — the lakehouse analog of HBase's keyed regions. */
+  def writeBucketed(stamped: DataFrame, tableName: String, buckets: Int, batchId: Long = -1L): Unit = {
+    val cells = organize(mutationCells(stamped))
+      .withColumn("batch_id", lit(if (batchId < 0) 0L else batchId))
+    cells.write.mode("append")
+      .bucketBy(buckets, "row_key")
+      .sortBy("row_key")
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** Latest rows over the bucketed table — plan contains no Exchange. */
+  def latestRowsBucketed(spark: SparkSession, tableName: String): DataFrame = {
+    val cells = latestCellsOf(spark.table(tableName))
+    cells.groupBy("table", "row_key")
+      .agg(map_from_entries(collect_list(struct(col("column"), col("value")))).as("cols"),
+        max(col("cell_ts")).as("last_ts"))
+      .filter(element_at(col("cols"), "row_status") =!= "D")
+  }
 
   /** Current rows: pivot latest cells back to a map per row, dropping rows
     * whose latest row_status is a DELETE. */
