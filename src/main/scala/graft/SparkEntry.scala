@@ -25,7 +25,10 @@ object SparkEntry {
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else df
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   }
 
   /** Flagship: the CDC pipeline end-to-end on sf0.001 — classify events as
@@ -258,6 +261,34 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
+
+    "q_having" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).as("total_spend"))
+        .filter(col("n_orders") >= 12)),
+
+    "q_case_agg" -> ((s, d) =>
+      // conditional aggregation (pivot-by-hand): order-status mix per priority
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))),
+
+    "q_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        unix_millis(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
+        datediff(to_timestamp(lit("2002-01-01")), col("o_orderdate")).as("days_to_2002"))),
+
+    "q_string_agg" -> ((s, d) =>
+      // order-sensitive string aggregation per nation: sorted supplier list
+      t(s, d, "supplier").groupBy("s_nationkey")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"),
+          count(lit(1)).as("n"))),
 
     "q_scalar_funcs" -> ((s, d) =>
       t(s, d, "part").select(
@@ -582,6 +613,30 @@ object SparkEntry {
            round(list_dot_product(vv, cv)
              / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
            centroid_id) = 1""",
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total_spend
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 12""",
+
+    "q_case_agg" ->
+      """SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+           dayofmonth(o_orderdate) AS dom,
+           epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+           datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_2002
+         FROM orders""",
+
+    "q_string_agg" ->
+      """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           count(*) AS n
+         FROM supplier GROUP BY s_nationkey""",
 
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
