@@ -31,22 +31,25 @@ object SparkEntry {
     else df
   }
 
-  /** Flagship: the CDC pipeline end-to-end on sf0.001 — classify events as
-    * row changes, stamp transaction metadata + salted row keys, and answer
-    * the time-machine "latest state per key" read. */
+  /** Flagship: the full CDC pipeline end-to-end on sf0.001 — events as an op
+    * stream, transaction assembly (flatMapGroupsWithState), mutation cells
+    * with intra-txn version timestamps, salted row keys, and the
+    * time-machine "latest state per key" read on top. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val events = t(spark, dir, "events")
-    val typed = events.withColumn("change_type",
-        when(col("event_type") === "signup", "INSERT")
-          .when(col("event_type").isin("click", "view", "purchase"), "UPDATE")
-          .when(col("event_type") === "error", "DELETE")
-          .otherwise("QUERY"))
-      .withColumn("row_key", MysqlValues.saltedRowKey(Seq(col("user_id"), col("event_id"))))
-    val stamped = Cdc.microStamp(
-      Cdc.perSecondSequence(typed, col("ts"), col("event_id")), col("ts"), col("seq"))
-    Cdc.latestStateAgg(stamped, col("user_id"), col("micros"), col("event_id"),
-      Seq("event_id", "change_type", "row_key", "value"))
+    val ops = EventsAsCdc.opsFromEvents(spark, t(spark, dir, "events"))
+    val stamped = TransactionAssembler.assemble(ops, sizeLimit = Int.MaxValue).toDF()
+    val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+    val latest = TimeMachineSink.latestCellsOf(cells)
+      .groupBy("table", "row_key")
+      .agg(map_from_entries(collect_list(struct(col("column"), col("value")))).as("cols"),
+        max(col("cell_ts")).as("last_ts"))
+    latest.select(col("table"), col("row_key"),
+      MysqlValues.saltedRowKey(Seq(col("table"), col("row_key"))).as("salted_key"),
+      element_at(col("cols"), "value").as("last_value"),
+      element_at(col("cols"), "event_type").as("last_event_type"),
+      element_at(col("cols"), "row_status").as("row_status"),
+      col("last_ts"))
   }
 
   // ==========================================================================

@@ -46,7 +46,12 @@ object RowDecoder {
       else if (t.startsWith("date") && !t.startsWith("datetime"))
         MysqlValues.dateString(timestamp_millis(raw.cast("long")))
       else if (t.startsWith("datetime") || t.startsWith("timestamp")) raw // already epoch-ms string
-      else raw // char/varchar/text/decimal/float/double: textual passthrough
+      else if ((t.startsWith("char") || t.startsWith("varchar") || t.contains("text"))
+               && spec.collation.isDefined)
+        // byte-typed text travels as hex; decode per the column collation
+        // (reference: MysqlTypeDeserializer.java:85-97 latin1 vs utf8)
+        MysqlValues.charsetDecode(unhex(raw), spec.collation.get)
+      else raw // plain text/decimal/float/double: textual passthrough
     out.cast("string")
   }
 

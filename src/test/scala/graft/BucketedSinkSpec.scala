@@ -17,6 +17,13 @@ class BucketedSinkSpec extends SparkTestBase {
       ("u3", 9L, 3000L, 0, 3L, 2900L, "t", "INSERT", "k2", Map.empty[String, String], Map("a" -> "9"))
     ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
     spark.sql("DROP TABLE IF EXISTS tm_bucketed")
+    // a previous JVM's orphaned location blocks managed-table creation
+    val loc = java.nio.file.Paths.get("spark-warehouse/tm_bucketed")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     TimeMachineSink.writeBucketed(stamped, "tm_bucketed", buckets = 4)
 
     val latest = TimeMachineSink.latestRowsBucketed(spark, "tm_bucketed")

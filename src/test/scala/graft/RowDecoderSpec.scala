@@ -79,6 +79,21 @@ class RowDecoderSpec extends SparkTestBase {
     assert(cols("row_status") == "I")
   }
 
+  test("collation-aware charset decode: latin1 vs utf8 hex transport") {
+    import graft.model.{ColumnSpec, TableSchemaV}
+    val schema = TableSchemaV("test", "t", 0, Seq(
+      ColumnSpec("lat", "varchar(30)", nullable = true, "", None, Some("latin1_swedish_ci")),
+      ColumnSpec("utf", "varchar(30)", nullable = true, "", None, Some("utf8_general_ci"))), None, 0L)
+    // 'Ñ' is D1 in latin1; 'Ñandú' utf8 bytes hex
+    val utf8Hex = "Ñandú".getBytes("UTF-8").map("%02X".format(_)).mkString
+    val raw = Map("lat" -> "D1", "utf" -> utf8Hex)
+    val decoded = Seq(Tuple1(raw)).toDF("after")
+      .select(RowDecoder.decodeImage(col("after"), schema).as("d"))
+      .select(explode(col("d"))).as[(String, String)].collect().toMap
+    assert(decoded("lat") == "Ñ")
+    assert(decoded("utf") == "Ñandú")
+  }
+
   test("update after ALTER decodes with the new schema version") {
     cat.applyDdl("ALTER TABLE organisms ADD COLUMN lifespan_float FLOAT(7,4)", 2000L)
     val v1 = cat.current("organisms").get
