@@ -265,6 +265,16 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
 
+    "q_min_cost" -> ((s, d) => {
+      // scalar-subquery shape: parts priced at their brand's minimum
+      val part = t(s, d, "part")
+      val mins = part.groupBy(col("p_brand").as("b"))
+        .agg(min(col("p_retailprice")).as("min_price"))
+      part.join(broadcast(mins),
+          col("p_brand") === col("b") && col("p_retailprice") === col("min_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    }),
+
     "q_having" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
@@ -616,6 +626,11 @@ object SparkEntry {
            round(list_dot_product(vv, cv)
              / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
            centroid_id) = 1""",
+
+    "q_min_cost" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+         WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                                WHERE p2.p_brand = part.p_brand)""",
 
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,

@@ -97,8 +97,20 @@ final class OpLogPartitionReader(path: String, from: Long, until: Long)
     .filter { case (_, i) => i >= from && i < until }.map(_._1)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (it.hasNext) { current = OpLogCodec.decode(it.next()); true } else false
+  /** Permissive decode: a corrupt line is logged and skipped rather than
+    * killing the stream — a poisoned binlog entry must not wedge the
+    * pipeline (the reference's equivalent is its exception handler +
+    * requeue; here the offset log already guarantees we never re-read it). */
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val line = it.next()
+      try { current = OpLogCodec.decode(line); return true }
+      catch { case e: Exception =>
+        System.err.println(s"[graft-oplog] skipping undecodable line: ${e.getMessage}")
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = src.close()

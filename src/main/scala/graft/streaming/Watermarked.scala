@@ -20,6 +20,25 @@ object Watermarked {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("kind"), col("cnt"))
 
+  /** Stream-stream inner join within a watermark horizon: pair each op with
+    * its acknowledgement/validation event arriving within `horizon` of it —
+    * both sides' state evicts past the watermark (the streaming-native form
+    * of the validation source-vs-target compare, W12). */
+  def ackJoin(ops: Dataset[Op], acks: DataFrame, horizon: String): DataFrame = {
+    val l = ops.toDF()
+      .withColumn("op_time", timestamp_millis(col("tsMs")))
+      .withWatermark("op_time", horizon)
+    val r = acks
+      .withColumn("ack_time", timestamp_millis(col("ackTsMs")))
+      .withWatermark("ack_time", horizon)
+    l.join(r,
+      col("eventId") === col("ackEventId") &&
+        col("ack_time") >= col("op_time") &&
+        col("ack_time") <= col("op_time") + expr(s"INTERVAL $horizon"))
+      .select(col("eventId"), col("table"), col("rowKey"), col("op_time"),
+        col("ack_time"), col("ackStatus"))
+  }
+
   /** Replay dedup with bounded state: duplicate event ids arriving within the
     * watermark horizon are dropped; state for older ids evicts. The
     * time-bounded form of Cdc.replayDedup (KafkaSeeker analog K2). */

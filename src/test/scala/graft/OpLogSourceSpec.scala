@@ -60,6 +60,20 @@ class OpLogSourceSpec extends SparkTestBase {
     assert(TimeMachineSink.latestRows(spark, sink).count() == 0)
   }
 
+  test("corrupt lines are skipped without wedging the stream") {
+    val log = Files.createTempDirectory("oplog2").resolve("binlog.0001").toString
+    appendLines(log, Seq(
+      OpLogCodec.encode("BEGIN", "t1", 1, 1, 1000L, "t", "k", Map.empty, Map.empty),
+      "garbage\tnot-a-number\toops",
+      OpLogCodec.encode("INSERT", "t1", 1, 2, 1000L, "t", "k", Map.empty, Map("a" -> "1")),
+      OpLogCodec.encode("COMMIT", "t1", 1, 3, 2000L, "t", "k", Map.empty, Map.empty)))
+    val got = spark.readStream.format("graft-oplog").option("path", log).load().as[Op]
+      .writeStream.format("memory").queryName("permissive").outputMode("append").start()
+    got.processAllAvailable()
+    got.stop()
+    assert(spark.table("permissive").count() == 3) // the good lines
+  }
+
   test("codec round-trips maps with reserved characters") {
     val line = OpLogCodec.encode("INSERT", "t", 1, 2, 3L, "tbl", "k",
       Map("a&b" -> "v=1\tx"), Map("c" -> "über"))

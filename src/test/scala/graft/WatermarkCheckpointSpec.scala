@@ -51,6 +51,29 @@ class WatermarkCheckpointSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream ack join pairs ops with acks inside the horizon only") {
+    implicit val sq = spark.sqlContext
+    val opsMem = MemoryStream[Op]
+    val acksMem = MemoryStream[(Long, Long, String)]
+    val acks = acksMem.toDS().toDF("ackEventId", "ackTsMs", "ackStatus")
+    val q = Watermarked.ackJoin(opsMem.toDS(), acks, "30 seconds")
+      .writeStream.format("memory").queryName("ackj").outputMode("append").start()
+    val base = 1704067200000L
+    opsMem.addData(op(1, base), op(2, base + 1000))
+    acksMem.addData((1L, base + 5000L, "ok"),          // inside horizon
+                    (2L, base + 120000L, "late"))      // outside horizon
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    opsMem.addData(op(99, base + 600000))
+    acksMem.addData((99L, base + 600000L, "ok"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ackj").select("eventId", "ackStatus")
+      .as[(Long, String)].collect().toSet
+    assert(rows.contains((1L, "ok")))
+    assert(!rows.exists(_._2 == "late"))
+  }
+
   test("safe-checkpoint aggregator folds per-task GTID sets map-side") {
     val sets = Seq("u:1-4,v:1-2", "u:6-9", "u:5", "v:4-7").toDS()
     val out = sets.select(SafeCheckpointAggregator.toColumn).collect()(0)
