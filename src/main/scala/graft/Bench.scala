@@ -16,6 +16,7 @@ object Bench {
   private val headline = Seq(
     "q1_pricing_summary", "q3_shipping_topk", "q5_local_revenue", "q_window_rank",
     "q_rollup", "q_semi_anti", "q_json_extract", "q_time_window",
+    "q_asof_join", "q_range_join",
     "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_time_machine",
     "cdc_safe_checkpoint", "text_fingerprint", "text_quality", "text_vocab_topk",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_resolve",

@@ -265,6 +265,31 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_num"))),
 
+    "q_asof_join" -> ((s, d) => {
+      // as-of join: each click paired with the user's latest purchase at or
+      // before it (union+window formulation — one shuffle on the key)
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      operators.TemporalJoins.asOfJoin(clicks, col("user_id"), col("ts"),
+          purchases, col("user_id"), col("ts"),
+          Seq("purchase_event_id" -> col("event_id"), "purchase_value" -> col("value")))
+        .select("event_id", "user_id", "purchase_event_id", "purchase_value")
+    }),
+
+    "q_range_join" -> ((s, d) => {
+      // range join: lineitems shipped inside each order's first week —
+      // binned equi-join + exact postfilter, no cross product
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val ords = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+      operators.TemporalJoins.rangeJoinPointInInterval(
+          li, unix_millis(col("l_shipdate")),
+          ords, unix_millis(col("o_orderdate")), unix_millis(col("o_end")),
+          binWidth = 7L * 86400000L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped_in_window"))
+    }),
+
     "q_min_cost" -> ((s, d) => {
       // scalar-subquery shape: parts priced at their brand's minimum
       val part = t(s, d, "part")
@@ -626,6 +651,21 @@ object SparkEntry {
            round(list_dot_product(vv, cv)
              / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
            centroid_id) = 1""",
+
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+         FROM clicks c ASOF JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped_in_window
+         FROM orders JOIN lineitem
+           ON epoch_ms(l_shipdate) >= epoch_ms(o_orderdate)
+          AND epoch_ms(l_shipdate) < epoch_ms(o_orderdate + INTERVAL 7 DAY)
+         GROUP BY o_orderkey""",
 
     "q_min_cost" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively — as-of join and range join
+  * — in their scale-shaped formulations (composed from existing operators,
+  * preference (a) of the custom-operator ladder: no custom physical node
+  * needed because union+window / bin+equi-join express the semantics with
+  * the right data movement).
+  */
+object TemporalJoins {
+
+  /** AS-OF join: for every probe row, the latest build row with
+    * `build.ts <= probe.ts` on the same key (inner semantics: probes with no
+    * prior build row are dropped).
+    *
+    * Formulation: tag + union + running `last(ignoreNulls)` window ordered
+    * by (ts, side) — ONE shuffle on the key, no per-probe scan of build
+    * history, no range explosion. The naive join+filter+rank does a key
+    * join producing |probe|×|build-per-key| intermediates; this streams both
+    * sides in time order, which is the only shape that survives a 100 TB
+    * build side. Build rows sort before probes at equal ts (side 0 < 1), so
+    * an exactly-simultaneous build row is visible — matching ASOF `>=`.
+    *
+    * @param buildPayload build columns to carry onto probe rows
+    */
+  def asOfJoin(probe: DataFrame, probeKey: Column, probeTs: Column,
+               build: DataFrame, buildKey: Column, buildTs: Column,
+               buildPayload: Seq[(String, Column)]): DataFrame = {
+    val pCols = probe.columns
+    val payloadTypes = buildPayload.map { case (n, c) => n -> build.select(c).schema.head.dataType }
+    val p = probe.select(
+      (probeKey.as("__k") +: probeTs.as("__ts") +: lit(1).as("__side") +:
+        pCols.map(c => probe(c)) ++:
+        payloadTypes.map { case (n, dt) => lit(null).cast(dt).as(s"__b_$n") }): _*)
+    val b = build.select(
+      (buildKey.as("__k") +: buildTs.as("__ts") +: lit(0).as("__side") +:
+        pCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++:
+        buildPayload.map { case (n, c) => c.as(s"__b_$n") }): _*)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = buildPayload.foldLeft(p.unionByName(b)) { case (df, (n, _)) =>
+      df.withColumn(s"__b_$n", last(col(s"__b_$n"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1 && col(s"__b_${buildPayload.head._1}").isNotNull)
+      .select(pCols.map(col) ++ buildPayload.map { case (n, _) => col(s"__b_$n").as(n) }: _*)
+  }
+
+  /** Range join (point-in-interval): pair every point with every interval
+    * containing it, WITHOUT a cross product: both sides bucket into
+    * fixed-width bins (intervals explode into the bins they overlap), the
+    * join runs equi on the bin, and an exact range postfilter trims bin
+    * edges. Join volume is points + Σ interval-widths/binWidth instead of
+    * |points|×|intervals| — the standard spatial-binning trade. `binWidth`
+    * should be ~the median interval length (wider: more postfilter waste;
+    * narrower: more interval replication). */
+  def rangeJoinPointInInterval(points: DataFrame, ptCol: Column,
+                               intervals: DataFrame, startCol: Column, endCol: Column,
+                               binWidth: Long): DataFrame = {
+    val pts = points.withColumn("__bin", floor(ptCol.cast("long") / binWidth))
+    val ivs = intervals
+      .withColumn("__s", startCol.cast("long"))
+      .withColumn("__e", endCol.cast("long"))
+      .withColumn("__bin",
+        explode(sequence(floor(col("__s") / binWidth), floor(col("__e") / binWidth))))
+    pts.join(ivs, "__bin")
+      .filter(ptCol.cast("long") >= col("__s") && ptCol.cast("long") < col("__e"))
+      .drop("__bin", "__s", "__e")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+/** As-of and range join semantics on hand-built edges. */
+class TemporalJoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("as-of join: latest build at-or-before each probe; no-prior dropped") {
+    val probe = Seq((1L, "u", 100L), (2L, "u", 250L), (3L, "u", 50L), (4L, "v", 500L))
+      .toDF("pid", "k", "pts")
+    val build = Seq((10L, "u", 100L, "a"), (11L, "u", 200L, "b"), (12L, "w", 1L, "z"))
+      .toDF("bid", "k", "bts", "payload")
+    val out = TemporalJoins.asOfJoin(
+        probe, col("k"), col("pts"), build, col("k"), col("bts"),
+        Seq("bid" -> col("bid"), "payload" -> col("payload")))
+      .select("pid", "bid", "payload").as[(Long, Long, String)].collect().toSet
+    // pid 1 at ts100 sees the build at exactly 100 (>= semantics);
+    // pid 2 sees the later build; pid 3 precedes all builds -> dropped;
+    // pid 4's key has no builds -> dropped
+    assert(out == Set((1L, 10L, "a"), (2L, 11L, "b")))
+  }
+
+  test("range join: bin edges are exact (inclusive start, exclusive end)") {
+    val points = Seq((1L, 10L), (2L, 20L), (3L, 19L), (4L, 9L)).toDF("pid", "x")
+    val ivs = Seq((100L, 10L, 20L)).toDF("iid", "s", "e")
+    val out = TemporalJoins.rangeJoinPointInInterval(
+        points, col("x"), ivs, col("s"), col("e"), binWidth = 7L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L), (3L, 100L))) // 20 excluded (end), 9 excluded (start)
+  }
+
+  test("range join matches the naive inequality join on random data") {
+    val rnd = new scala.util.Random(3)
+    val points = (1L to 300L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("pid", "x")
+    val ivs = (1L to 40L).map { i =>
+      val s = rnd.nextInt(900).toLong; (i, s, s + 1 + rnd.nextInt(120).toLong)
+    }.toDF("iid", "s", "e")
+    val binned = TemporalJoins.rangeJoinPointInInterval(points, col("x"), ivs, col("s"), col("e"), 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivs, col("x") >= col("s") && col("x") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+  }
+}
