@@ -279,15 +279,19 @@ object SparkEntry {
 
     "q_range_join" -> ((s, d) => {
       // range join: lineitems shipped inside each order's first week —
-      // binned equi-join + exact postfilter, no cross product
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      // binned equi-join + exact postfilter, no cross product. Points are
+      // pre-aggregated to distinct values with weights BEFORE the join
+      // (600k rows -> ~2.5k distinct ship days), so the pair explosion runs
+      // on value cardinality, not row count — the decisive trick at scale.
+      val days = t(s, d, "lineitem")
+        .groupBy(col("l_shipdate")).agg(count(lit(1)).as("w"))
       val ords = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
         (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
       operators.TemporalJoins.rangeJoinPointInInterval(
-          li, unix_millis(col("l_shipdate")),
+          days, unix_millis(col("l_shipdate")),
           ords, unix_millis(col("o_orderdate")), unix_millis(col("o_end")),
           binWidth = 7L * 86400000L)
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped_in_window"))
+        .groupBy("o_orderkey").agg(sum(col("w")).as("n_shipped_in_window"))
     }),
 
     "q_min_cost" -> ((s, d) => {
