@@ -98,6 +98,28 @@ object MysqlValues {
   /** DATE as "yyyy-MM-dd" (reference: MysqlTypeDeserializer.java:123-125). */
   def dateString(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** TIME as "HH:mm:ss.SSS" from millis-of-day (reference:
+    * MysqlTypeDeserializer.java:127-129). MySQL TIME is a duration (may
+    * exceed 24h and be negative), so this is arithmetic, not a timestamp
+    * format. */
+  def timeString(millis: Column): Column = {
+    val neg = millis < 0
+    val a = abs(millis)
+    val h = floor(a / 3600000L).cast("long")
+    val m = floor(pmod(a, lit(3600000L)) / 60000L).cast("long")
+    val sec = floor(pmod(a, lit(60000L)) / 1000L).cast("long")
+    val ms = pmod(a, lit(1000L)).cast("long")
+    val body = format_string("%02d:%02d:%02d.%03d", h, m, sec, ms)
+    when(neg, concat(lit("-"), body)).otherwise(body)
+  }
+
+  /** YEAR: two-digit wire years map 0-69 → 2000s, 70-99 → 1900s (MySQL YEAR
+    * semantics); four-digit values pass through. */
+  def yearValue(c: Column): Column =
+    when(c >= 0 && c <= 69, c + 2000)
+      .when(c >= 70 && c <= 99, c + 1900)
+      .otherwise(c)
+
   /** DECIMAL rendered as plain string (reference: MysqlTypeDeserializer.java:215-218). */
   def decimalPlainString(c: Column): Column = c.cast("string")
 

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Sketch operators for corpus-scale approximate analytics: HLL distinct
+  * counts, count-min heavy hitters, and Bloom-gated incremental dedup.
+  * Sketches are the only honest answer at 100 TB when exact answers would
+  * shuffle the world: constant memory, one pass, mergeable across
+  * executors.
+  */
+object Sketches {
+
+  /** Approximate distinct values per group — Spark's native HyperLogLog++
+    * (partial-aggregates map-side; relative error `rsd`). */
+  def approxDistinct(df: DataFrame, groupCol: Column, valueCol: Column, rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCol.as("grp"))
+      .agg(approx_count_distinct(valueCol, rsd).as("approx_distinct"),
+        count(lit(1)).as("n_rows"))
+
+  /** Heavy hitters via count-min sketch: estimated frequency of the given
+    * candidate items over the column, one sketch pass (mergeable across
+    * partitions by the stat machinery). */
+  def heavyHitterEstimates(df: DataFrame, colName: String, candidates: Seq[String],
+                           eps: Double = 0.001, confidence: Double = 0.99): Seq[(String, Long)] = {
+    val cms = df.stat.countMinSketch(col(colName), eps, confidence, seed = 42)
+    candidates.map(c => c -> cms.estimateCount(c))
+  }
+
+  /** Build a Bloom filter of known document fingerprints — the corpus-side
+    * artifact of incremental dedup (tiny vs the corpus: ~1.2 GB per 1B docs
+    * at 1% fpp; broadcastable). */
+  def fingerprintBloom(corpus: DataFrame, fpCol: Column, expected: Long, fpp: Double = 0.01): BloomFilter =
+    corpus.stat.bloomFilter(fpCol, expected, fpp)
+
+  /** Incremental dedup gate: drop new docs whose fingerprint is (probably)
+    * already in the corpus. No false negatives: a doc the Bloom filter
+    * rejects is definitely absent, so nothing new is ever lost; the fpp
+    * fraction of genuinely-new docs is mistakenly dropped (tune fpp, or
+    * verify positives exactly against the corpus with a join restricted to
+    * the Bloom hits — a tiny fraction of the batch). */
+  def filterKnown(newDocs: DataFrame, fpColName: String, bloom: BloomFilter): DataFrame = {
+    val spark = newDocs.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    newDocs.filter(!mightContain(col(fpColName)))
+  }
+}

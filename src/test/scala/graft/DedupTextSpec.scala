@@ -72,6 +72,24 @@ class DedupTextSpec extends SparkTestBase {
     assert(b(0L) == b(1L))
   }
 
+  test("sketches: HLL bounds, CMS overestimates-only, bloom gate never loses new docs") {
+    import graft.operators.Sketches
+    val df = (1 to 2000).map(i => (s"g${i % 4}", s"v${i % 157}")).toDF("g", "v")
+    val hll = Sketches.approxDistinct(df, col("g"), col("v"), rsd = 0.02)
+      .select("approx_distinct").as[Long].collect()
+    assert(hll.forall(n => n > 140 && n < 175)) // true distinct per group ≈ 157-ish
+
+    val est = Sketches.heavyHitterEstimates(df, "v", Seq("v1", "absent")).toMap
+    assert(est("v1") >= 12 && est("absent") >= 0) // CMS never underestimates
+
+    val corpus = (1 to 500).map(i => s"fp$i").toDF("fp")
+    val bloom = Sketches.fingerprintBloom(corpus, col("fp"), expected = 500, fpp = 0.01)
+    val incoming = ((1 to 100).map(i => s"fp$i") ++ (1 to 100).map(i => s"new$i")).toDF("fp")
+    val kept = Sketches.filterKnown(incoming, "fp", bloom).as[String].collect().toSet
+    assert(kept.forall(_.startsWith("new")))   // all survivors genuinely new
+    assert(kept.size >= 95)                    // ≥ (1-fpp) of the new docs survive
+  }
+
   test("text metrics: token counts, ppm ratios, langid, fingerprints") {
     val df = Seq((1L, "The cat and the dog!  Extra   spaces here."))
       .toDF("doc_id", "text")

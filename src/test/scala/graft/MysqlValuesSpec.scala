@@ -72,6 +72,20 @@ class MysqlValuesSpec extends SparkTestBase {
     assert(k == md5pk1.take(8) + ";pk1;42")
   }
 
+  test("TIME renders as duration HH:mm:ss.SSS incl. >24h and negative") {
+    assert(one(MysqlValues.timeString(lit(3723456L))) == "01:02:03.456")
+    assert(one(MysqlValues.timeString(lit(0L))) == "00:00:00.000")
+    // 123 hours — beyond a day, stays a duration
+    assert(one(MysqlValues.timeString(lit(123L * 3600000L + 500L))) == "123:00:00.500")
+    assert(one(MysqlValues.timeString(lit(-3601000L))) == "-01:00:01.000")
+  }
+
+  test("YEAR maps two-digit wire values per MySQL semantics") {
+    assert(one(MysqlValues.yearValue(lit(69))) == 2069)
+    assert(one(MysqlValues.yearValue(lit(70))) == 1970)
+    assert(one(MysqlValues.yearValue(lit(2024))) == 2024)
+  }
+
   test("decimal plain string") {
     assert(one(MysqlValues.decimalPlainString(lit(BigDecimal("100.000000000")))) == "100.000000000")
   }
