@@ -428,6 +428,26 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), planes = 8)
     }),
 
+    "pipe_clean_corpus" -> ((s, d) => {
+      // the composed training-data pipeline: quality gate -> near-dup
+      // canonicalization (keep cluster canonicals only) -> per-language
+      // corpus stats. Every stage is one of the operators above; this is
+      // the end-to-end shape a 100 TB cleaning job takes.
+      val docs = t(s, d, "documents")
+      val scored = Text.qualityMetrics(docs, col("text"))
+      val clean = scored.filter(col("alpha_ppm") >= 810000 && col("n_tokens") >= 20)
+      val nonCanonical = Dedup.resolveCanonical(
+          Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+            n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))
+        .filter(col("canonical_id") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      clean.join(nonCanonical, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars_m")).as("total_chars"))
+    }),
+
     // ----- Multimodal plumbing -----
     "mm_media_meta" -> ((s, d) =>
       Multimodal.withMediaMeta(
@@ -821,6 +841,33 @@ object SparkEntry {
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    "pipe_clean_corpus" ->
+      """WITH scored AS (
+           SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 / length(text)) AS BIGINT) AS alpha_ppm
+           FROM documents),
+         clean AS (SELECT * FROM scored WHERE alpha_ppm >= 810000 AND n_tokens >= 20),
+         docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
+         edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
+                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs),
+         non_canonical AS (
+           SELECT id AS doc_id FROM edges GROUP BY id
+           HAVING least(min(peer), min(id)) <> id)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars_m) AS BIGINT) AS total_chars
+         FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM non_canonical)
+         GROUP BY lang""",
 
     "mm_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

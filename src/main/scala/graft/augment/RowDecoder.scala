@@ -43,6 +43,9 @@ object RowDecoder {
         if (declared > 0) rpad(upper(raw), declared * 2, "0") else upper(raw)
       }
       else if (t.startsWith("varbinary") || t.contains("blob")) upper(raw)
+      else if (t.startsWith("time") && !t.startsWith("timestamp"))
+        MysqlValues.timeString(raw.cast("long"))
+      else if (t.startsWith("year")) MysqlValues.yearValue(raw.cast("int"))
       else if (t.startsWith("date") && !t.startsWith("datetime"))
         MysqlValues.dateString(timestamp_millis(raw.cast("long")))
       else if (t.startsWith("datetime") || t.startsWith("timestamp")) raw // already epoch-ms string
