@@ -28,7 +28,12 @@ final case class PipelineConfig(
     validationDir: Option[String] = None,
     triggerMs: Long = 5000L,            // reference safe-checkpoint period
     schemaCatalog: Option[graft.augment.SchemaCatalog] = None,
-    schemaHistoryDir: Option[String] = None
+    schemaHistoryDir: Option[String] = None,
+    /** Opt-in eviction of transactions with no COMMIT (processing-time state
+      * timeout). Off by default: per-txn state is already bounded by the
+      * oversize-chunk guard, and timeout triggers interact badly with
+      * test-style processAllAvailable draining. */
+    abandonedTxnTimeout: Boolean = false
 )
 
 final case class TableFilterConfig(include: Seq[String] = Nil, excludePattern: Option[String] = None)
@@ -46,7 +51,11 @@ object ReplicatorPipeline {
           cfg.tables.include.contains(op.table) ||
           cfg.tables.excludePattern.forall(p => !op.table.matches(p))
       }
-    TransactionAssembler.assemble(filtered, cfg.txnSizeLimit)
+    val timeout =
+      if (cfg.abandonedTxnTimeout && filtered.isStreaming)
+        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout()
+      else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()
+    TransactionAssembler.assemble(filtered, cfg.txnSizeLimit, timeout)
   }
 
   /** Route a stamped micro-batch by the configured partitioner strategy

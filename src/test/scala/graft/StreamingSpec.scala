@@ -81,6 +81,26 @@ class StreamingSpec extends SparkTestBase {
     assert(asOf.toSeq == Seq("2")) // before the second txn
   }
 
+  test("transaction state carries across micro-batches: COMMIT in a later batch emits") {
+    implicit val sq = spark.sqlContext
+    val sink = Files.createTempDirectory("xbatch").toString
+    val ckpt = Files.createTempDirectory("xbatchck").toString
+    val mem = MemoryStream[Op]
+    val q = ReplicatorPipeline.start(mem.toDS(), PipelineConfig(sink, ckpt, partitions = 2))
+    mem.addData(op("BEGIN", "tx", 1), op("INSERT", "tx", 2, after = Map("a" -> "1")))
+    q.processAllAvailable()
+    // nothing committed yet -> no cells
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(sink)).iterator().hasNext
+      || spark.read.parquet(sink).isEmpty)
+    mem.addData(op("UPDATE", "tx", 3, before = Map("a" -> "1"), after = Map("a" -> "2")),
+      op("COMMIT", "tx", 4, ts = 1704067209000L))
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.read.parquet(sink).filter(col("column") === "a")
+      .select("value").as[String].collect().toSet
+    assert(cells == Set("1", "2")) // both ops emitted at commit, from carried state
+  }
+
   test("pipeline end-to-end over a stream with restart from checkpoint") {
     val sink = Files.createTempDirectory("sink").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
