@@ -241,6 +241,27 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
           count(lit(1)).as("cnt"))),
 
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).as("total"))),
+
+    "q_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wl = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).as("running_value"),
+        lead(col("event_id"), 1).over(wl).as("next_event"),
+        first(col("event_id")).over(w).as("first_event"))
+    }),
+
+    "q_array_agg" -> ((s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types_seen"),
+          countDistinct(col("event_type")).as("n_types"))),
+
     "q_distinct_agg" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users"),
@@ -650,6 +671,26 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
            sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "q_running_sum" ->
+      """SELECT event_id, user_id,
+           sum(CAST(value AS DECIMAL(18,2))) OVER
+             (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS running_value,
+           lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event,
+           first_value(event_id) OVER
+             (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS first_event
+         FROM events""",
+
+    "q_array_agg" ->
+      """SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
+           count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id""",
 
     "q_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
