@@ -73,4 +73,18 @@ object RowDecoder {
   def decodeStamped(df: org.apache.spark.sql.DataFrame, schema: TableSchemaV): org.apache.spark.sql.DataFrame =
     df.withColumn("before", when(col("before").isNotNull, decodeImage(col("before"), schema)))
       .withColumn("after", when(col("after").isNotNull, decodeImage(col("after"), schema)))
+
+  /** Multi-table decode: dispatch on the `table` column across every current
+    * schema in the catalog — a when-chain built once from the (small,
+    * broadcastable) catalog snapshot, so a mixed-table stream decodes in a
+    * single narrow projection. Unknown tables pass through undecoded. */
+  def decodeAllTables(df: org.apache.spark.sql.DataFrame, catalog: SchemaCatalog): org.apache.spark.sql.DataFrame = {
+    val schemas = catalog.tables.flatMap(catalog.current)
+    def dispatch(image: Column): Column =
+      schemas.foldLeft(image) { (acc, sch) =>
+        when(col("table") === sch.table && image.isNotNull, decodeImage(image, sch)).otherwise(acc)
+      }
+    df.withColumn("before", dispatch(col("before")))
+      .withColumn("after", dispatch(col("after")))
+  }
 }

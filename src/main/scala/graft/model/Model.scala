@@ -79,7 +79,22 @@ final case class ChangeEvent(
     after: Option[Map[String, String]],
     schemaVersion: Int,
     ddl: Option[String]
-)
+) {
+  /** Project onto the pipeline's op model: the checkpoint position becomes
+    * the total-order event id (binlog file+pos is the order), GTID txn id
+    * becomes the transaction key. */
+  def toOp: graft.streaming.Op = graft.streaming.Op(
+    kind = if (ddl.isDefined) "DDL" else eventType,
+    txnId = txn.map(_.uuid).orElse(checkpoint.gtid.map(_.render)).getOrElse(s"pos:${checkpoint.position}"),
+    xxid = txn.map(_.xxid).getOrElse(0L),
+    eventId = checkpoint.position,
+    tsMs = timestampMs,
+    table = table,
+    rowKey = pkColumns.flatMap(c => after.orElse(before).flatMap(_.get(c))).mkString(";"),
+    before = before.getOrElse(Map.empty),
+    after = ddl.map(d => Map("ddl" -> d)).getOrElse(after.getOrElse(Map.empty))
+  )
+}
 
 /** One column of a versioned table schema
   * (reference: ColumnSchema.java:13-35). */

@@ -94,6 +94,38 @@ class RowDecoderSpec extends SparkTestBase {
     assert(decoded("utf") == "Ñandú")
   }
 
+  test("multi-table dispatch decodes a mixed stream per each table's schema") {
+    val cat2 = new SchemaCatalog("test")
+    cat2.applyDdl("CREATE TABLE a (id INT PRIMARY KEY, flags BIT(8))", 1L)
+    cat2.applyDdl("CREATE TABLE b (id INT PRIMARY KEY, kind ENUM('x','y'))", 2L)
+    val df = Seq(
+      ("a", Map("id" -> "1", "flags" -> "170")),
+      ("b", Map("id" -> "2", "kind" -> "2")),
+      ("unknown", Map("raw" -> "7"))
+    ).toDF("table", "after").withColumn("before", lit(null).cast("map<string,string>"))
+    val out = RowDecoder.decodeAllTables(df, cat2)
+      .select(col("table"), col("after")).as[(String, Map[String, String])].collect().toMap
+    assert(out("a")("flags") == "10101010")
+    assert(out("b")("kind") == "y")
+    assert(out("unknown")("raw") == "7") // passthrough
+  }
+
+  test("ChangeEvent projects onto the pipeline op model") {
+    import graft.model._
+    val ev = ChangeEvent("UPDATE", "db", "organisms", 1000L,
+      Checkpoint(1, "binlog.0001", 4242L, Some(Gtid("u", 7)), None, 1000L),
+      Some(TxnInfo("u:7", 99L, 1000L, 3)), Seq("id"),
+      Some(Map("id" -> "2", "name" -> "cat")), Some(Map("id" -> "2", "name" -> "lion")),
+      0, None)
+    val op = ev.toOp
+    assert(op.kind == "UPDATE" && op.txnId == "u:7" && op.eventId == 4242L)
+    assert(op.rowKey == "2" && op.after("name") == "lion")
+    val ddl = ev.copy(eventType = "QUERY", ddl = Some("ALTER TABLE organisms ADD c INT"),
+      before = None, after = None, txn = None)
+    assert(ddl.toOp.kind == "DDL" && ddl.toOp.after("ddl").startsWith("ALTER"))
+    assert(ddl.toOp.txnId == "u:7") // falls back to the checkpoint GTID
+  }
+
   test("update after ALTER decodes with the new schema version") {
     cat.applyDdl("ALTER TABLE organisms ADD COLUMN lifespan_float FLOAT(7,4)", 2000L)
     val v1 = cat.current("organisms").get
