@@ -116,6 +116,14 @@ object SparkEntry {
         .groupBy(col("source").as("merged_table"))
         .agg(count(lit(1)).as("cnt"))),
 
+    "cdc_sessionize" -> ((s, d) =>
+      // inactivity-gap sessions (1h) per user: session id + per-session stats
+      Cdc.sessionize(t(s, d, "events"), col("user_id"), col("ts"), gapMs = 3600000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))),
+
     "cdc_time_machine" -> ((s, d) => {
       // the full CDC write path: events-as-ops → transaction assembly
       // (flatMapGroupsWithState) → mutation cells (changed-column deltas)
@@ -561,6 +569,20 @@ object SparkEntry {
     "cdc_table_merge" ->
       """SELECT regexp_replace(source, '[0-9]+$', '') AS merged_table, count(*) AS cnt
          FROM documents GROUP BY 1""",
+
+    "cdc_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 3600000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         t AS (SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM s)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+         FROM t GROUP BY user_id, session_seq""",
 
     "cdc_time_machine" ->
       """WITH e AS (

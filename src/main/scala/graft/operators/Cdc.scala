@@ -116,6 +116,18 @@ object Cdc {
       .select(col("key") +: payload.map(p => col(s"latest.$p").as(p)): _*)
   }
 
+  /** Sessionization: split each key's event sequence at inactivity gaps —
+    * session id = running count of gap-boundary flags. One shuffle on the
+    * key; the batch analog of streaming session windows
+    * (`session_window` / mapGroupsWithState sessions). */
+  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol)
+    val prev = lag(unix_millis(tsCol), 1).over(w)
+    val newSession = when(prev.isNull || unix_millis(tsCol) - prev > gapMs, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   // --------------------------------------------------------------------------
   // Partitioners (reference: applier/Partitioner.java:14-103)
   // --------------------------------------------------------------------------
