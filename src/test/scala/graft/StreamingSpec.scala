@@ -140,6 +140,44 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).filter(col("column") === "a").count() == 2)
   }
 
+  test("forced-rewind drill: crash after sink write, restart replays exactly-once") {
+    // The reference handles a mid-pipeline failure with ForceRewindException →
+    // seek(last safe checkpoint) → replay, relying on KafkaSeeker to drop the
+    // re-delivered prefix (Replicator.java:208-223). The Spark shape: the
+    // batch's offsets are logged before foreachBatch runs, the commit after —
+    // so a crash BETWEEN sink write and commit re-runs the same batch id on
+    // restart, and the batch-id dynamic-partition overwrite makes the replay
+    // overwrite the orphaned first write instead of duplicating it.
+    val sink = Files.createTempDirectory("rwsink").toString
+    val ckpt = Files.createTempDirectory("rwckpt").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Op]
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run() = TransactionAssembler.assemble(mem.toDS()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StampedOp], batchId: Long) =>
+        TimeMachineSink.write(batch.toDF(), sink, batchId)
+        if (!batch.isEmpty && crashOnce.getAndSet(false))
+          sys.error("forced rewind") // after the write, before the engine commit
+      }.start()
+
+    val q1 = run()
+    mem.addData(op("BEGIN", "t1", 1), op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("COMMIT", "t1", 3))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // the doomed attempt DID land cells — a plain append sink would double them
+    assert(spark.read.parquet(sink).filter(col("column") === "a").count() == 1)
+
+    val q2 = run()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(sink).filter(col("column") === "a").count() == 1)
+    assert(TimeMachineSink.latestRows(spark, sink)
+      .select(element_at(col("cols"), "a")).as[String].collect().toSeq == Seq("1"))
+  }
+
   test("seek watermarks drop replayed events below the sink tail") {
     val log = Files.createTempDirectory("log").toString
     val batch1 = Seq(("u1", "t", 1L), ("u2", "t", 2L), ("u3", "t", 3L))
