@@ -433,6 +433,11 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
+    // rows-only by design: LSH recall < 1, so the all-pairs oracle cannot
+    // hash-match; precision/recall asserted in DedupTextSpec instead
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
+
     // ----- Similarity search -----
     "sim_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")

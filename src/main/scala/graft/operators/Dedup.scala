@@ -158,6 +158,38 @@ object Dedup {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Embedding near-dup at scale: banded random-hyperplane LSH. Each band
+    * signs the vector against its own hyperplane family; a pair becomes a
+    * candidate when ALL sign bits of at least one band agree; exact cosine
+    * verifies candidates only. Precision is exact (same filter as
+    * [[embeddingNearDupPairs]]); recall < 1 by construction and rises with
+    * `bands`. Work is linear scans + a shuffle on (band, bucket) — the
+    * 100 TB-safe formulation of the quadratic all-pairs cosine. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: Column, vecCol: Column, threshold: Double,
+                          bands: Int = 8, planesPerBand: Int = 4): DataFrame = {
+    // Persist the cast vectors: they feed both bucket-join sides and the
+    // verify join (NOTES: unpersisted multi-consumer frames re-execute the
+    // upstream per consumer). At 100 TB this persist is a checkpoint.
+    val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        Similarity.hyperplaneSignature(col("v"), planesPerBand, b * planesPerBand).as("bucket"))): _*)
+    val banded = docs.select(col("id"), explode(sigs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")), Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(docs.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(docs.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("cos_sim", round(Similarity.cosine(col("a_v"), col("b_v")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
   /** Dedup resolution: given verified duplicate pairs, keep the minimum id
     * of each pair-connected group's direct neighbors as canonical — a single
     * agg pass (union-find's first iteration; iterate to fixpoint for deep

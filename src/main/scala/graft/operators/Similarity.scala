@@ -42,13 +42,15 @@ object Similarity {
 
   /** Random-hyperplane signature: sign bits of dot(v, h_i) for planes derived
     * deterministically from xxhash64(seed=i, dim=j) — no stored plane matrix,
-    * reproducible across the cluster, no driver state. */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    * reproducible across the cluster, no driver state. `planeOffset` selects
+    * an independent plane family (band b of a banded scheme passes
+    * b·planes). */
+  def hyperplaneSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until planes).map { i =>
       // pseudo-random plane component in [-1,1): hash(i,j) scaled
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x * ((xxhash64(lit(i), j) % 1000L).cast("double") / 1000.0d)),
+          (x, j) => x * ((xxhash64(lit(i + planeOffset), j) % 1000L).cast("double") / 1000.0d)),
         lit(0.0d), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }

@@ -72,6 +72,18 @@ class DedupTextSpec extends SparkTestBase {
     assert(b(0L) == b(1L))
   }
 
+  test("embedding LSH near-dup: exact precision, usable recall vs all-pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(emb, col("vec_id"), col("embedding"), 0.4)
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, col("vec_id"), col("embedding"), 0.4)
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must never emit a pair the exact filter rejects")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
   test("sketches: HLL bounds, CMS overestimates-only, bloom gate never loses new docs") {
     import graft.operators.Sketches
     val df = (1 to 2000).map(i => (s"g${i % 4}", s"v${i % 157}")).toDF("g", "v")
