@@ -277,6 +277,17 @@ object SparkEntry {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
 
+    "q_percentiles" -> ((s, d) =>
+      // exact ordered-set aggregates (linear-interpolated quantiles). At
+      // 100 TB swap `percentile` for `approx_percentile` (t-digest sketch:
+      // one pass, mergeable partials, no per-group sort) — same API shape.
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity").cast("double"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_quantity").cast("double"), lit(0.9)).as("p90_qty"),
+          percentile(col("l_quantity").cast("double"), lit(0.99)).as("p99_qty"),
+          count(lit(1)).as("n"))),
+
     "q_time_window" -> ((s, d) =>
       // event-time tumbling window — the streaming-native aggregation shape
       // (windowed agg + watermark in stream mode; SURVEY §2.9 streaming row)
@@ -723,6 +734,14 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
            min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY event_type""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50_qty,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90_qty,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS p99_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_time_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_ms, event_type,

@@ -20,6 +20,20 @@ object Watermarked {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("kind"), col("cnt"))
 
+  /** Event-time session windows: per-key sessions split at `gap` of
+    * inactivity; a session finalizes (and its state evicts) once the
+    * watermark passes its close. The streaming counterpart of the batch
+    * [[graft.operators.Cdc.sessionize]] — merging windows in the state
+    * store instead of a window-sum over history. */
+  def sessionCounts(ops: Dataset[Op], gap: String, delay: String): DataFrame =
+    ops.withColumn("event_time", timestamp_millis(col("tsMs")))
+      .withWatermark("event_time", delay)
+      .groupBy(session_window(col("event_time"), gap), col("rowKey"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("rowKey"), col("n_events"))
+
   /** Stream-stream inner join within a watermark horizon: pair each op with
     * its acknowledgement/validation event arriving within `horizon` of it —
     * both sides' state evicts past the watermark (the streaming-native form

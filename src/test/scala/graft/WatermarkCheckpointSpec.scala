@@ -36,6 +36,22 @@ class WatermarkCheckpointSpec extends SparkTestBase {
     assert(w0 == 2L) // late event 5 never counted
   }
 
+  test("session windows merge within the gap and finalize past the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Op]
+    val q = Watermarked.sessionCounts(mem.toDS(), "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    val base = 1704067200000L
+    mem.addData(op(1, base), op(2, base + 1000),  // one session (1s apart)
+      op(3, base + 300000))                        // 5 min later: new session
+    q.processAllAvailable()
+    mem.addData(op(4, base + 1200000)) // watermark advance finalizes both
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess").select("n_events").as[Long].collect().sorted.toSeq
+    assert(sessions == Seq(1L, 2L))
+  }
+
   test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Op]
