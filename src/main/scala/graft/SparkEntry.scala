@@ -135,6 +135,17 @@ object SparkEntry {
           col("cell_ts"), col("event_id"))
     }),
 
+    "cdc_version_retention" -> ((s, d) => {
+      // max-versions compaction over the cell store (reference: HBase tables
+      // created with 1000 max versions — HBaseSchemaManager.java:57-61)
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assemble(ops, sizeLimit = Int.MaxValue).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      TimeMachineSink.retainVersions(cells, 2)
+        .select(col("row_key"), col("column").as("col_name"), col("value"),
+          col("cell_ts"), col("event_id"))
+    }),
+
     // ----- MySQL type-decode semantics (SURVEY §1.3) -----
     "mysql_unsigned_decode" -> ((s, d) => {
       val sgn = (col("event_id") % 300) - 150
@@ -622,6 +633,33 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
            commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e""",
+
+    "cdc_version_retention" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ms
+           FROM events),
+         cells AS (
+           SELECT CAST(user_id AS VARCHAR) AS row_key, 'value' AS col_name,
+             CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+             commit_ms * 1000 - 50 + least(rn - 1, 50) AS cell_ts, event_id FROM e
+           WHERE rn = 1 OR value <> pv
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'event_type', event_type,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           WHERE rn = 1 OR event_type <> pt
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'row_status', CASE WHEN rn = 1 THEN 'I' ELSE 'U' END,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY row_key, col_name
+                 ORDER BY cell_ts DESC, event_id DESC) AS vn FROM cells)
+         SELECT row_key, col_name, value, cell_ts, event_id FROM r WHERE vn <= 2""",
 
     "mysql_unsigned_decode" ->
       """WITH s AS (SELECT event_id, (event_id % 300) - 150 AS s FROM events)

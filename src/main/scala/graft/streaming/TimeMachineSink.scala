@@ -86,6 +86,19 @@ object TimeMachineSink {
         .partitionBy("batch_id", "table").parquet(sinkDir)
     }
 
+  /** Retention compaction: keep only the newest `maxVersions` versions of
+    * every (table, row_key, column) cell — the reference's HBase max-versions
+    * semantic (reference: HBaseSchemaManager.java:57-61, 1000 versions
+    * retained per cell) as a lakehouse maintenance transform. Run it as a
+    * periodic partition-by-partition rewrite; reads stay correct throughout
+    * because latest-state picks max cell_ts regardless of compaction. */
+  def retainVersions(cells: DataFrame, maxVersions: Int): DataFrame = {
+    val w = Window.partitionBy(col("table"), col("row_key"), col("column"))
+      .orderBy(col("cell_ts").desc, col("event_id").desc)
+    cells.withColumn("__v", row_number().over(w))
+      .filter(col("__v") <= maxVersions).drop("__v")
+  }
+
   /** Read path: latest value of every (table, row_key, column) — the "now"
     * view of the time machine. max_by aggregates partial map-side (shuffle
     * carries one row per key-column per input partition, not all versions). */
