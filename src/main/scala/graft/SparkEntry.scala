@@ -236,6 +236,29 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    "q_window_dist" -> ((s, d) => {
+      // distribution window functions; ties broken by event_id so ntile's
+      // row assignment is deterministic across engines
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+
+    "q_unpivot" -> ((s, d) =>
+      // wide→long melt: one narrow projection + generator, no shuffle
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"),
+          col("l_discount").cast("decimal(18,2)").as("l_discount"),
+          col("l_tax").cast("decimal(18,2)").as("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "amount")),
+
     "q_setop_users" -> ((s, d) => {
       val ev = t(s, d, "events")
       def users(c: Column) = ev.filter(c).select("user_id").distinct()
@@ -728,6 +751,24 @@ object SparkEntry {
            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders
          QUALIFY rn <= 3""",
+
+    "q_window_dist" ->
+      """SELECT event_id, event_type,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+
+    "q_unpivot" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
+             CAST(l_discount AS DECIMAL(18,2)) AS l_discount,
+             CAST(l_tax AS DECIMAL(18,2)) AS l_tax
+           FROM lineitem)
+         UNPIVOT src ON l_quantity, l_extendedprice, l_discount, l_tax
+         INTO NAME metric VALUE amount""",
 
     "q_setop_users" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
