@@ -166,11 +166,19 @@ object Dedup {
     * `bands`. Work is linear scans + a shuffle on (band, bucket) — the
     * 100 TB-safe formulation of the quadratic all-pairs cosine. */
   def embeddingNearDupLsh(df: DataFrame, idCol: Column, vecCol: Column, threshold: Double,
-                          bands: Int = 8, planesPerBand: Int = 4): DataFrame = {
-    // Persist the cast vectors: they feed both bucket-join sides and the
-    // verify join (NOTES: unpersisted multi-consumer frames re-execute the
-    // upstream per consumer). At 100 TB this persist is a checkpoint.
-    val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("v"))
+                          bands: Int = 8, planesPerBand: Int = 5): DataFrame = {
+    // Persist the vectors PRE-NORMALIZED: cosine verify then costs one dot
+    // fold per candidate pair instead of three (dot + both norms) — the
+    // higher-order-function folds are interpreted, and candidates number in
+    // the millions, so this is the dominant term. The persist also stops the
+    // multi-consumer re-execution (bucket join sides + verify join); at
+    // 100 TB it becomes a checkpoint.
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, p) => acc + p)
+    val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("raw"))
+      .withColumn("n", sqrt(dot(col("raw"), col("raw"))))
+      .withColumn("v", transform(col("raw"), x => x / col("n")))
+      .select("id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
@@ -185,7 +193,7 @@ object Dedup {
     cands
       .join(docs.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
       .join(docs.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
-      .withColumn("cos_sim", round(Similarity.cosine(col("a_v"), col("b_v")), 6))
+      .withColumn("cos_sim", round(dot(col("a_v"), col("b_v")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
   }

@@ -75,9 +75,9 @@ class DedupTextSpec extends SparkTestBase {
   test("embedding LSH near-dup: exact precision, usable recall vs all-pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(emb, col("vec_id"), col("embedding"), 0.4)
-      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embeddingNearDupLsh(emb, col("vec_id"), col("embedding"), 0.4)
-      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), "LSH must never emit a pair the exact filter rejects")
     assert(exact.nonEmpty)
     val recall = lsh.size.toDouble / exact.size
