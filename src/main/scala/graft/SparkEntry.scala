@@ -126,10 +126,12 @@ object SparkEntry {
 
     "cdc_time_machine" -> ((s, d) => {
       // the full CDC write path: events-as-ops → transaction assembly
-      // (flatMapGroupsWithState) → mutation cells (changed-column deltas)
-      // → intra-txn timestamp organizing. SURVEY §2.3 A4/A7/A12 + §2.6 W7/W9.
+      // (batch form: one window pass, codegen end-to-end; parity with the
+      // stateful form proven by StreamingSpec) → mutation cells
+      // (changed-column deltas) → intra-txn timestamp organizing.
+      // SURVEY §2.3 A4/A7/A12 + §2.6 W7/W9.
       val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
-      val stamped = TransactionAssembler.assemble(ops, sizeLimit = Int.MaxValue).toDF()
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
       TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
         .select(col("row_key"), col("column").as("col_name"), col("value"),
           col("cell_ts"), col("event_id"))
@@ -139,7 +141,7 @@ object SparkEntry {
       // max-versions compaction over the cell store (reference: HBase tables
       // created with 1000 max versions — HBaseSchemaManager.java:57-61)
       val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
-      val stamped = TransactionAssembler.assemble(ops, sizeLimit = Int.MaxValue).toDF()
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
       val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
       TimeMachineSink.retainVersions(cells, 2)
         .select(col("row_key"), col("column").as("col_name"), col("value"),

@@ -115,4 +115,34 @@ object TransactionAssembler {
                     chunk: Int): List[StampedOp] =
     ops.map(o => StampedOp(txnId, xxid, commitTsMs, chunk, o.eventId, o.tsMs,
       o.table, o.kind, o.rowKey, o.before, o.after))
+
+  /** Batch-mode assembly: identical commit semantics to [[assemble]] for
+    * bounded inputs (backfills, the binlog-flusher analog, bench/verify),
+    * expressed as pure column operations — commit metadata propagates to a
+    * transaction's rows via window aggregates over the txnId partition, in
+    * ONE scan and ONE shuffle, and uncommitted transactions drop because
+    * their commit aggregate is null. No typed-state encoder round-trips, so
+    * the whole path stays inside whole-stage codegen — use this form
+    * whenever the input is bounded; the stateful form exists for streams.
+    *
+    * Batch simplifications (bounded input makes them exact, not lossy):
+    * no chunked emit (nothing buffers, so no size cap needed) and one
+    * commit cycle per txnId within the batch (GTIDs are per-transaction). */
+  def assembleBatch(ops: Dataset[Op]): Dataset[StampedOp] = {
+    implicit val outEnc = Encoders.product[StampedOp]
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wTxn = Window.partitionBy(col("txnId"))
+    ops.toDF()
+      .withColumn("cTs", max(when(col("kind") === "COMMIT", col("tsMs"))).over(wTxn))
+      .withColumn("cXxid", max(when(col("kind") === "COMMIT", col("xxid"))).over(wTxn))
+      .filter(col("kind") =!= "BEGIN" && col("kind") =!= "COMMIT")
+      .filter(col("kind") === "DDL" || col("cTs").isNotNull)
+      .select(col("txnId").as("txnUuid"),
+        when(col("kind") === "DDL", col("xxid")).otherwise(col("cXxid")).as("xxid"),
+        when(col("kind") === "DDL", col("tsMs")).otherwise(col("cTs")).as("commitTsMs"),
+        lit(0).as("chunk"), col("eventId"), col("tsMs"), col("table"), col("kind"),
+        col("rowKey"), col("before"), col("after"))
+      .as[StampedOp]
+  }
 }

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkTestBase {
     assert(out.map(_.kind).toSet == Set("INSERT", "UPDATE"))
   }
 
+  test("batch assembler matches the stateful form on committed, uncommitted, and DDL ops") {
+    val ops = Seq(
+      op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("UPDATE", "t1", 3, before = Map("a" -> "1"), after = Map("a" -> "2")),
+      op("COMMIT", "t1", 4, ts = 1704067205000L),
+      Op("DDL", "ddl1", 0, 5, 1704067206000L, "t", "",
+        Map.empty, Map("ddl" -> "ALTER TABLE t ADD COLUMN b INT")),
+      op("BEGIN", "t2", 6),
+      op("INSERT", "t2", 7, after = Map("b" -> "9")) // never commits
+    ).toDS()
+    def key(s: graft.streaming.StampedOp) = (s.txnUuid, s.eventId)
+    val stateful = TransactionAssembler.assemble(ops).collect().map(s => key(s) -> s).toMap
+    val batch = TransactionAssembler.assembleBatch(ops).collect().map(s => key(s) -> s).toMap
+    assert(batch == stateful)
+    assert(batch.size == 3) // 2 committed rows + DDL barrier; t2 dropped
+  }
+
   test("assembler: oversize transaction emits chunks instead of stalling") {
     val rows = (1 to 7).map(i => op("INSERT", "big", i.toLong, after = Map("i" -> i.toString)))
     val ops = (op("BEGIN", "big", 0) +: rows :+ op("COMMIT", "big", 99)).toDS()
