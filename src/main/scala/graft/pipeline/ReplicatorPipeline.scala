@@ -51,11 +51,18 @@ object ReplicatorPipeline {
           cfg.tables.include.contains(op.table) ||
           cfg.tables.excludePattern.forall(p => !op.table.matches(p))
       }
-    val timeout =
-      if (cfg.abandonedTxnTimeout && filtered.isStreaming)
-        org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout()
-      else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()
-    TransactionAssembler.assemble(filtered, cfg.txnSizeLimit, timeout)
+    if (!filtered.isStreaming) {
+      // bounded input (backfills, binlog-flusher analog): the column-native
+      // window formulation — identical semantics, no GroupState encoder
+      // round-trips, whole-stage codegen end-to-end
+      TransactionAssembler.assembleBatch(filtered)
+    } else {
+      val timeout =
+        if (cfg.abandonedTxnTimeout)
+          org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout()
+        else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()
+      TransactionAssembler.assemble(filtered, cfg.txnSizeLimit, timeout)
+    }
   }
 
   /** Route a stamped micro-batch by the configured partitioner strategy
