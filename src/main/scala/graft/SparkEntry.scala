@@ -238,6 +238,20 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    "q_grouping_sets" -> ((s, d) => {
+      // explicit grouping sets + grouping() markers, via the SQL surface
+      // (DataFrame API exposes only rollup/cube); decimal sum for oracle
+      // portability
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                 grouping(o_orderstatus) AS g_status,
+                 grouping(o_orderpriority) AS g_prio,
+                 count(*) AS cnt,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+               FROM orders_v
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
     "q_window_dist" -> ((s, d) => {
       // distribution window functions; ties broken by event_id so ntile's
       // row assignment is deterministic across engines
@@ -753,6 +767,15 @@ object SparkEntry {
            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders
          QUALIFY rn <= 3""",
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_prio,
+           count(*) AS cnt,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 
     "q_window_dist" ->
       """SELECT event_id, event_type,
