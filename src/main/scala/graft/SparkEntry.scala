@@ -373,8 +373,10 @@ object SparkEntry {
       // pre-aggregated to distinct values with weights BEFORE the join
       // (600k rows -> ~2.5k distinct ship days), so the pair explosion runs
       // on value cardinality, not row count — the decisive trick at scale.
-      val days = t(s, d, "lineitem")
-        .groupBy(col("l_shipdate")).agg(count(lit(1)).as("w"))
+      // the aggregated point set is tiny (~2.5k distinct days) — broadcast
+      // it so the interval side joins map-side with no shuffle
+      val days = broadcast(t(s, d, "lineitem")
+        .groupBy(col("l_shipdate")).agg(count(lit(1)).as("w")))
       val ords = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
         (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
       operators.TemporalJoins.rangeJoinPointInInterval(
