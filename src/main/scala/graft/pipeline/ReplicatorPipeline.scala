@@ -26,6 +26,11 @@ final case class PipelineConfig(
     txnSizeLimit: Int = 1000,           // reference transaction buffer limit
     validationSampleN: Int = 100,       // reference ValidationService default
     validationDir: Option[String] = None,
+    /** Designated per-transaction context-log table: its rows are keyed by
+      * transaction UUID instead of the PK row key (reference:
+      * HBaseRowKeyMapper.getPayloadTableHBaseRowKey, HBaseRowKeyMapper.java:
+      * 60-68; applier.hbase.payload.table.name). */
+    payloadTable: Option[String] = None,
     triggerMs: Long = 5000L,            // reference safe-checkpoint period
     schemaCatalog: Option[graft.augment.SchemaCatalog] = None,
     schemaHistoryDir: Option[String] = None,
@@ -93,7 +98,12 @@ object ReplicatorPipeline {
         cat.historyDf(spark).write.mode("overwrite").parquet(hd)
       }
     }
-    val df = route(batch.filter(_.kind != "DDL").toDF(), cfg)
+    val routed = route(batch.filter(_.kind != "DDL").toDF(), cfg)
+    val df = cfg.payloadTable match {
+      case Some(p) => routed.withColumn("rowKey",
+        when(col("table") === p, col("txnUuid")).otherwise(col("rowKey")))
+      case None => routed
+    }
     TimeMachineSink.write(df, cfg.sinkDir, batchId)
     cfg.validationDir.foreach { vd =>
       Sinks.validationSample(df, cfg.validationSampleN, "rowKey")

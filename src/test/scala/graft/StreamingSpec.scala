@@ -158,6 +158,22 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).filter(col("column") === "a").count() == 2)
   }
 
+  test("payload table rows are keyed by transaction uuid, others by row key") {
+    val sink = Files.createTempDirectory("paysink").toString
+    val cfg = graft.pipeline.PipelineConfig(sink, "", payloadTable = Some("txn_context"))
+    val ops = Seq(
+      op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, table = "data", key = "k1", after = Map("a" -> "1")),
+      op("INSERT", "t1", 3, table = "txn_context", key = "ignored",
+        after = Map("ctx" -> "job42")),
+      op("COMMIT", "t1", 4)).toDS()
+    ReplicatorPipeline.runBatch(ops, cfg)
+    val keys = spark.read.parquet(sink).select("table", "row_key").distinct()
+      .as[(String, String)].collect().toMap
+    assert(keys("data") == "k1")
+    assert(keys("txn_context") == "t1") // txn uuid, not the source row key
+  }
+
   test("forced-rewind drill: crash after sink write, restart replays exactly-once") {
     // The reference handles a mid-pipeline failure with ForceRewindException →
     // seek(last safe checkpoint) → replay, relying on KafkaSeeker to drop the
