@@ -70,6 +70,8 @@ class MysqlValuesSpec extends SparkTestBase {
     val md5pk1 = java.security.MessageDigest.getInstance("MD5")
       .digest("pk1".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(k == md5pk1.take(8) + ";pk1;42")
+    // the reference's own golden vector (RowKeyMapperTest.java:30-36)
+    assert(one(MysqlValues.saltedRowKey(Seq(lit(123), lit(456)))).toString == "202cb962;123;456")
   }
 
   test("TIME renders as duration HH:mm:ss.SSS incl. >24h and negative") {
