@@ -238,6 +238,19 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     }),
 
+    "q_full_outer" -> ((s, d) => {
+      // full outer join with asymmetric sides (high-balance customers vs
+      // high-balance suppliers per nation)
+      val c = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     "q_grouping_sets" -> ((s, d) => {
       // explicit grouping sets + grouping() markers, via the SQL surface
       // (DataFrame API exposes only rollup/cube); decimal sum for oracle
@@ -461,6 +474,27 @@ object SparkEntry {
         .select(explode(split(Text.normalized(col("text")), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)),
+
+    "text_tfidf" -> ((s, d) => {
+      // TF-IDF, integer-exact: idf scaled to floor(1e6·N/df) so both engines
+      // do the identical double op; top-5 terms per doc. tf is persisted —
+      // it feeds both the df aggregation and the scoring join.
+      val docs = t(s, d, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(split(operators.Text.normalized(col("text")), " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_scaled").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(total))
+        .withColumn("tfidf_scaled",
+          (col("tf") * floor(lit(1000000.0d) * col("n_docs") / col("df"))).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "term", "tfidf_scaled", "rn")
+    }),
 
     "text_length_hist" -> ((s, d) =>
       t(s, d, "documents")
@@ -967,6 +1001,31 @@ object SparkEntry {
            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
            FROM documents)
          GROUP BY token ORDER BY cnt DESC, token LIMIT 50""",
+
+    "text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+             CAST(tf * floor(1000000.0 * n_docs / df) AS BIGINT) AS tfidf_scaled
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf_scaled DESC, term) AS rn FROM scored)
+         SELECT doc_id, term, tfidf_scaled, rn FROM r WHERE rn <= 5""",
+
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+                    WHERE c_acctbal > 9000 GROUP BY 1),
+         s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+               WHERE s_acctbal > 9000 GROUP BY 1)
+         SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
 
     "text_length_hist" ->
       """SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bucket, count(*) AS cnt
