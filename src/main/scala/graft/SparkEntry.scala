@@ -496,6 +496,31 @@ object SparkEntry {
         .select("doc_id", "term", "tfidf_scaled", "rn")
     }),
 
+    "text_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        operators.Text.repetitionPpm(col("text"), 3).as("rep3_ppm"))),
+
+    "text_pii" -> ((s, d) => {
+      val (emails, digitRuns) = operators.Text.piiCounts(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        emails.cast("long").as("n_emails"), digitRuns.cast("long").as("n_digit_runs"))
+    }),
+
+    "dedup_contamination" -> ((s, d) => {
+      // train/eval decontamination: flag TRAINING docs (odd doc_id) whose
+      // 3-gram Jaccard against any EVAL doc (even doc_id) is ≥ 0.8 — the
+      // contamination sweep a training pipeline runs against benchmark sets.
+      // Exact oracle form; at 100 TB the identical crossing filter runs over
+      // minhash-LSH candidates instead of all pairs (minhashNearDupPairs).
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, d, "documents"), col("doc_id"), col("text"), 3, 800000L)
+      pairs.withColumn("train_id",
+          when(col("a_id") % 2 =!= 0 && col("b_id") % 2 === 0, col("a_id"))
+            .when(col("b_id") % 2 =!= 0 && col("a_id") % 2 === 0, col("b_id")))
+        .filter(col("train_id").isNotNull)
+        .select(col("train_id").as("doc_id")).distinct()
+    }),
+
     "text_length_hist" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bucket"))
@@ -1026,6 +1051,40 @@ object SparkEntry {
          SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
            coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
          FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> array_to_string(toks[i:i+2], ' ')) AS grams
+           FROM t)
+         SELECT doc_id,
+           CAST(floor((len(grams) - len(list_distinct(grams))) * 1000000.0 / len(grams)) AS BIGINT) AS rep3_ppm
+         FROM g""",
+
+    "text_pii" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+         FROM documents""",
+
+    "dedup_contamination" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000)
+         SELECT DISTINCT
+           CASE WHEN a_id % 2 <> 0 AND b_id % 2 = 0 THEN a_id
+                WHEN b_id % 2 <> 0 AND a_id % 2 = 0 THEN b_id END AS doc_id
+         FROM p
+         WHERE (a_id % 2 <> 0 AND b_id % 2 = 0) OR (b_id % 2 <> 0 AND a_id % 2 = 0)""",
 
     "text_length_hist" ->
       """SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bucket, count(*) AS cnt

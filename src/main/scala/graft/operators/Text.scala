@@ -30,6 +30,24 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Within-document repetition: ppm of duplicated word n-grams (total −
+    * distinct over total) — the Gopher-style repetitiousness quality gate.
+    * Pure per-row column expressions, no shuffle. */
+  def repetitionPpm(text: Column, n: Int): Column = {
+    val toks = split(normalized(text), " ")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val grams = transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
+    ppm(size(grams) - size(array_distinct(grams)), size(grams))
+  }
+
+  /** PII-pattern counts per document (email-shaped strings, long digit
+    * runs) — the redaction-stage signal of a cleaning pipeline. Patterns are
+    * RE2-compatible so every engine scores identically. */
+  def piiCounts(text: Column): (Column, Column) = (
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))),
+    size(regexp_extract_all(text, lit("[0-9]{6,}"), lit(0))))
+
   private val EnStopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is")
 
   /** Exact ratio in parts-per-million: floor((a*1e6)/b) over identical IEEE
