@@ -19,6 +19,7 @@ object Bench {
     "q_asof_join", "q_range_join",
     "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_time_machine",
     "cdc_safe_checkpoint", "text_fingerprint", "text_quality", "text_vocab_topk",
+    "text_tfidf", "text_repetition",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_resolve",
     "sim_brute_topk", "sim_ann_ivf", "pipe_clean_corpus", "mm_media_meta"

@@ -497,8 +497,10 @@ object SparkEntry {
     }),
 
     "text_repetition" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        operators.Text.repetitionPpm(col("text"), 3).as("rep3_ppm"))),
+      t(s, d, "documents")
+        .withColumn("__toks", split(operators.Text.normalized(col("text")), " "))
+        .select(col("doc_id"),
+          operators.Text.repetitionPpmOfTokens(col("__toks"), 3).as("rep3_ppm"))),
 
     "text_pii" -> ((s, d) => {
       val (emails, digitRuns) = operators.Text.piiCounts(col("text"))

@@ -33,12 +33,21 @@ object Text {
   /** Within-document repetition: ppm of duplicated word n-grams (total −
     * distinct over total) — the Gopher-style repetitiousness quality gate.
     * Pure per-row column expressions, no shuffle. */
-  def repetitionPpm(text: Column, n: Int): Column = {
-    val toks = split(normalized(text), " ")
+  /** Over a PRE-MATERIALIZED token-array column. The tokenization must live
+    * in its own projection: higher-order functions are interpreted, so a
+    * `split(...)` subtree referenced inside the per-gram lambda would
+    * re-tokenize the document once per gram — quadratic in document length.
+    * Grams are compared by a 64-bit hash of each token slice (no joined
+    * strings; collision odds ~g²/2⁶⁵, and the oracle check would surface
+    * one). */
+  def repetitionPpmOfTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    val grams = transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
+    val grams = transform(idx, i => xxhash64(slice(toks, i + 1, lit(n))))
     ppm(size(grams) - size(array_distinct(grams)), size(grams))
   }
+
+  def repetitionPpm(text: Column, n: Int): Column =
+    repetitionPpmOfTokens(split(normalized(text), " "), n)
 
   /** PII-pattern counts per document (email-shaped strings, long digit
     * runs) — the redaction-stage signal of a cleaning pipeline. Patterns are
