@@ -53,7 +53,12 @@ object Bench {
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // each run re-persists its own intermediates; clear between runs so
+          // stale cache entries don't inflate later queries (CacheManager
+          // "already cached" churn)
+          spark.sharedState.cacheManager.clearCache()
+          dt
         }
         name -> times.min
       }

@@ -67,7 +67,8 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")),
 
     "cdc_txn_group" -> ((s, d) =>
-      Cdc.transactionSummary(t(s, d, "events"), col("user_id"), col("event_id"), col("value"))),
+      Cdc.transactionSummary(t(s, d, "events"), col("user_id"), col("event_id"), col("value"))
+        .withColumn("total_value", col("total_value").cast("string"))),
 
     "cdc_txn_seq" -> ((s, d) =>
       Cdc.perSecondSequence(t(s, d, "events"), col("ts"), col("event_id"))
@@ -156,7 +157,7 @@ object SparkEntry {
         MysqlValues.unsignedTiny(sgn).as("utiny"),
         MysqlValues.unsignedSmall(sgn).as("usmall"),
         MysqlValues.unsignedInt(sgn).as("uint"),
-        MysqlValues.unsignedBigint(sgn).as("ubig"))
+        MysqlValues.unsignedBigint(sgn).cast("string").as("ubig"))
     }),
 
     "mysql_hex_bit_decode" -> ((s, d) =>
@@ -181,16 +182,21 @@ object SparkEntry {
         MysqlValues.dateString(col("ts")).as("date_str"))),
 
     // ----- Relational substrate (SURVEY §2.9) -----
+    // Decimal outputs are rendered as plain strings (exact arithmetic keeps
+    // the same scale in both engines, so the rendered text is identical) —
+    // the reference's own sink behavior (MysqlTypeDeserializer.java:215-218
+    // BigDecimal.toPlainString) and the only representation the driver's
+    // hasher treats deterministically across Spark and DuckDB decimals.
     "q1_pricing_summary" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("string").as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(12,2)") *
             (expr("CAST(1 AS DECIMAL(1,0))") - col("l_discount").cast("decimal(4,2)")))
-            .as("sum_disc_price"),
+            .cast("string").as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
     "q3_shipping_topk" -> ((s, d) => {
@@ -205,7 +211,8 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
-        .select(col("l_orderkey"), col("revenue"), unix_millis(col("o_orderdate")).as("o_date_ms"))
+        .select(col("l_orderkey"), col("revenue").cast("string").as("revenue"),
+          unix_millis(col("o_orderdate")).as("o_date_ms"))
     }),
 
     "q5_local_revenue" -> ((s, d) => {
@@ -226,7 +233,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (expr("CAST(1 AS DECIMAL(1,0))") - col("l_discount").cast("decimal(4,2)")))
-          .as("revenue"))
+          .cast("string").as("revenue"))
     }),
 
     "q_window_rank" -> ((s, d) => {
@@ -260,7 +267,7 @@ object SparkEntry {
                  grouping(o_orderstatus) AS g_status,
                  grouping(o_orderpriority) AS g_prio,
                  count(*) AS cnt,
-                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS total
                FROM orders_v
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     }),
@@ -280,10 +287,10 @@ object SparkEntry {
       // wide→long melt: one narrow projection + generator, no shuffle
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
-          col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"),
-          col("l_discount").cast("decimal(18,2)").as("l_discount"),
-          col("l_tax").cast("decimal(18,2)").as("l_tax"))
+          col("l_quantity").cast("decimal(18,2)").cast("string").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("string").as("l_extendedprice"),
+          col("l_discount").cast("decimal(18,2)").cast("string").as("l_discount"),
+          col("l_tax").cast("decimal(18,2)").cast("string").as("l_tax"))
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
           "metric", "amount")),
@@ -309,13 +316,13 @@ object SparkEntry {
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("string").as("sum_qty"),
           count(lit(1)).as("cnt"))),
 
     "q_cube" -> ((s, d) =>
       t(s, d, "orders").cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast("decimal(14,2)")).as("total"))),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("string").as("total"))),
 
     "q_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -323,7 +330,7 @@ object SparkEntry {
       val wl = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       t(s, d, "events").select(
         col("event_id"), col("user_id"),
-        sum(col("value").cast("decimal(18,2)")).over(w).as("running_value"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("string").as("running_value"),
         lead(col("event_id"), 1).over(wl).as("next_event"),
         first(col("event_id")).over(w).as("first_event"))
     }),
@@ -356,7 +363,8 @@ object SparkEntry {
       // (windowed agg + watermark in stream mode; SURVEY §2.9 streaming row)
       t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(col("value").cast("decimal(18,2)")).as("total"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("string").as("total"))
         .select(unix_millis(col("window.start")).as("window_ms"), col("event_type"),
           col("cnt"), col("total"))),
 
@@ -412,7 +420,7 @@ object SparkEntry {
     "q_having" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(14,2)")).as("total_spend"))
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("string").as("total_spend"))
         .filter(col("n_orders") >= 12)),
 
     "q_case_agg" -> ((s, d) =>
@@ -646,7 +654,8 @@ object SparkEntry {
 
     "cdc_txn_group" ->
       """SELECT user_id AS txn_id, count(*) AS n_events, min(event_id) AS first_event,
-           max(event_id) AS last_event, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+           max(event_id) AS last_event,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value
          FROM events GROUP BY user_id""",
 
     "cdc_txn_seq" ->
@@ -767,7 +776,7 @@ object SparkEntry {
       """WITH s AS (SELECT event_id, (event_id % 300) - 150 AS s FROM events)
          SELECT event_id, s, s & 255 AS utiny, s & 65535 AS usmall,
            s & 4294967295 AS uint,
-           CAST(CASE WHEN s < 0 THEN 18446744073709551616 + s ELSE s END AS DECIMAL(20,0)) AS ubig
+           CAST(CAST(CASE WHEN s < 0 THEN 18446744073709551616 + s ELSE s END AS DECIMAL(20,0)) AS VARCHAR) AS ubig
          FROM s""",
 
     "mysql_hex_bit_decode" ->
@@ -794,26 +803,28 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS sum_disc_price,
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
 
     "q3_shipping_topk" ->
-      """SELECT l_orderkey,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
-           epoch_ms(o_orderdate) AS o_date_ms
-         FROM customer JOIN orders ON c_custkey = o_custkey
-           JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE c_mktsegment = 'BUILDING'
-         GROUP BY l_orderkey, o_orderdate
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      """WITH agg AS (
+           SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue_dec,
+             epoch_ms(o_orderdate) AS o_date_ms
+           FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+           GROUP BY l_orderkey, o_orderdate
+           ORDER BY revenue_dec DESC, l_orderkey LIMIT 10)
+         SELECT l_orderkey, CAST(revenue_dec AS VARCHAR) AS revenue, o_date_ms FROM agg""",
 
     "q5_local_revenue" ->
       """SELECT n_name,
-           sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS revenue
          FROM lineitem
            JOIN orders ON l_orderkey = o_orderkey
            JOIN supplier ON l_suppkey = s_suppkey
@@ -836,7 +847,7 @@ object SparkEntry {
            grouping(o_orderstatus) AS g_status,
            grouping(o_orderpriority) AS g_prio,
            count(*) AS cnt,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 
@@ -850,10 +861,10 @@ object SparkEntry {
 
     "q_unpivot" ->
       """WITH src AS (SELECT l_orderkey, l_linenumber,
-             CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
-             CAST(l_discount AS DECIMAL(18,2)) AS l_discount,
-             CAST(l_tax AS DECIMAL(18,2)) AS l_tax
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS l_quantity,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS l_extendedprice,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) AS l_discount,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) AS l_tax
            FROM lineitem)
          UNPIVOT src ON l_quantity, l_extendedprice, l_discount, l_tax
          INTO NAME metric VALUE amount""",
@@ -874,18 +885,18 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS cnt
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS sum_qty, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS total
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q_running_sum" ->
       """SELECT event_id, user_id,
-           sum(CAST(value AS DECIMAL(18,2))) OVER
-             (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS running_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+             (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS running_value,
            lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event,
            first_value(event_id) OVER
              (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS first_event
@@ -912,7 +923,7 @@ object SparkEntry {
 
     "q_time_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_ms, event_type,
-           count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total
+           count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
          FROM events GROUP BY 1, 2""",
 
     "q_json_extract" ->
@@ -952,7 +963,7 @@ object SparkEntry {
 
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(14,2))) AS total_spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS total_spend
          FROM orders GROUP BY o_custkey HAVING count(*) >= 12""",
 
     "q_case_agg" ->

@@ -63,15 +63,22 @@ object GtidSetAlgebra {
     * first range. Returns None for an empty set. */
   def gapFreePrefixEnd(ranges: Ranges): Option[Long] = ranges.headOption.map(_._2)
 
+  /** The whole gap-free prefix (lo, hi) — the actual first uninterrupted
+    * range, as the reference's extractFinalRanges reports it. Claiming
+    * `1-hi` when the prefix starts above 1 would assert txns 1..lo-1
+    * applied and let a resume skip them. */
+  def gapFreePrefix(ranges: Ranges): Option[(Long, Long)] = ranges.headOption
+
   /** Safe checkpoint across tasks: union all per-task applied sets, then for
-    * each server UUID take the gap-free prefix end. */
-  def safeCheckpoint(taskSets: Iterable[String]): Map[String, Long] = {
+    * each server UUID take the gap-free prefix (lo, hi). */
+  def safeCheckpoint(taskSets: Iterable[String]): Map[String, (Long, Long)] = {
     val merged = union(taskSets.map(parse))
-    merged.flatMap { case (u, rs) => gapFreePrefixEnd(rs).map(u -> _) }
+    merged.flatMap { case (u, rs) => gapFreePrefix(rs).map(u -> _) }
   }
 
-  /** Render a safe checkpoint back to GTID-set string form (from txn 1, as
-    * the reference reports the applied prefix). Deterministic uuid order. */
-  def render(safe: Map[String, Long]): String =
-    SortedMap.from(safe).map { case (u, hi) => s"$u:1-$hi" }.mkString(",")
+  /** Render a safe checkpoint back to GTID-set string form — the actual
+    * applied prefix `uuid:lo-hi`, never a hard-coded `1-`. Deterministic
+    * uuid order. */
+  def render(safe: Map[String, (Long, Long)]): String =
+    SortedMap.from(safe).map { case (u, (lo, hi)) => s"$u:$lo-$hi" }.mkString(",")
 }

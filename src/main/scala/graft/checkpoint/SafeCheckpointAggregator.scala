@@ -12,7 +12,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * Usable as `functions.udaf(SafeCheckpointAggregator)` in any groupBy, or
   * via `Dataset.select(SafeCheckpointAggregator.toColumn)` on a typed
   * Dataset[String]. Merge is associative+commutative (range-set union), so
-  * Spark partial-aggregates it map-side.
+  * Spark partial-aggregates it map-side. The finished value renders the
+  * actual gap-free prefix `uuid:lo-hi` (never a hard-coded `1-`), so a
+  * resume from it cannot skip transactions below the first applied range.
   */
 object SafeCheckpointAggregator extends Aggregator[String, String, String] {
 

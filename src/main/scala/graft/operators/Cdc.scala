@@ -20,14 +20,16 @@ object Cdc {
   // Filters (reference: StreamsBuilder.filter, AugmenterContext.shouldAugmentTable)
   // --------------------------------------------------------------------------
 
-  /** Table include/exclude gate: include list overrides exclude regex
-    * (reference: AugmenterContext.java:711-730). A plain `filter`, so it
+  /** Table include/exclude gate — whitelist AND blacklist: a table passes
+    * only if it is NOT excluded and (no include list is set OR it is in the
+    * include list) (reference: AugmenterContext.java:711-730
+    * shouldAugmentTable is `!excluded && included`). A plain `filter`, so it
     * pushes into the scan (PushedFilters) — at 100 TB the excluded tables'
     * row groups are never read when the source is partitioned by table. */
   def tableFilter(df: DataFrame, tableCol: Column, include: Seq[String], excludePattern: Option[String]): DataFrame = {
-    val inc: Column = if (include.nonEmpty) tableCol.isin(include: _*) else lit(false)
+    val inc: Column = if (include.nonEmpty) tableCol.isin(include: _*) else lit(true)
     val exc: Column = excludePattern.map(p => tableCol.rlike(p)).getOrElse(lit(false))
-    df.filter(inc || !exc)
+    df.filter(inc && !exc)
   }
 
   /** Table-name merge: strip a regex suffix so time-sharded physical tables

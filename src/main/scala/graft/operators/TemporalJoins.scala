@@ -30,22 +30,26 @@ object TemporalJoins {
                build: DataFrame, buildKey: Column, buildTs: Column,
                buildPayload: Seq[(String, Column)]): DataFrame = {
     val pCols = probe.columns
-    val payloadTypes = buildPayload.map { case (n, c) => n -> build.select(c).schema.head.dataType }
+    // ALL payload columns ride in ONE struct with a non-null match marker:
+    // a single last(ignoreNulls) fill can never mix payload fields from
+    // different build rows, and nullable payload fields never drop a match.
+    val bStruct = struct(
+      (lit(1).as("__matched") +: buildPayload.map { case (n, c) => c.as(n) }): _*)
+    val bStructType = build.select(bStruct.as("__b")).schema("__b").dataType
     val p = probe.select(
       (probeKey.as("__k") +: probeTs.as("__ts") +: lit(1).as("__side") +:
-        pCols.map(c => probe(c)) ++:
-        payloadTypes.map { case (n, dt) => lit(null).cast(dt).as(s"__b_$n") }): _*)
+        pCols.map(c => probe(c)) :+
+        lit(null).cast(bStructType).as("__b")): _*)
     val b = build.select(
       (buildKey.as("__k") +: buildTs.as("__ts") +: lit(0).as("__side") +:
-        pCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++:
-        buildPayload.map { case (n, c) => c.as(s"__b_$n") }): _*)
+        pCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        bStruct.as("__b")): _*)
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = buildPayload.foldLeft(p.unionByName(b)) { case (df, (n, _)) =>
-      df.withColumn(s"__b_$n", last(col(s"__b_$n"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1 && col(s"__b_${buildPayload.head._1}").isNotNull)
-      .select(pCols.map(col) ++ buildPayload.map { case (n, _) => col(s"__b_$n").as(n) }: _*)
+    val filled = p.unionByName(b)
+      .withColumn("__b", last(col("__b"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1 && col("__b").isNotNull)
+      .select(pCols.map(col) ++ buildPayload.map { case (n, _) => col(s"__b.$n").as(n) }: _*)
   }
 
   /** Range join (point-in-interval): pair every point with every interval

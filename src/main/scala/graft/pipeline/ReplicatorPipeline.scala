@@ -49,12 +49,16 @@ object ReplicatorPipeline {
     * Works identically over a batch Dataset and a streaming one (the
     * assembler's flatMapGroupsWithState runs in both modes). */
   def transform(ops: Dataset[Op], cfg: PipelineConfig): Dataset[StampedOp] = {
+    // whitelist AND blacklist (reference: AugmenterContext.java:711-730
+    // shouldAugmentTable = !excluded && included): a table must pass BOTH
+    // gates — not be excluded, and be in the include list when one is set.
     val filtered =
       if (cfg.tables.include.isEmpty && cfg.tables.excludePattern.isEmpty) ops
       else ops.filter { op =>
-        op.kind == "BEGIN" || op.kind == "COMMIT" || op.kind == "DDL" ||
-          cfg.tables.include.contains(op.table) ||
-          cfg.tables.excludePattern.forall(p => !op.table.matches(p))
+        op.kind == "BEGIN" || op.kind == "COMMIT" || op.kind == "DDL" || {
+          (cfg.tables.include.isEmpty || cfg.tables.include.contains(op.table)) &&
+            cfg.tables.excludePattern.forall(p => !op.table.matches(p))
+        }
       }
     if (!filtered.isStreaming) {
       // bounded input (backfills, binlog-flusher analog): the column-native

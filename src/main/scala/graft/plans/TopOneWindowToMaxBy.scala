@@ -68,8 +68,13 @@ object TopOneWindowToMaxBy extends Rule[LogicalPlan] {
           }
           val payload = aggChild.output
           val rowStruct = CreateStruct(payload)
-          val keyExpr =
-            if (os.length == 1) os.head.child else CreateStruct(os.map(_.child))
+          // max_by/min_by skip rows whose order key is NULL, but
+          // row_number()=1 still returns a real row when a partition's key
+          // is null on every row. Wrapping the keys in a struct behind a
+          // non-null discriminator makes the aggregate's key total: struct
+          // field comparison sorts null smallest, which coincides with the
+          // guarded Asc-NullsFirst / Desc-NullsLast window orderings.
+          val keyExpr = CreateStruct(Literal(1) +: os.map(_.child))
           val pick =
             (if (allDesc) MaxBy(rowStruct, keyExpr) else MinBy(rowStruct, keyExpr))
               .toAggregateExpression()

@@ -58,12 +58,26 @@ final case class OpLogOffset(line: Long) extends Offset {
 }
 
 final class OpLogMicroBatchStream(path: String) extends MicroBatchStream {
+  /** Count only newline-TERMINATED lines: a producer may be mid-append, and
+    * a torn final line must stay outside the offset so the next micro-batch
+    * picks up the completed event instead of the reader consuming (and
+    * permissively skipping) a half-written record. */
   private def lineCount(): Long = {
     val f = new java.io.File(path)
     if (!f.exists()) 0L
     else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().size.toLong finally src.close()
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = 0L
+        var r = in.read(buf)
+        while (r > 0) {
+          var i = 0
+          while (i < r) { if (buf(i) == '\n') n += 1; i += 1 }
+          r = in.read(buf)
+        }
+        n
+      } finally in.close()
     }
   }
 

@@ -7,11 +7,17 @@ import graft.operators.Cdc
 class CdcOpsSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("tableFilter: include overrides exclude (AugmenterContext.java:711-730)") {
+  test("tableFilter: whitelist AND blacklist (AugmenterContext.java:711-730)") {
     val df = Seq("keep_me", "drop_2018", "other").toDF("table")
-    val out = Cdc.tableFilter(df, col("table"), include = Seq("drop_2018"),
+    // include-only: unlisted tables do NOT pass
+    val incOnly = Cdc.tableFilter(df, col("table"), include = Seq("keep_me"),
+      excludePattern = None).as[String].collect().toSet
+    assert(incOnly == Set("keep_me"))
+    // include + exclude: excluded wins even for an included table
+    val both = Cdc.tableFilter(df, col("table"), include = Seq("keep_me", "drop_2018"),
       excludePattern = Some(".*_\\d+$")).as[String].collect().toSet
-    assert(out == Set("keep_me", "drop_2018", "other")) // include wins for drop_2018
+    assert(both == Set("keep_me"))
+    // exclude-only
     val out2 = Cdc.tableFilter(df, col("table"), Nil, Some(".*_\\d+$")).as[String].collect().toSet
     assert(out2 == Set("keep_me", "other"))
   }

@@ -74,6 +74,29 @@ class OpLogSourceSpec extends SparkTestBase {
     assert(spark.table("permissive").count() == 3) // the good lines
   }
 
+  test("torn (newline-less) tail line stays outside the offset until completed") {
+    val log = Files.createTempDirectory("oplog3").resolve("binlog.0001").toString
+    appendLines(log, Seq(
+      OpLogCodec.encode("BEGIN", "t1", 1, 1, 1000L, "t", "k", Map.empty, Map.empty)))
+    // producer mid-append: a partial line with NO trailing newline
+    val full = OpLogCodec.encode("INSERT", "t1", 1, 2, 1000L, "t", "k", Map.empty, Map("a" -> "1"))
+    Files.write(Paths.get(log), full.substring(0, full.length / 2).getBytes("UTF-8"),
+      StandardOpenOption.APPEND)
+    val q = spark.readStream.format("graft-oplog").option("path", log).load().as[Op]
+      .writeStream.format("memory").queryName("torn").outputMode("append").start()
+    q.processAllAvailable()
+    // only the terminated line was consumed — the torn line was NOT read,
+    // skipped, and silently lost
+    assert(spark.table("torn").count() == 1)
+    // producer completes the line (+ newline): next batch delivers the event
+    Files.write(Paths.get(log), (full.substring(full.length / 2) + "\n").getBytes("UTF-8"),
+      StandardOpenOption.APPEND)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("torn").count() == 2)
+    assert(spark.table("torn").where(col("kind") === "INSERT").count() == 1)
+  }
+
   test("codec round-trips maps with reserved characters") {
     val line = OpLogCodec.encode("INSERT", "t", 1, 2, 3L, "tbl", "k",
       Map("a&b" -> "v=1\tx"), Map("c" -> "über"))

@@ -53,6 +53,24 @@ class OptimizerRuleSpec extends SparkTestBase with BeforeAndAfterEach {
     assert(topk.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 
+  test("all-null order key partitions still return a real row (not all-null payload)") {
+    // max_by/min_by skip null keys; the rule wraps keys in a non-null struct
+    // so a partition whose order key is null on every row behaves like the
+    // original row_number()=1 window (returns one of its actual rows)
+    val nullable = Seq(
+      (1, "a", Some(100L), "x"), (2, "a", Some(200L), "y"),
+      (3, "n", None: Option[Long], "p"), (4, "n", None: Option[Long], "q")
+    ).toDF("ev", "key", "ts", "payload")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ts").desc_nulls_last, col("ev").desc_nulls_last)
+    val q = nullable.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("key", "payload")
+    assert(q.queryExecution.optimizedPlan.toString.contains("max_by"))
+    val out = q.as[(String, String)].collect().toMap
+    assert(out("a") == "y")
+    assert(Set("p", "q").contains(out("n")), s"all-null partition lost: $out")
+  }
+
   test("rewritten plan matches the window plan on the events table") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

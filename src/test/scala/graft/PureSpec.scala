@@ -18,17 +18,20 @@ class PureSpec extends AnyFunSuite {
     assert(GtidSetAlgebra.parse("u:1-3:7-9") == Map("u" -> List((1L, 3L), (7L, 9L))))
   }
 
-  test("safe checkpoint is the gap-free prefix end across task sets") {
+  test("safe checkpoint is the gap-free prefix across task sets") {
     val safe = GtidSetAlgebra.safeCheckpoint(Seq("u:1-4", "u:6-9"))
-    assert(safe == Map("u" -> 4L)) // 5 missing: cannot advance past 4
+    assert(safe == Map("u" -> (1L, 4L))) // 5 missing: cannot advance past 4
     val safe2 = GtidSetAlgebra.safeCheckpoint(Seq("u:1-4", "u:5-9"))
-    assert(safe2 == Map("u" -> 9L)) // union closes the gap
+    assert(safe2 == Map("u" -> (1L, 9L))) // union closes the gap
     val multi = GtidSetAlgebra.safeCheckpoint(Seq("a:1-3,b:1-2", "a:4-5", "b:4"))
-    assert(multi == Map("a" -> 5L, "b" -> 2L))
+    assert(multi == Map("a" -> (1L, 5L), "b" -> (1L, 2L)))
   }
 
-  test("render is deterministic") {
-    assert(GtidSetAlgebra.render(Map("b" -> 2L, "a" -> 5L)) == "a:1-5,b:1-2")
+  test("render is deterministic and reports the ACTUAL prefix start") {
+    assert(GtidSetAlgebra.render(Map("b" -> (1L, 2L), "a" -> (1L, 5L))) == "a:1-5,b:1-2")
+    // prefix starting above 1 must NOT be rendered as 1-hi (that would claim
+    // txns 1..lo-1 applied and let a resume skip them)
+    assert(GtidSetAlgebra.render(GtidSetAlgebra.safeCheckpoint(Seq("u:3-7"))) == "u:3-7")
   }
 
   test("property: normalize of random range sets is sorted/disjoint with exact gap-free prefix") {

@@ -272,16 +272,30 @@ class StreamingSpec extends SparkTestBase {
     assert(mismatches == Set("2", "3"))
   }
 
-  test("table filter config: include overrides exclude in the pipeline transform") {
+  test("table filter config: whitelist AND blacklist in the pipeline transform") {
+    // reference semantics (AugmenterContext.java:711-730): a table passes
+    // only if NOT excluded AND (include list empty OR table included)
     val ops = Seq(
       op("BEGIN", "t1", 1),
       op("INSERT", "t1", 2, table = "keep_2018", after = Map("a" -> "1")),
       op("INSERT", "t1", 3, table = "drop_2018", after = Map("a" -> "2")),
       op("INSERT", "t1", 4, table = "plain", after = Map("a" -> "3")),
       op("COMMIT", "t1", 5)).toDS()
-    val cfg = PipelineConfig("/tmp/x", "/tmp/y",
-      tables = TableFilterConfig(include = Seq("keep_2018"), excludePattern = Some(".*_\\d+$")))
-    val out = ReplicatorPipeline.transform(ops, cfg).collect().map(_.table).toSet
-    assert(out == Set("keep_2018", "plain"))
+    // include-only: unlisted tables must NOT pass
+    val incOnly = PipelineConfig("/tmp/x", "/tmp/y",
+      tables = TableFilterConfig(include = Seq("plain")))
+    assert(ReplicatorPipeline.transform(ops, incOnly).collect().map(_.table).toSet
+      == Set("plain"))
+    // include + exclude: an included-but-excluded table must NOT pass
+    val both = PipelineConfig("/tmp/x", "/tmp/y",
+      tables = TableFilterConfig(include = Seq("keep_2018", "plain"),
+        excludePattern = Some(".*_\\d+$")))
+    assert(ReplicatorPipeline.transform(ops, both).collect().map(_.table).toSet
+      == Set("plain"))
+    // exclude-only
+    val excOnly = PipelineConfig("/tmp/x", "/tmp/y",
+      tables = TableFilterConfig(excludePattern = Some(".*_\\d+$")))
+    assert(ReplicatorPipeline.transform(ops, excOnly).collect().map(_.table).toSet
+      == Set("plain"))
   }
 }

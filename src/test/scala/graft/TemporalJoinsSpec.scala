@@ -22,6 +22,25 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(out == Set((1L, 10L, "a"), (2L, 11L, "b")))
   }
 
+  test("as-of join: null payload fields never mix rows or drop matches") {
+    // build rows with NULL payload columns: the match must still be found
+    // (marker, not first-payload-null test) and both payload fields must come
+    // from the SAME (latest) build row even when one of them is null there
+    val probe = Seq((1L, "u", 300L)).toDF("pid", "k", "pts")
+    val build = Seq(
+      (10L, "u", 100L, Some("early"), Some(1L)),
+      (11L, "u", 200L, None: Option[String], Some(2L))) // latest: name null
+      .toDF("bid", "k", "bts", "name", "qty")
+    val out = TemporalJoins.asOfJoin(
+        probe, col("k"), col("pts"), build, col("k"), col("bts"),
+        Seq("name" -> col("name"), "qty" -> col("qty")))
+      .select("pid", "name", "qty").as[(Long, Option[String], Option[Long])]
+      .collect().toSet
+    // the latest build row (bid 11) wins wholesale: name=null, qty=2 —
+    // NOT name="early" (cross-row mix) and NOT dropped (null first payload)
+    assert(out == Set((1L, None, Some(2L))))
+  }
+
   test("range join: bin edges are exact (inclusive start, exclusive end)") {
     val points = Seq((1L, 10L), (2L, 20L), (3L, 19L), (4L, 9L)).toDF("pid", "x")
     val ivs = Seq((100L, 10L, 20L)).toDF("iid", "s", "e")
