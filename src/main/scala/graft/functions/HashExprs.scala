@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expressions wrapping [[HashAlgos]] — preferred over Scala
   * UDFs because they stay inside whole-stage codegen (no per-row
@@ -36,5 +36,65 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.minhashSig($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Native dot product over two DOUBLE arrays — wraps [[VecAlgos.dot]].
+  * Replaces the interpreted `aggregate(zip_with(...))` fold in the hot
+  * cosine/LSH-verify paths (bit-identical accumulation order). Inputs must
+  * already be ArrayType(DoubleType) (Similarity.asDouble / transform-cast —
+  * all graft call sites do); enforced at analysis time below. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecAlgos.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecAlgos.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native random-hyperplane sign signature — wraps [[VecAlgos.hyperplaneSig]].
+  * One codegen'd pass per row instead of `planes` interpreted zip_with+fold
+  * traversals; bucket values bit-identical to the composed formulation. */
+case class HyperplaneSigExpr(child: Expression, planes: Int, planeOffset: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 64, "planes must be in (0, 64]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecAlgos.hyperplaneSig(input.asInstanceOf[ArrayData], planes, planeOffset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecAlgos.hyperplaneSig($c, $planes, $planeOffset)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
     copy(child = newChild)
 }

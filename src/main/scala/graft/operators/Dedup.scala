@@ -168,13 +168,12 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, idCol: Column, vecCol: Column, threshold: Double,
                           bands: Int = 8, planesPerBand: Int = 5): DataFrame = {
     // Persist the vectors PRE-NORMALIZED: cosine verify then costs one dot
-    // fold per candidate pair instead of three (dot + both norms) — the
-    // higher-order-function folds are interpreted, and candidates number in
-    // the millions, so this is the dominant term. The persist also stops the
+    // per candidate pair instead of three (dot + both norms) — candidates
+    // number in the millions, so this is the dominant term. The dot itself is
+    // the native codegen'd DotProductExpr. The persist also stops the
     // multi-consumer re-execution (bucket join sides + verify join); at
     // 100 TB it becomes a checkpoint.
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, p) => acc + p)
+    def dot(x: Column, y: Column): Column = Similarity.dot(x, y)
     val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("raw"))
       .withColumn("n", sqrt(dot(col("raw"), col("raw"))))
       .withColumn("v", transform(col("raw"), x => x / col("n")))

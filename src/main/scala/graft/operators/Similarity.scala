@@ -13,13 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns, as a single
-    * codegen'd expression tree: zip_with product + sequential fold. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Native dot product ([[graft.functions.DotProductExpr]]): one codegen'd
+    * static call instead of an interpreted `aggregate(zip_with(...))` fold —
+    * in the verify/scoring paths this runs per candidate PAIR, so it is the
+    * CPU budget of the whole embedding family. Same accumulation order →
+    * bit-identical scores. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.DotProductExpr(
+      GraftBridge.toExpr(a), GraftBridge.toExpr(b)))
   }
+
+  /** Cosine similarity between two double-array columns via the native dot. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Cast a float embedding to double for numerically stable arithmetic. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
@@ -46,15 +53,9 @@ object Similarity {
     * an independent plane family (band b of a banded scheme passes
     * b·planes). */
   def hyperplaneSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
-    val bits = (0 until planes).map { i =>
-      // pseudo-random plane component in [-1,1): hash(i,j) scaled
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x * ((xxhash64(lit(i + planeOffset), j) % 1000L).cast("double") / 1000.0d)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.HyperplaneSigExpr(
+      GraftBridge.toExpr(vec), planes, planeOffset))
   }
 
   /** LSH-bucketed ANN: bucket corpus and queries by hyperplane signature,
