@@ -520,10 +520,13 @@ object SparkEntry {
       // train/eval decontamination: flag TRAINING docs (odd doc_id) whose
       // 3-gram Jaccard against any EVAL doc (even doc_id) is ≥ 0.8 — the
       // contamination sweep a training pipeline runs against benchmark sets.
-      // Exact oracle form; at 100 TB the identical crossing filter runs over
-      // minhash-LSH candidates instead of all pairs (minhashNearDupPairs).
-      val pairs = Dedup.ngramJaccardPairs(
-        t(s, d, "documents"), col("doc_id"), col("text"), 3, 800000L)
+      // Runs over minhash-LSH candidates with exact-Jaccard verification —
+      // the 100 TB path (linear scans + band-bucket joins, no all-pairs
+      // product); the exact all-pairs oracle hash-matches because LSH recall
+      // at J>=0.8 with 16x4 banding is ~1-4e-8 and verification is exact.
+      val pairs = Dedup.minhashNearDupPairs(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L)
       pairs.withColumn("train_id",
           when(col("a_id") % 2 =!= 0 && col("b_id") % 2 === 0, col("a_id"))
             .when(col("b_id") % 2 =!= 0 && col("a_id") % 2 === 0, col("b_id")))
@@ -1134,7 +1137,7 @@ object SparkEntry {
          WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
 
     "dedup_resolve" ->
-      """WITH docs AS (SELECT doc_id,
+      """WITH RECURSIVE docs AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
          FROM documents),
          sh AS (SELECT doc_id, list_distinct(
@@ -1144,8 +1147,12 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
          edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
-                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs)
-         SELECT id, least(min(peer), min(id)) AS canonical_id FROM edges GROUP BY id""",
+                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs),
+         reach(id, r) AS (
+           SELECT id, peer FROM edges
+           UNION
+           SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r)
+         SELECT id, least(min(r), id) AS canonical_id FROM reach GROUP BY id""",
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -1167,7 +1174,7 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
 
     "pipe_clean_corpus" ->
-      """WITH scored AS (
+      """WITH RECURSIVE scored AS (
            SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_m,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000.0 / length(text)) AS BIGINT) AS alpha_ppm
@@ -1184,9 +1191,13 @@ object SparkEntry {
            WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
          edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
                    UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs),
+         reach(id, r) AS (
+           SELECT id, peer FROM edges
+           UNION
+           SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r),
          non_canonical AS (
-           SELECT id AS doc_id FROM edges GROUP BY id
-           HAVING least(min(peer), min(id)) <> id)
+           SELECT id AS doc_id FROM reach GROUP BY id
+           HAVING least(min(r), id) <> id)
          SELECT lang, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(n_chars_m) AS BIGINT) AS total_chars

@@ -197,13 +197,43 @@ object Dedup {
       .select("a_id", "b_id", "cos_sim")
   }
 
-  /** Dedup resolution: given verified duplicate pairs, keep the minimum id
-    * of each pair-connected group's direct neighbors as canonical — a single
-    * agg pass (union-find's first iteration; iterate to fixpoint for deep
-    * chains, which near-dup clusters rarely need). */
+  /** Dedup resolution: map every node of the duplicate-pair graph to the
+    * MINIMUM id in its connected component — min-label propagation iterated
+    * to fixpoint, so chained clusters (A–B, B–C) resolve C→A, not C→B.
+    * Each round is two shuffles on the node id; rounds needed = graph
+    * diameter (near-dup clusters are shallow, typically ≤ 3). The driver
+    * only sees a per-round changed-count action, never the data. At larger
+    * diameters the same loop shape takes the alternating large-star /
+    * small-star optimization (Kiveris et al., "Connected Components in
+    * MapReduce"); for crawl-dedup graphs plain propagation converges first. */
   def resolveCanonical(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("a_id").as("id"), col("b_id").as("peer"))
       .union(pairs.select(col("b_id").as("id"), col("a_id").as("peer")))
-    edges.groupBy(col("id")).agg(least(min(col("peer")), min(col("id"))).as("canonical_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("id"))
+      .agg(least(min(col("peer")), min(col("id"))).as("canonical_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      // each node pulls the smallest label among its own and its neighbors'
+      val viaPeers = edges
+        .join(labels.select(col("id").as("peer"), col("canonical_id").as("peer_label")), "peer")
+        .groupBy(col("id")).agg(min(col("peer_label")).as("peer_min"))
+      val next = labels.join(viaPeers, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("peer_min"), col("canonical_id")))
+            .as("canonical_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("canonical_id").as("old")), "id")
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
   }
 }

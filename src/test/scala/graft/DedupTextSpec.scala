@@ -47,10 +47,31 @@ class DedupTextSpec extends SparkTestBase {
     assert(ham(sigs(0L), sigs(2L)) <= ham(sigs(0L), sigs(1L))) // shuffle: identical token bag
   }
 
-  test("resolveCanonical maps every member of a dup group to its minimum id") {
+  test("resolveCanonical maps every member of a dup group to the component minimum") {
     val pairs = Seq((0L, 1L), (1L, 4L)).toDF("a_id", "b_id")
     val out = Dedup.resolveCanonical(pairs).as[(Long, Long)].collect().toMap
-    assert(out(1L) == 0L && out(4L) == 1L && out(0L) == 0L)
+    // chained cluster 0–1–4: 4 must resolve to 0 (the component min), not to
+    // its direct neighbor 1 — the single-iteration shortcut got this wrong
+    assert(out(1L) == 0L && out(4L) == 0L && out(0L) == 0L)
+  }
+
+  test("resolveCanonical converges deep chains and keeps components separate") {
+    // two components: a 5-deep chain 10–11–12–13–14 (descending discovery
+    // order so propagation actually needs multiple rounds) and a pair 2–3
+    val pairs = Seq((13L, 14L), (12L, 13L), (11L, 12L), (10L, 11L), (2L, 3L))
+      .toDF("a_id", "b_id")
+    val out = Dedup.resolveCanonical(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(out(_) == 10L))
+    assert(out(2L) == 2L && out(3L) == 2L)
+  }
+
+  test("contamination sweep runs on the LSH candidate path: no cross product in the plan") {
+    val q = SparkEntry.queries("dedup_contamination")(spark, "/root/testdata/sf0.001")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), s"quadratic plan shipped:\n${phys.take(2000)}")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"quadratic plan shipped:\n${phys.take(2000)}")
+    assert(q.count() > 0)
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("brute-force top-k ranks by cosine with deterministic ties") {
