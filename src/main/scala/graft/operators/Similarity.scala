@@ -83,6 +83,38 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "bucket").distinct()
   }
 
+  /** Banded ANN with exact verification — the oracle-comparable form of
+    * [[lshCosineCandidates]]: candidates share ANY of `bands` hyperplane
+    * buckets (narrow bands → recall at the verify threshold is effectively
+    * 1: 32×3 at cos 0.4 misses ~1e-4 of pairs), then the exact cosine —
+    * computed in the same float-op order as the all-pairs form, raw dot over
+    * precomputed norms — keeps only true threshold matches, so the output
+    * coincides with the exact query-vs-corpus join. Everything shuffles on
+    * (band, bucket); the corpus is scanned once. */
+  def annLshVerified(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                     queries: DataFrame, queryId: Column, queryVec: Column,
+                     threshold: Double, bands: Int = 32, planesPerBand: Int = 3): DataFrame = {
+    def withBands(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame = {
+      val base = df.select(id.as(idName), asDouble(vec).as(s"__v_$idName"))
+        .withColumn(s"__n_$idName", sqrt(dot(col(s"__v_$idName"), col(s"__v_$idName"))))
+      val sigs = array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          hyperplaneSignature(col(s"__v_$idName"), planesPerBand, b * planesPerBand).as("bucket"))): _*)
+      base.select(col(idName), col(s"__v_$idName"), col(s"__n_$idName"), explode(sigs).as("bb"))
+        .select(col(idName), col(s"__v_$idName"), col(s"__n_$idName"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val c = withBands(corpus, corpusId, corpusVec, "vec_id")
+    val q = withBands(queries, queryId, queryVec, "query_id")
+    c.join(q, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("__v_vec_id"), col("__v_query_id")) /
+          (col("__n_vec_id") * col("__n_query_id")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
   /** IVF-style coarse quantizer: assign each vector to its nearest of
     * `nlist` deterministic centroid seeds (the first nlist vectors by id —
     * reproducible without k-means iterations). Queries probe only their

@@ -93,16 +93,24 @@ class DedupTextSpec extends SparkTestBase {
     assert(b(0L) == b(1L))
   }
 
-  test("embedding LSH near-dup: exact precision, usable recall vs all-pairs") {
+  test("embedding LSH near-dup equals the all-pairs result (scores included)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(emb, col("vec_id"), col("embedding"), 0.4)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
     val lsh = Dedup.embeddingNearDupLsh(emb, col("vec_id"), col("embedding"), 0.4)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(exact), "LSH must never emit a pair the exact filter rejects")
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty)
-    val recall = lsh.size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low (${lsh.size}/${exact.size})")
+    // 32 narrow bands: every true pair recalled on this data; exact verify
+    // recomputes cosine in the identical float-op order → full equality
+    assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
+
+  test("simhash-verified pairs equal the all-pairs n-gram jaccard result") {
+    val pairs = Dedup.simhashVerifiedPairs(docs, col("doc_id"), col("text"), 3, 500000L)
+      .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 3, 500000L)
+      .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == exact && exact.nonEmpty)
   }
 
   test("sketches: HLL bounds, CMS overestimates-only, bloom gate never loses new docs") {
