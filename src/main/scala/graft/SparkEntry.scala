@@ -181,6 +181,27 @@ object SparkEntry {
         MysqlValues.epochMillisString(col("ts")).as("epoch_str"),
         MysqlValues.dateString(col("ts")).as("date_str"))),
 
+    "mysql_json_decode" -> ((s, d) => {
+      // JSON cells arrive from a row-based binlog in MySQL's binary JSON
+      // storage format (reference: MysqlTypeDeserializer.java:99-109). The
+      // fixture step synthesizes that wire image for each row's {"k": n}
+      // props (small object, one key, inlined int16 — k is in [0,99]); the
+      // operator under test is the binary→string decode expression.
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val wire = concat(
+        unhex(lit("00")),   // doc type: small object
+        unhex(lit("0100")), // element count = 1
+        unhex(lit("0C00")), // payload byte size = 12
+        unhex(lit("0B00")), // key offset = 11
+        unhex(lit("0100")), // key length = 1
+        unhex(lit("05")),   // value type: int16, inlined
+        unhex(lpad(hex(k.bitwiseAND(lit(0xFF))), 2, "0")),                 // value LE lo
+        unhex(lpad(hex(shiftright(k, 8).bitwiseAND(lit(0xFF))), 2, "0")),  // value LE hi
+        unhex(lit("6B")))   // key bytes: "k"
+      t(s, d, "events").select(col("event_id"),
+        MysqlValues.jsonBinaryDecode(wire).as("json_str"))
+    }),
+
     // ----- Relational substrate (SURVEY §2.9) -----
     // Decimal outputs are rendered as plain strings (exact arithmetic keeps
     // the same scale in both engines, so the rendered text is identical) —
@@ -811,6 +832,11 @@ object SparkEntry {
     "mysql_datetime_decode" ->
       """SELECT event_id, CAST(epoch_ms(ts) AS VARCHAR) AS epoch_str,
            strftime(ts, '%Y-%m-%d') AS date_str
+         FROM events""",
+
+    "mysql_json_decode" ->
+      """SELECT event_id,
+           '{"k":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || '}' AS json_str
          FROM events""",
 
     "q1_pricing_summary" ->

@@ -114,10 +114,18 @@ final class SchemaCatalog(val ownSchema: String) {
         val rest = toks(1)
         val inlinePk = rest.matches("(?i).*primary\\s+key.*")
         val notNull = rest.matches("(?i).*not\\s+null.*")
+        // per-column collation drives charset decode (reference resolves it
+        // from INFORMATION_SCHEMA per column — ActiveSchemaManager.java:
+        // 202-231, MysqlTypeDeserializer.java:85-97; here it comes off the
+        // DDL text: COLLATE wins, else CHARACTER SET/CHARSET names the family)
+        val collation = "(?i)collate[\\s=]+`?([\\w]+)`?".r.findFirstMatchIn(rest)
+          .map(_.group(1).toLowerCase)
+          .orElse("(?i)(?:character\\s+set|charset)[\\s=]+`?([\\w]+)`?".r
+            .findFirstMatchIn(rest).map(_.group(1).toLowerCase))
         Some(ColumnSpec(name, rest.split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).trim,
           nullable = !notNull && !inlinePk,
           key = if (inlinePk || pkClause.contains(name.toLowerCase)) "PRI" else "",
-          defaultValue = None, collation = None))
+          defaultValue = None, collation = collation))
       }
     }
   }

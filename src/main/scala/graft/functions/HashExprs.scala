@@ -98,3 +98,19 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, planeOffset: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
     copy(child = newChild)
 }
+
+/** MySQL binary-JSON → JSON string — wraps [[JsonBinaryAlgos.parseAsString]]
+  * (reference: MysqlTypeDeserializer.java:99-109 JSON cell decode). */
+case class MysqlJsonBinaryExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "mysql_json_decode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonBinaryAlgos.parseAsString(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.JsonBinaryAlgos.parseAsString($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MysqlJsonBinaryExpr =
+    copy(child = newChild)
+}

@@ -123,6 +123,15 @@ object MysqlValues {
   /** DECIMAL rendered as plain string (reference: MysqlTypeDeserializer.java:215-218). */
   def decimalPlainString(c: Column): Column = c.cast("string")
 
+  /** JSON columns arrive from a row-based binlog in MySQL's binary JSON
+    * storage format; decode to a JSON string (reference:
+    * MysqlTypeDeserializer.java:99-109 JsonBinary.parseAsString). Native
+    * codegen'd expression over the binary payload. */
+  def jsonBinaryDecode(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.MysqlJsonBinaryExpr(GraftBridge.toExpr(bytes)))
+  }
+
   /** Salted HBase-style row key: first 4 bytes of md5(first PK value) as hex,
     * then all PK values, ';'-separated — spreads lexicographically-clustered
     * keys across regions/partitions (reference:

@@ -91,4 +91,39 @@ class MysqlValuesSpec extends SparkTestBase {
   test("decimal plain string") {
     assert(one(MysqlValues.decimalPlainString(lit(BigDecimal("100.000000000")))) == "100.000000000")
   }
+
+  // --- MySQL binary JSON (reference: MysqlTypeDeserializer.java:99-109) ---
+
+  private def jsonOf(hex: String): String = {
+    val bytes = hex.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    one(MysqlValues.jsonBinaryDecode(lit(bytes))).toString
+  }
+
+  test("binary JSON: small object with inlined int16") {
+    // {"k":69}: type 00, count 1, size 12, key@11 len 1, value int16 inline
+    assert(jsonOf("00 0100 0C00 0B00 0100 05 4500 6B") == """{"k":69}""")
+    // negative inline int16: {"b":-2}
+    assert(jsonOf("00 0100 0C00 0B00 0100 05 FEFF 62") == """{"b":-2}""")
+  }
+
+  test("binary JSON: small array with literals, ints and an out-of-line string") {
+    // [1,true,null,"ab"]: count 4, size 19; string entry points at offset 16
+    assert(jsonOf("02 0400 1300 05 0100 04 0100 04 0000 0C 1000 02 6162")
+      == """[1,true,null,"ab"]""")
+  }
+
+  test("binary JSON: nested small object") {
+    // {"a":{"b":-2}}: outer value entry points at offset 12 where the inner
+    // small object begins
+    assert(jsonOf("00 0100 1800 0B00 0100 00 0C00 61 0100 0C00 0B00 0100 05 FEFF 62")
+      == """{"a":{"b":-2}}""")
+  }
+
+  test("binary JSON: scalar docs — double, u64, escaped string") {
+    // 1.5 = 0x3FF8000000000000 (LE on the wire)
+    assert(jsonOf("0B 000000000000F83F") == "1.5")
+    assert(jsonOf("0A FFFFFFFFFFFFFFFF") == "18446744073709551615")
+    // "a\"b" : varint len 3, bytes 61 22 62 — quote must escape
+    assert(jsonOf("0C 03 612262") == "\"a\\\"b\"")
+  }
 }

@@ -94,6 +94,28 @@ class RowDecoderSpec extends SparkTestBase {
     assert(decoded("utf") == "Ñandú")
   }
 
+  test("catalog wires per-column collation from DDL into charset decode") {
+    val cat = new SchemaCatalog("test")
+    cat.applyDdl(
+      """CREATE TABLE msgs (id INT PRIMARY KEY,
+         lat VARCHAR(30) CHARACTER SET latin1 COLLATE latin1_swedish_ci,
+         utf VARCHAR(30) COLLATE utf8mb4_general_ci,
+         plain VARCHAR(30))""", 1L)
+    val schema = cat.current("msgs").get
+    val byName = schema.columns.map(c => c.name -> c.collation).toMap
+    assert(byName("lat").contains("latin1_swedish_ci"))
+    assert(byName("utf").contains("utf8mb4_general_ci"))
+    assert(byName("plain").isEmpty)
+    // end-to-end: hex wire bytes decode per the CATALOG-derived collation
+    val utf8Hex = "Ñandú".getBytes("UTF-8").map("%02X".format(_)).mkString
+    val raw = Map("id" -> "1", "lat" -> "D1", "utf" -> utf8Hex)
+    val decoded = Seq(Tuple1(raw)).toDF("after")
+      .select(RowDecoder.decodeImage(col("after"), schema).as("d"))
+      .select(explode(col("d"))).as[(String, String)].collect().toMap
+    assert(decoded("lat") == "Ñ")
+    assert(decoded("utf") == "Ñandú")
+  }
+
   test("multi-table dispatch decodes a mixed stream per each table's schema") {
     val cat2 = new SchemaCatalog("test")
     cat2.applyDdl("CREATE TABLE a (id INT PRIMARY KEY, flags BIT(8))", 1L)
