@@ -101,6 +101,58 @@ class SourceAvroSpec extends SparkTestBase {
     assert(sums("hot") == 10000.0 && sums("cold7") == 2.0)
   }
 
+  test("bootstrap scrape seeds the catalog and registry; backfill decodes against it") {
+    import graft.augment.{RowDecoder, SchemaCatalog}
+    import graft.pipeline.Bootstrap
+    import graft.sink.FileSchemaRegistry
+    val cat = new SchemaCatalog("test")
+    val reg = new FileSchemaRegistry(Files.createTempDirectory("reg").toString)
+    // JDBC-shaped source: here parquet-backed driver tables stand in for
+    // spark.read.jdbc — the scrape only reads schemas
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val versions = Bootstrap.scrape(cat, reg, "tpch",
+      Map("nation" -> nation), Map("nation" -> Seq("n_nationkey")))
+    assert(versions == Map("bigdata-tpch-nation-value" -> 1))
+    val sch = cat.current("nation").get
+    assert(sch.columns.map(_.name).contains("n_name"))
+    assert(sch.columns.find(_.name == "n_nationkey").get.key == "PRI")
+    assert(reg.latest("bigdata-tpch-nation-value").map(_._1).contains(1))
+    // backfill through the batch path decodes against the scraped schema
+    val ops = Seq(
+      Op("INSERT", "b1", 1, 1, 100L, "nation", "1", Map.empty,
+        Map("n_nationkey" -> "1", "n_name" -> "FRANCE")),
+      Op("COMMIT", "b1", 1, 2, 200L, "nation", "1", Map.empty, Map.empty)).toDS()
+    val stamped = ReplicatorPipeline.transform(ops,
+      PipelineConfig("/tmp/na", "/tmp/nb")).toDF()
+    val decoded = RowDecoder.decodeStamped(stamped, sch)
+      .filter(col("kind") === "INSERT")
+      .select(element_at(col("after"), "n_name")).as[String].collect()
+    assert(decoded.toSeq == Seq("FRANCE"))
+  }
+
+  test("incompatible DDL deletes the subject and re-registers (KafkaApplier workflow)") {
+    import graft.augment.SchemaCatalog
+    import graft.sink.FileSchemaRegistry
+    val cat = new SchemaCatalog("test")
+    val reg = new FileSchemaRegistry(Files.createTempDirectory("reg2").toString)
+    val subject = AvroPresenter.subject("db", "t")
+    cat.applyDdl("CREATE TABLE t (id INT PRIMARY KEY, v INT)", 1L)
+    assert(reg.registerWithCompatHandling(subject,
+      AvroPresenter.avroSchema(cat.current("t").get)) == reg.Registration(1, false))
+    // compatible evolution: add a nullable column -> version bump, same lineage
+    cat.applyDdl("ALTER TABLE t ADD COLUMN note VARCHAR(20)", 2L)
+    assert(reg.registerWithCompatHandling(subject,
+      AvroPresenter.avroSchema(cat.current("t").get)) == reg.Registration(2, false))
+    // incompatible evolution: v flips int -> varchar (old int payloads
+    // unreadable) -> subject deleted, fresh registration from version 1
+    cat.applyDdl("ALTER TABLE t DROP COLUMN v", 3L)
+    cat.applyDdl("ALTER TABLE t ADD COLUMN v VARCHAR(10)", 4L)
+    val r = reg.registerWithCompatHandling(subject,
+      AvroPresenter.avroSchema(cat.current("t").get))
+    assert(r == reg.Registration(1, true))
+    assert(reg.versions(subject) == Seq(1))
+  }
+
   test("avro schema-compat gate: add-nullable ok, type flip incompatible (W4)") {
     def table(cols: Seq[ColumnSpec]) = TableSchemaV("db", "t", 0, cols, None, 0L)
     val v0 = AvroPresenter.avroSchema(table(Seq(
