@@ -202,6 +202,18 @@ object SparkEntry {
         MysqlValues.jsonBinaryDecode(wire).as("json_str"))
     }),
 
+    "mysql_geometry_decode" -> ((s, d) => {
+      // GEOMETRY family (reference DataType.java:50-58): the fixture step
+      // synthesizes each row's MySQL wire image (4-byte SRID + WKB) for
+      // POINT(x y); the operators under test are the WKT decode expression
+      // and the reference's hex fallback rendering.
+      val mkPoint = udf((x: Long, y: Long) =>
+        functions.GeometryAlgos.mysqlPointBytes(x.toDouble, y.toDouble))
+      t(s, d, "events")
+        .withColumn("__geo", mkPoint(col("event_id") % 360 - 180, (col("event_id") * 7) % 180 - 90))
+        .select(col("event_id"), MysqlValues.geometryWkt(col("__geo")).as("wkt"))
+    }),
+
     // ----- Relational substrate (SURVEY §2.9) -----
     // Decimal outputs are rendered as plain strings (exact arithmetic keeps
     // the same scale in both engines, so the rendered text is identical) —
@@ -832,6 +844,12 @@ object SparkEntry {
     "mysql_datetime_decode" ->
       """SELECT event_id, CAST(epoch_ms(ts) AS VARCHAR) AS epoch_str,
            strftime(ts, '%Y-%m-%d') AS date_str
+         FROM events""",
+
+    "mysql_geometry_decode" ->
+      """SELECT event_id,
+           'POINT(' || CAST(event_id % 360 - 180 AS VARCHAR) || ' '
+             || CAST((event_id * 7) % 180 - 90 AS VARCHAR) || ')' AS wkt
          FROM events""",
 
     "mysql_json_decode" ->

@@ -43,6 +43,12 @@ object RowDecoder {
         if (declared > 0) rpad(upper(raw), declared * 2, "0") else upper(raw)
       }
       else if (t.startsWith("varbinary") || t.contains("blob")) upper(raw)
+      else if (t.startsWith("geometry") || t.startsWith("point") || t.startsWith("linestring") ||
+               t.startsWith("polygon") || t.startsWith("multi"))
+        // reference renders the geometry family through its UNKNOWN/hex path
+        // (MysqlTypeDeserializer.java:220-230) — hex parity here; the typed
+        // WKT surface is MysqlValues.geometryWkt
+        upper(raw)
       else if (t.startsWith("time") && !t.startsWith("timestamp"))
         MysqlValues.timeString(raw.cast("long"))
       else if (t.startsWith("year")) MysqlValues.yearValue(raw.cast("int"))

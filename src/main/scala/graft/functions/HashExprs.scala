@@ -114,3 +114,21 @@ case class MysqlJsonBinaryExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MysqlJsonBinaryExpr =
     copy(child = newChild)
 }
+
+/** MySQL GEOMETRY (4-byte SRID + WKB) → WKT — wraps
+  * [[GeometryAlgos.mysqlGeometryToWkt]] (type family: reference
+  * DataType.java:50-58; reference deserializes via the hex path, this is the
+  * engine's typed surface on top). */
+case class MysqlGeometryWktExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "mysql_geometry_wkt"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GeometryAlgos.mysqlGeometryToWkt(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeometryAlgos.mysqlGeometryToWkt($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MysqlGeometryWktExpr =
+    copy(child = newChild)
+}

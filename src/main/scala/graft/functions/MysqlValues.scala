@@ -132,6 +132,15 @@ object MysqlValues {
     GraftBridge.toCol(graft.functions.MysqlJsonBinaryExpr(GraftBridge.toExpr(bytes)))
   }
 
+  /** GEOMETRY wire payload (4-byte SRID + WKB) rendered as WKT. The
+    * reference's own sink renders geometry through the hex path (its
+    * UNKNOWN fallback, MysqlTypeDeserializer.java:220-230) — `hexBytes`
+    * covers that parity; this is the typed surface. */
+  def geometryWkt(bytes: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.MysqlGeometryWktExpr(GraftBridge.toExpr(bytes)))
+  }
+
   /** Salted HBase-style row key: first 4 bytes of md5(first PK value) as hex,
     * then all PK values, ';'-separated — spreads lexicographically-clustered
     * keys across regions/partitions (reference:

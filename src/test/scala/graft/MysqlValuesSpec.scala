@@ -119,6 +119,36 @@ class MysqlValuesSpec extends SparkTestBase {
       == """{"a":{"b":-2}}""")
   }
 
+  // --- MySQL GEOMETRY (reference DataType.java:50-58; OGC WKB) ---
+
+  test("geometry WKT: point/linestring/polygon/multipoint, both endians") {
+    import graft.functions.GeometryAlgos
+    def wkt(hex: String): String = {
+      val bytes = hex.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      one(MysqlValues.geometryWkt(lit(bytes))).toString
+    }
+    def d(v: Double): String = { // little-endian IEEE-754 hex
+      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(v); bb.array().map("%02X".format(_)).mkString
+    }
+    val srid = "00000000"
+    assert(wkt(s"$srid 01 01000000 ${d(-3)} ${d(7.5)}") == "POINT(-3 7.5)")
+    assert(wkt(s"$srid 01 02000000 02000000 ${d(0)} ${d(0)} ${d(1)} ${d(2)}")
+      == "LINESTRING(0 0,1 2)")
+    assert(wkt(s"$srid 01 03000000 01000000 04000000 ${d(0)}${d(0)} ${d(4)}${d(0)} ${d(4)}${d(4)} ${d(0)}${d(0)}")
+      == "POLYGON((0 0,4 0,4 4,0 0))")
+    assert(wkt(s"$srid 01 04000000 02000000 01 01000000 ${d(1)}${d(1)} 01 01000000 ${d(2)}${d(2)}")
+      == "MULTIPOINT(1 1,2 2)")
+    // big-endian point: order byte 00, type/doubles big-endian
+    assert(wkt(s"$srid 00 00000001 C008000000000000 401E000000000000") == "POINT(-3 7.5)")
+    // collection: point + linestring
+    assert(wkt(s"$srid 01 07000000 02000000 01 01000000 ${d(5)}${d(6)} 01 02000000 01000000 ${d(9)}${d(9)}")
+      == "GEOMETRYCOLLECTION(POINT(5 6),LINESTRING(9 9))")
+    // round-trip the fixture encoder
+    assert(one(MysqlValues.geometryWkt(lit(GeometryAlgos.mysqlPointBytes(-180, 89)))).toString
+      == "POINT(-180 89)")
+  }
+
   test("binary JSON: scalar docs — double, u64, escaped string") {
     // 1.5 = 0x3FF8000000000000 (LE on the wire)
     assert(jsonOf("0B 000000000000F83F") == "1.5")
