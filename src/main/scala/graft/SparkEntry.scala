@@ -149,6 +149,22 @@ object SparkEntry {
           col("cell_ts"), col("event_id"))
     }),
 
+    "cdc_raw_adapter" -> ((s, d) => {
+      // the raw binlog event layer end-to-end (reference RawEventType.java:
+      // 4-43): events synthesized as serialized GTID/TABLE_MAP/ROWS/XID
+      // blocks, normalized by RawBinlogAdapter (as-of table-map resolution,
+      // windowed gtid context), then transaction-assembled — must re-derive
+      // exactly the per-event facts SQL computes directly on `events`.
+      val raw = EventsAsCdc.rawFromEvents(s, t(s, d, "events"))
+      val ops = graft.operators.RawBinlogAdapter.toOps(raw)
+      TransactionAssembler.assembleBatch(ops).toDF()
+        .filter(col("kind").isin("INSERT", "UPDATE"))
+        .select(col("txnUuid").as("txn_uuid"), col("kind"),
+          element_at(col("after"), "event_id").cast("bigint").as("event_id"),
+          col("rowKey").as("row_key"),
+          col("commitTsMs").as("commit_ts"))
+    }),
+
     // ----- MySQL type-decode semantics (SURVEY §1.3) -----
     "mysql_unsigned_decode" -> ((s, d) => {
       val sgn = (col("event_id") % 300) - 150
@@ -702,6 +718,15 @@ object SparkEntry {
            max(event_id) AS last_event,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value
          FROM events GROUP BY user_id""",
+
+    "cdc_raw_adapter" ->
+      """SELECT 'srv1:' || CAST(user_id AS VARCHAR) AS txn_uuid,
+           CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+                THEN 'INSERT' ELSE 'UPDATE' END AS kind,
+           event_id,
+           CAST(user_id AS VARCHAR) AS row_key,
+           max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ts
+         FROM events""",
 
     "cdc_txn_seq" ->
       """SELECT event_id, epoch_us(ts) // 1000000 AS sec,

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.augment.DdlClassifier
+import graft.model.{RawEvent, RawEventType => RT}
+import graft.streaming.Op
+
+/** Normalizes the raw binlog event layer into the engine's [[Op]] stream —
+  * the Spark analog of the reference's supplier→augmenter edge
+  * (reference: RawEventType.java:4-43 dispatch; Augmenter.java:149-191
+  * context updates).
+  *
+  * The reference walks the binlog single-threaded, holding mutable supplier
+  * state: the current GTID (set by a GTID event, read by everything until
+  * the next one), the pending ROWS_QUERY text (attached to the following
+  * rows events), and a tableId → TABLE_MAP cache. The declarative analog:
+  *  - GTID / ROWS_QUERY context = a running `last(ignoreNulls)` window over
+  *    the binlog order (serverId partition, file+position order). A binlog
+  *    is inherently sequential PER SERVER, so serverId is the right — and
+  *    only — partition key; multi-source replication scales out across
+  *    servers exactly like the reference runs one supplier per source.
+  *  - TABLE_MAP resolution = an as-of join (tableId key, position time):
+  *    each rows event takes the latest preceding map for its table id,
+  *    which is the binlog contract (MySQL re-emits TABLE_MAP before each
+  *    rows-event group). Reuses [[TemporalJoins.asOfJoin]] — one shuffle
+  *    on tableId, no per-event cache.
+  *
+  * Dispatch parity: QUERY classifies via [[DdlClassifier]] (BEGIN / COMMIT
+  * / DDL classes / OTHER-dropped); XID commits with its xxid; XA_PREPARE
+  * closes the prepared branch (the engine's op model has no 2-phase limbo —
+  * a prepared-then-committed XA txn is exactly a commit at prepare
+  * position, reference XAPrepareRawEventData); GTID begins a transaction;
+  * all three generations of rows events (PRE_GA_/plain/EXT_) decode
+  * identically; control events (ROTATE, FORMAT_DESCRIPTION, HEARTBEAT,
+  * PREVIOUS_GTIDS, …) never become data ops and surface via
+  * [[controlEvents]].
+  */
+object RawBinlogAdapter {
+
+  private def seqAny(s: Set[Int]): Seq[Any] = s.toSeq.map(_.asInstanceOf[Any])
+
+  /** Raw events with supplier context attached (current gtid / pending
+    * rows-query), still one row per raw event. */
+  def withContext(raw: Dataset[RawEvent]): DataFrame = {
+    val w = Window.partitionBy(col("serverId"))
+      .orderBy(col("file"), col("position"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    raw.toDF()
+      .withColumn("curGtid",
+        last(when(col("code") === RT.GTID, col("gtid")), ignoreNulls = true).over(w))
+      .withColumn("curRowsQuery",
+        last(when(col("code") === RT.ROWS_QUERY, col("sql")), ignoreNulls = true).over(w))
+  }
+
+  /** Full normalization: raw events → the engine's op stream, ready for
+    * [[graft.streaming.TransactionAssembler]]. */
+  def toOps(raw: Dataset[RawEvent]): Dataset[Op] = {
+    implicit val opEnc = Encoders.product[Op]
+    val ctx = withContext(raw)
+    val txnId = coalesce(col("curGtid"), concat(lit("pos:"), col("position")))
+    val emptyMap = typedLit(Map.empty[String, String])
+
+    // --- rows events: resolve TABLE_MAP as-of, explode row images ---
+    val rowEvents = ctx.filter(col("code").isin(seqAny(RT.rowCodes): _*))
+    val tableMaps = raw.toDF().filter(col("code") === RT.TABLE_MAP)
+    val resolved = TemporalJoins.asOfJoin(
+      rowEvents, col("tableId"), col("position"),
+      tableMaps, tableMaps("tableId"), tableMaps("position"),
+      Seq("mapDb" -> tableMaps("db"), "mapTable" -> tableMaps("table"),
+        "mapPks" -> tableMaps("pkColumns")))
+    val kind = when(col("code").isin(seqAny(RT.writeRowCodes): _*), "INSERT")
+      .when(col("code").isin(seqAny(RT.updateRowCodes): _*), "UPDATE")
+      .otherwise("DELETE")
+    val rowOps = resolved
+      .withColumn("row", explode(col("rows")))
+      .select(
+        kind.as("kind"), txnId.as("txnId"), lit(0L).as("xxid"),
+        col("position").as("eventId"), col("tsMs"),
+        col("mapTable").as("table"),
+        array_join(transform(col("mapPks"),
+          c => coalesce(element_at(col("row.after"), c),
+            element_at(col("row.before"), c))), ";").as("rowKey"),
+        coalesce(col("row.before"), emptyMap).as("before"),
+        coalesce(col("row.after"), emptyMap).as("after"))
+
+    // --- QUERY events: BEGIN / COMMIT / DDL via the classifier ---
+    val cls = DdlClassifier.classifyCol(col("sql"))
+    val queryOps = ctx.filter(col("code") === RT.QUERY)
+      .withColumn("cls", cls)
+      .filter(col("cls") =!= DdlClassifier.Other.name)
+      .select(
+        when(col("cls").startsWith("DDL"), "DDL").otherwise(col("cls")).as("kind"),
+        txnId.as("txnId"), lit(0L).as("xxid"),
+        col("position").as("eventId"), col("tsMs"),
+        // DDL target table (best-effort parse; catalog replay re-parses the
+        // full statement — reference rewrites+replays the raw SQL too)
+        coalesce(regexp_extract(col("sql"),
+          "(?i)table\\s+`?([A-Za-z0-9_]+)`?", 1), lit("")).as("table"),
+        lit("").as("rowKey"),
+        emptyMap.as("before"),
+        when(col("cls").startsWith("DDL"), map(lit("ddl"), col("sql")))
+          .otherwise(emptyMap).as("after"))
+
+    // --- transaction boundaries: GTID begins, XID / XA_PREPARE commit ---
+    val beginOps = ctx.filter(col("code") === RT.GTID)
+      .select(lit("BEGIN").as("kind"), col("gtid").as("txnId"), lit(0L).as("xxid"),
+        col("position").as("eventId"), col("tsMs"),
+        lit("").as("table"), lit("").as("rowKey"),
+        emptyMap.as("before"), emptyMap.as("after"))
+    val commitOps = ctx.filter(col("code") === RT.XID || col("code") === RT.XA_PREPARE)
+      .select(lit("COMMIT").as("kind"), txnId.as("txnId"),
+        coalesce(col("xid"), lit(0L)).as("xxid"),
+        col("position").as("eventId"), col("tsMs"),
+        lit("").as("table"), lit("").as("rowKey"),
+        emptyMap.as("before"), emptyMap.as("after"))
+
+    rowOps.unionByName(queryOps).unionByName(beginOps).unionByName(commitOps)
+      .as[Op]
+  }
+
+  /** The non-data control tail (ROTATE, FORMAT_DESCRIPTION, HEARTBEAT,
+    * PREVIOUS_GTIDS, INCIDENT, …) with type names — the reference's
+    * supplier-loop bookkeeping surface. */
+  def controlEvents(raw: Dataset[RawEvent]): DataFrame =
+    raw.toDF().filter(col("code").isin(seqAny(RT.controlCodes): _*))
+      .select(element_at(typedLit(RT.names), col("code")).as("event_type"),
+        col("serverId"), col("file"), col("position"), col("tsMs"),
+        col("nextFile"), col("gtidSet"), col("intVar"))
+}

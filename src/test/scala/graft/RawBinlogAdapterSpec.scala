@@ -1,0 +1,104 @@
+package graft
+
+import graft.model.{RawEvent, RawEventType => RT, RowImage}
+import graft.operators.RawBinlogAdapter
+import graft.streaming.TransactionAssembler
+
+/** Raw-event long tail (reference RawEventType.java:4-43): supplier-edge
+  * normalization into the op stream. */
+class RawBinlogAdapterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val F = "binlog.000001"
+  private def ev(code: Int, pos: Long, ts: Long = 1000L): RawEvent =
+    RawEvent(code = code, serverId = 1L, file = F, position = pos, tsMs = ts)
+
+  private def txn1: Seq[RawEvent] = Seq(
+    ev(RT.FORMAT_DESCRIPTION, 4),
+    ev(RT.PREVIOUS_GTIDS, 10).copy(gtidSet = Some("s1:1-41")),
+    ev(RT.GTID, 100).copy(gtid = Some("s1:42")),
+    ev(RT.QUERY, 110).copy(sql = Some("BEGIN")),
+    ev(RT.TABLE_MAP, 120).copy(tableId = Some(7L), db = Some("shop"),
+      table = Some("orders"), pkColumns = Seq("id")),
+    ev(RT.ROWS_QUERY, 125).copy(sql = Some("INSERT INTO orders VALUES (1),(2)")),
+    ev(RT.WRITE_ROWS, 130, ts = 1500L).copy(tableId = Some(7L), rows = Seq(
+      RowImage(Map.empty, Map("id" -> "1", "amt" -> "10")),
+      RowImage(Map.empty, Map("id" -> "2", "amt" -> "20")))),
+    ev(RT.XID, 140, ts = 2000L).copy(xid = Some(99L)))
+
+  test("gtid + table_map + write_rows + xid normalize to stamped INSERTs") {
+    val ops = RawBinlogAdapter.toOps(spark.createDataset(txn1)).collect()
+    val inserts = ops.filter(_.kind == "INSERT").sortBy(_.rowKey)
+    assert(inserts.length == 2)
+    assert(inserts.forall(o => o.txnId == "s1:42" && o.table == "orders"))
+    assert(inserts.map(_.rowKey).toSeq == Seq("1", "2"))
+    assert(ops.count(_.kind == "BEGIN") == 2) // GTID begin + explicit BEGIN query
+    val commit = ops.filter(_.kind == "COMMIT")
+    assert(commit.map(_.xxid).toSeq == Seq(99L))
+    // end-to-end: assembler stamps rows with the XID commit timestamp
+    val stamped = TransactionAssembler.assembleBatch(spark.createDataset(ops.toSeq))
+      .collect().filter(_.kind == "INSERT")
+    assert(stamped.forall(s => s.commitTsMs == 2000L && s.xxid == 99L))
+  }
+
+  test("interleaved table maps resolve per tableId; update/delete kinds and pk from before-image") {
+    val raw = Seq(
+      ev(RT.GTID, 100).copy(gtid = Some("s1:50")),
+      ev(RT.TABLE_MAP, 110).copy(tableId = Some(1L), db = Some("d"),
+        table = Some("users"), pkColumns = Seq("uid")),
+      ev(RT.TABLE_MAP, 111).copy(tableId = Some(2L), db = Some("d"),
+        table = Some("carts"), pkColumns = Seq("cid", "uid")),
+      ev(RT.EXT_UPDATE_ROWS, 120).copy(tableId = Some(1L), rows = Seq(
+        RowImage(Map("uid" -> "u1", "n" -> "a"), Map("uid" -> "u1", "n" -> "b")))),
+      ev(RT.EXT_DELETE_ROWS, 130).copy(tableId = Some(2L), rows = Seq(
+        RowImage(Map("cid" -> "c9", "uid" -> "u1"), Map.empty))),
+      // re-mapped tableId 1 later in the log: as-of picks the NEW map
+      ev(RT.TABLE_MAP, 140).copy(tableId = Some(1L), db = Some("d"),
+        table = Some("users_v2"), pkColumns = Seq("uid")),
+      ev(RT.WRITE_ROWS, 150).copy(tableId = Some(1L), rows = Seq(
+        RowImage(Map.empty, Map("uid" -> "u7")))),
+      ev(RT.XID, 160).copy(xid = Some(1L)))
+    val ops = RawBinlogAdapter.toOps(spark.createDataset(raw)).collect()
+    val upd = ops.find(_.kind == "UPDATE").get
+    assert(upd.table == "users" && upd.rowKey == "u1" && upd.before("n") == "a")
+    val del = ops.find(_.kind == "DELETE").get
+    assert(del.table == "carts" && del.rowKey == "c9;u1") // composite pk, before-image
+    val ins = ops.find(_.kind == "INSERT").get
+    assert(ins.table == "users_v2" && ins.rowKey == "u7")
+  }
+
+  test("QUERY classification: DDL becomes a barrier op, OTHER drops; XA_PREPARE commits") {
+    val raw = Seq(
+      ev(RT.GTID, 100).copy(gtid = Some("s1:60")),
+      ev(RT.QUERY, 110).copy(sql = Some("ALTER TABLE orders ADD COLUMN note text")),
+      ev(RT.QUERY, 120).copy(sql = Some("GRANT SELECT ON *.* TO 'x'")), // OTHER → dropped
+      ev(RT.XA_PREPARE, 130).copy(xaId = Some("xa-1")))
+    val ops = RawBinlogAdapter.toOps(spark.createDataset(raw)).collect()
+    val ddl = ops.find(_.kind == "DDL").get
+    assert(ddl.table == "orders" && ddl.after("ddl").startsWith("ALTER TABLE"))
+    assert(!ops.exists(_.after.get("ddl").exists(_.startsWith("GRANT"))))
+    assert(ops.count(_.kind == "COMMIT") == 1) // XA_PREPARE closes the branch
+  }
+
+  test("supplier context: rows-query text rides to the following rows event") {
+    val ctx = RawBinlogAdapter.withContext(spark.createDataset(txn1))
+      .where($"code" === RT.WRITE_ROWS).select("curGtid", "curRowsQuery").collect()
+    assert(ctx.head.getString(0) == "s1:42")
+    assert(ctx.head.getString(1).startsWith("INSERT INTO orders"))
+  }
+
+  test("control tail surfaces with names and payloads, never as data ops") {
+    val raw = txn1 ++ Seq(
+      ev(RT.ROTATE, 200).copy(nextFile = Some("binlog.000002")),
+      ev(RT.HEARTBEAT, 210),
+      ev(RT.INTVAR, 220).copy(intVar = Some(5L)))
+    val ops = RawBinlogAdapter.toOps(spark.createDataset(raw)).collect()
+    assert(ops.length == RawBinlogAdapter.toOps(spark.createDataset(txn1)).count())
+    val ctl = RawBinlogAdapter.controlEvents(spark.createDataset(raw))
+      .select("event_type").as[String].collect().toSet
+    assert(ctl == Set("FORMAT_DESCRIPTION", "PREVIOUS_GTIDS", "ROTATE",
+      "HEARTBEAT", "INTVAR"))
+    // full name registry parity with the reference enum: 39 codes, 0..38
+    assert(RT.names.size == 39 && RT.names.keySet == (0 to 38).toSet)
+  }
+}
