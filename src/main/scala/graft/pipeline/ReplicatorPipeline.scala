@@ -34,6 +34,12 @@ final case class PipelineConfig(
     triggerMs: Long = 5000L,            // reference safe-checkpoint period
     schemaCatalog: Option[graft.augment.SchemaCatalog] = None,
     schemaHistoryDir: Option[String] = None,
+    /** Kafka-path schema registry root: on every DDL the affected tables'
+      * Avro subjects re-register through the compat gate — compatible
+      * change → next version, incompatible → delete + re-register from v1
+      * (reference: KafkaApplier.handleIncompatibleSchemaChange,
+      * KafkaApplier.java:261-287). */
+    schemaRegistryDir: Option[String] = None,
     /** Opt-in eviction of transactions with no COMMIT (processing-time state
       * timeout). Off by default: per-txn state is already bounded by the
       * oversize-chunk guard, and timeout triggers interact badly with
@@ -97,9 +103,25 @@ object ReplicatorPipeline {
       // and catalog updates MUST be sequential — this is the one place the
       // reference's single-threaded semantics are load-bearing.
       val ddls = batch.filter(_.kind == "DDL").collect().sortBy(_.eventId)
+      val txBefore = cat.transitions.length
       ddls.foreach(d => cat.applyDdl(d.after.getOrElse("ddl", ""), d.commitTsMs))
-      if (ddls.nonEmpty) cfg.schemaHistoryDir.foreach { hd =>
-        cat.historyDf(spark).write.mode("overwrite").parquet(hd)
+      if (ddls.nonEmpty) {
+        cfg.schemaHistoryDir.foreach { hd =>
+          cat.historyDf(spark).write.mode("overwrite").parquet(hd)
+        }
+        // registry sync for the Kafka path: each table this batch's DDLs
+        // touched re-registers its subject through the compat gate
+        cfg.schemaRegistryDir.foreach { rd =>
+          val reg = new graft.sink.FileSchemaRegistry(rd)
+          cat.transitions.drop(txBefore).map(_.table).distinct
+            .filter(_.nonEmpty).foreach { tbl =>
+              cat.current(tbl).foreach { sch =>
+                reg.registerWithCompatHandling(
+                  graft.sink.AvroPresenter.subject(cat.ownSchema, tbl),
+                  graft.sink.AvroPresenter.avroSchema(sch))
+              }
+            }
+        }
       }
     }
     val routed = route(batch.filter(_.kind != "DDL").toDF(), cfg)

@@ -153,6 +153,33 @@ class SourceAvroSpec extends SparkTestBase {
     assert(reg.versions(subject) == Seq(1))
   }
 
+  test("pipeline DDL path drives the registry: version bump then forced re-registration") {
+    import graft.augment.SchemaCatalog
+    import graft.sink.FileSchemaRegistry
+    val cat = new SchemaCatalog("shop")
+    val regDir = Files.createTempDirectory("reg3").toString
+    val sink = Files.createTempDirectory("regsink").toString
+    val cfg = PipelineConfig(sink, "/tmp/unused",
+      schemaCatalog = Some(cat), schemaRegistryDir = Some(regDir))
+    val subject = AvroPresenter.subject("shop", "t")
+    def ddlOp(sql: String, id: Long) =
+      Op("DDL", s"d$id", 0, id, id * 100L, "t", "", Map.empty, Map("ddl" -> sql))
+
+    ReplicatorPipeline.runBatch(Seq(
+      ddlOp("CREATE TABLE t (id INT PRIMARY KEY, v INT)", 1)).toDS(), cfg)
+    val reg = new FileSchemaRegistry(regDir)
+    assert(reg.versions(subject) == Seq(1))
+    // compatible DDL in a later batch → next version, same lineage
+    ReplicatorPipeline.runBatch(Seq(
+      ddlOp("ALTER TABLE t ADD COLUMN note VARCHAR(20)", 2)).toDS(), cfg)
+    assert(reg.versions(subject) == Seq(1, 2))
+    // incompatible type flip → subject wiped, re-registered from v1
+    ReplicatorPipeline.runBatch(Seq(
+      ddlOp("ALTER TABLE t DROP COLUMN v", 3),
+      ddlOp("ALTER TABLE t ADD COLUMN v VARCHAR(10)", 4)).toDS(), cfg)
+    assert(reg.versions(subject) == Seq(1))
+  }
+
   test("avro schema-compat gate: add-nullable ok, type flip incompatible (W4)") {
     def table(cols: Seq[ColumnSpec]) = TableSchemaV("db", "t", 0, cols, None, 0L)
     val v0 = AvroPresenter.avroSchema(table(Seq(
