@@ -611,10 +611,11 @@ object SparkEntry {
           n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))),
 
     "dedup_simhash" -> ((s, d) =>
-      // banded scale path: bucket on 8-bit simhash bands, verify with EXACT
-      // n-gram Jaccard — output coincides with the all-pairs oracle
-      // (pigeonhole recall for hamming<=7; precision exact). The
-      // hamming-verified variant (simhashNearDupPairs) stays spec-tested.
+      // Manku-style simhash multiprobe (hamming<=7 guaranteed) ensembled
+      // with minhash bands for the high-hamming short-doc tail, EXACT
+      // n-gram-Jaccard verify — output coincides with the all-pairs oracle.
+      // The hamming-verified pure variant (simhashNearDupPairs) stays
+      // spec-tested.
       Dedup.simhashVerifiedPairs(t(s, d, "documents"), col("doc_id"), col("text"),
         n = 3, thresholdPpm = 800000L)),
 
@@ -622,10 +623,13 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
     "dedup_embedding_lsh" -> ((s, d) =>
-      // 32 narrow bands make recall at the verified threshold effectively 1
-      // (miss ~1e-4/pair) and verification recomputes the exact cosine in
-      // the oracle's float-op order — hash-matches the all-pairs oracle
-      Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
+      // At this corpus's threshold (0.4, true pairs at cos 0.40-0.6) no
+      // hyperplane band config is selective (32×3-plane bands pass 98% of
+      // ALL pairs — measured), so the scale-correct form is the tiled
+      // exact block product with native-dot verify; the banded-LSH
+      // operator (embeddingNearDupLsh) is the right shape at high
+      // thresholds and stays spec-verified on clustered data.
+      Dedup.embeddingNearDupBlocked(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
     // ----- Similarity search -----
     "sim_brute_topk" -> ((s, d) => {

@@ -105,6 +105,44 @@ class DedupTextSpec extends SparkTestBase {
     assert(lsh == exact, s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("blocked exact embedding near-dup equals the all-pairs form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(emb, col("vec_id"), col("embedding"), 0.4)
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val blocked = Dedup.embeddingNearDupBlocked(emb, col("vec_id"), col("embedding"), 0.4)
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && blocked == exact)
+  }
+
+  test("embedding LSH is selective at high thresholds: full recall, tiny candidate fraction") {
+    // clustered synthetic vectors: 40 clusters of 5 near-identical members
+    // (within-cluster cos ≈ 0.98) plus noise dims — the regime banded
+    // hyperplane LSH is FOR. All true pairs at 0.9 must be recalled while
+    // candidate volume stays far below all-pairs.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(40)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map { i =>
+      val c = base(i / 5)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + 0.02f * rnd.nextGaussian().toFloat }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, col("vec_id"), col("embedding"), 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(vecs, col("vec_id"), col("embedding"), 0.9,
+      bands = 16, planesPerBand = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && lsh == exact)
+    // selectivity: candidate pairs from the bands ≪ all pairs
+    val docs = vecs.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val banded = docs.select(col("id"), explode(array((0 until 16).map(b =>
+      struct(lit(b).as("band"),
+        graft.operators.Similarity.hyperplaneSignature(col("v"), 8, b * 8).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band_id"), col("bb.bucket").as("band_hash"))
+      .withColumnRenamed("id", "doc_id")
+    val cands = Dedup.lshCandidates(banded).count()
+    assert(cands < 200L * 199L / 2 / 5, s"LSH passed $cands of ${200 * 199 / 2} pairs")
+  }
+
   test("simhash-verified pairs equal the all-pairs n-gram jaccard result") {
     val pairs = Dedup.simhashVerifiedPairs(docs, col("doc_id"), col("text"), 3, 500000L)
       .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
