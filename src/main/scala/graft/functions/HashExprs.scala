@@ -132,3 +132,37 @@ case class MysqlGeometryWktExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MysqlGeometryWktExpr =
     copy(child = newChild)
 }
+
+/** Bloom-filter membership as a native expression: the broadcastable gate of
+  * incremental dedup ([[graft.operators.Sketches.filterKnown]]). The filter
+  * ships once per stage inside the serialized plan (the same mechanics as
+  * Spark's runtime-filter `BloomFilterMightContain`) and membership tests
+  * run inside whole-stage codegen via an `addReferenceObj` handle — no UDF
+  * closure dispatch, no per-row encoder boundary. Probes use the raw UTF-8
+  * bytes, matching `DataFrameStatFunctions.bloomFilter`'s `putString`
+  * encoding. */
+case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.BooleanType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  def contains(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
+
+  override protected def nullSafeEval(input: Any): Any =
+    contains(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomMightContainExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}

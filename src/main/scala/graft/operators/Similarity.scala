@@ -115,10 +115,11 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF-style coarse quantizer: assign each vector to its nearest of
-    * `nlist` deterministic centroid seeds (the first nlist vectors by id —
-    * reproducible without k-means iterations). Queries probe only their
-    * centroid's inverted list. */
+  /** IVF-style coarse quantizer: assign each vector to its nearest centroid
+    * (broadcast centroids, one corpus scan, one per-vector top-1 window).
+    * Queries probe only their centroid's inverted list. Centroids come from
+    * deterministic seeds (reproducible, zero training cost — the
+    * oracle-comparable form) or from [[kmeansCentroids]]. */
   def ivfAssign(df: DataFrame, idCol: Column, vecCol: Column, centroids: DataFrame): DataFrame = {
     val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
     val cts = centroids.select(col("centroid_id"), col("cvec"))
@@ -128,5 +129,47 @@ object Similarity {
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("v"))
+  }
+
+  /** Distributed Lloyd's iterations for the IVF coarse quantizer (spherical
+    * k-means: cosine assignment, elementwise-mean update — scale is
+    * irrelevant to cosine ranking, so means need no re-normalization for
+    * assignment purposes).
+    *
+    * Each iteration is two shuffles at corpus scale: the assignment is a
+    * broadcast join + per-vector top-1 (no shuffle of vectors), the update
+    * is posexplode → groupBy (centroid, dim) mean — partial aggregation
+    * makes the shuffle carry k·dim partial sums per input partition, NOT
+    * vectors. Centroids that lose every member keep their previous
+    * position (standard empty-cluster handling). Iterations persist their
+    * frontier (at 100 TB: checkpoint) so lineage stays flat.
+    *
+    * Deterministic end to end: seed centroids are the first k vectors by
+    * id, ties in assignment break by centroid id. */
+  def kmeansCentroids(df: DataFrame, idCol: Column, vecCol: Column,
+                      k: Int, iters: Int): DataFrame = {
+    val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    var cts = v.orderBy(col("vec_id")).limit(k)
+      .withColumn("centroid_id", row_number().over(w) - 1)
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("v").as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (1 to iters).foreach { _ =>
+      val assigned = ivfAssign(v, col("vec_id"), col("v"), cts)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      val next = cts.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      cts.unpersist()
+      cts = next
+    }
+    cts
   }
 }

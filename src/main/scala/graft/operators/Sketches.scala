@@ -41,9 +41,11 @@ object Sketches {
     * verify positives exactly against the corpus with a join restricted to
     * the Bloom hits — a tiny fraction of the batch). */
   def filterKnown(newDocs: DataFrame, fpColName: String, bloom: BloomFilter): DataFrame = {
-    val spark = newDocs.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
-    newDocs.filter(!mightContain(col(fpColName)))
+    import org.apache.spark.sql.GraftBridge
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val mightContain = GraftBridge.toCol(graft.functions.BloomMightContainExpr(
+      GraftBridge.toExpr(col(fpColName)), out.toByteArray))
+    newDocs.filter(col(fpColName).isNotNull && !mightContain)
   }
 }

@@ -143,6 +143,30 @@ class DedupTextSpec extends SparkTestBase {
     assert(cands < 200L * 199L / 2 / 5, s"LSH passed $cands of ${200 * 199 / 2} pairs")
   }
 
+  test("kmeans IVF: Lloyd iterations keep cluster cohesion and improve the objective") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(20)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    // id layout i % 20: the deterministic first-k seeds hit one member of
+    // every true cluster (a k-means++-grade init without the machinery)
+    val vecs = (0 until 100).map { i =>
+      val c = base(i % 20)
+      (i.toLong, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    def objective(cts: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(vecs, col("vec_id"), col("embedding"), cts)
+        .join(cts, "centroid_id")
+        .agg(avg(Similarity.cosine(col("v"), col("cvec")))).as[Double].head()
+    val seeds = Similarity.kmeansCentroids(vecs, col("vec_id"), col("embedding"), 20, 0)
+    val trained = Similarity.kmeansCentroids(vecs, col("vec_id"), col("embedding"), 20, 3)
+    assert(objective(trained) >= objective(seeds))
+    // cohesion: near-identical cluster members always land on one centroid
+    val groups = Similarity.ivfAssign(vecs, col("vec_id"), col("embedding"), trained)
+      .select((col("vec_id") % 20).as("true_cluster"), col("centroid_id"))
+      .distinct().groupBy("true_cluster").count().as[(Long, Long)].collect()
+    assert(groups.forall(_._2 == 1L))
+  }
+
   test("simhash-verified pairs equal the all-pairs n-gram jaccard result") {
     val pairs = Dedup.simhashVerifiedPairs(docs, col("doc_id"), col("text"), 3, 500000L)
       .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
