@@ -129,4 +129,90 @@ object RawBinlogAdapter {
       .select(element_at(typedLit(RT.names), col("code")).as("event_type"),
         col("serverId"), col("file"), col("position"), col("tsMs"),
         col("nextFile"), col("gtidSet"), col("intVar"))
+
+  /** Supplier context carried across micro-batches: current GTID, pending
+    * ROWS_QUERY, and the tableId → TABLE_MAP cache (bounded by live table
+    * count, exactly like the reference's map cache). */
+  final case class SupplierState(
+      gtid: Option[String],
+      rowsQuery: Option[String],
+      tableMaps: Map[Long, TableMapEntry])
+  final case class TableMapEntry(db: String, table: String, pkColumns: Seq[String])
+
+  /** Streaming form of [[toOps]]: the supplier loop as a per-server state
+    * machine (`groupByKey(serverId).flatMapGroupsWithState`) — state is the
+    * reference's mutable supplier context made explicit, so TABLE_MAP /
+    * GTID context set in one micro-batch correctly applies to rows events
+    * arriving in a later one (the batch windows can't do that). Within a
+    * micro-batch, events sort by (file, position) — the source (a binlog
+    * reader) delivers batches in stream order, matching the single ordered
+    * partition contract of OpLogSource. Scales across servers: one state
+    * entry per serverId, like one reference supplier per source. */
+  def toOpsStreaming(raw: Dataset[RawEvent]): Dataset[Op] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val opEnc: Encoder[Op] = Encoders.product[Op]
+    implicit val stEnc: Encoder[SupplierState] = Encoders.product[SupplierState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    raw.groupByKey(_.serverId)
+      .flatMapGroupsWithState[SupplierState, Op](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (serverId: Long, incoming: Iterator[RawEvent], state: GroupState[SupplierState]) =>
+          var st = state.getOption.getOrElse(SupplierState(None, None, Map.empty))
+          val out = List.newBuilder[Op]
+          def txnId(e: RawEvent): String = st.gtid.getOrElse(s"pos:${e.position}")
+          incoming.toSeq.sortBy(e => (e.file, e.position)).foreach { e =>
+            e.code match {
+              case RT.GTID =>
+                st = st.copy(gtid = e.gtid)
+                out += Op("BEGIN", e.gtid.getOrElse(""), 0L, e.position, e.tsMs,
+                  "", "", Map.empty, Map.empty)
+              case RT.ROWS_QUERY =>
+                st = st.copy(rowsQuery = e.sql)
+              case RT.TABLE_MAP =>
+                e.tableId.foreach { tid =>
+                  st = st.copy(tableMaps = st.tableMaps +
+                    (tid -> TableMapEntry(e.db.getOrElse(""), e.table.getOrElse(""), e.pkColumns)))
+                }
+              case c if RT.rowCodes(c) =>
+                val kind =
+                  if (RT.writeRowCodes(c)) "INSERT"
+                  else if (RT.updateRowCodes(c)) "UPDATE" else "DELETE"
+                val tm = e.tableId.flatMap(st.tableMaps.get)
+                tm.foreach { m =>
+                  e.rows.foreach { r =>
+                    // per-column after-else-before, matching the batch form
+                    val key = m.pkColumns
+                      .flatMap(c => r.after.get(c).orElse(r.before.get(c))).mkString(";")
+                    out += Op(kind, txnId(e), 0L, e.position, e.tsMs,
+                      m.table, key, r.before, r.after)
+                  }
+                }
+              case RT.QUERY =>
+                val sql = e.sql.getOrElse("")
+                DdlClassifier.classify(sql) match {
+                  case DdlClassifier.Begin =>
+                    out += Op("BEGIN", txnId(e), 0L, e.position, e.tsMs,
+                      "", "", Map.empty, Map.empty)
+                  case DdlClassifier.Commit =>
+                    out += Op("COMMIT", txnId(e), 0L, e.position, e.tsMs,
+                      "", "", Map.empty, Map.empty)
+                  case DdlClassifier.Other => ()
+                  case _ =>
+                    val table = "(?i)table\\s+`?([A-Za-z0-9_]+)`?".r
+                      .findFirstMatchIn(sql).map(_.group(1)).getOrElse("")
+                    out += Op("DDL", txnId(e), 0L, e.position, e.tsMs,
+                      table, "", Map.empty, Map("ddl" -> sql))
+                }
+              case RT.XID | RT.XA_PREPARE =>
+                out += Op("COMMIT", txnId(e), e.xid.getOrElse(0L), e.position,
+                  e.tsMs, "", "", Map.empty, Map.empty)
+              case _ => () // control tail: supplier bookkeeping only
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

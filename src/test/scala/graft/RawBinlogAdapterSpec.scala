@@ -87,6 +87,34 @@ class RawBinlogAdapterSpec extends SparkTestBase {
     assert(ctx.head.getString(1).startsWith("INSERT INTO orders"))
   }
 
+  test("streaming supplier state: table-map/gtid context crosses micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val q = RawBinlogAdapter.toOpsStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("raw_stream_ops")
+      .outputMode("append").start()
+    try {
+      // batch 1 ends mid-transaction: context (gtid, table map, rows query)
+      // is set but no rows event has arrived yet
+      mem.addData(txn1.take(6): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("raw_stream_ops").as[graft.streaming.Op].collect()
+      assert(!afterB1.exists(_.kind == "INSERT"))
+      // batch 2 delivers the rows + commit: the stateful supplier must
+      // resolve them against batch 1's context
+      mem.addData(txn1.drop(6): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("raw_stream_ops").as[graft.streaming.Op].collect()
+      val batch = RawBinlogAdapter.toOps(spark.createDataset(txn1)).collect()
+      def norm(ops: Seq[graft.streaming.Op]) =
+        ops.filter(o => o.kind != "BEGIN").sortBy(o => (o.eventId, o.rowKey)).toList
+      // streaming emits one BEGIN per GTID (not also per BEGIN-query); data
+      // and commit ops must agree exactly with the batch adapter
+      assert(norm(streamed.toSeq) == norm(batch.toSeq))
+    } finally q.stop()
+  }
+
   test("control tail surfaces with names and payloads, never as data ops") {
     val raw = txn1 ++ Seq(
       ev(RT.ROTATE, 200).copy(nextFile = Some("binlog.000002")),
