@@ -59,13 +59,18 @@ object RawBinlogAdapter {
     * [[graft.streaming.TransactionAssembler]]. */
   def toOps(raw: Dataset[RawEvent]): Dataset[Op] = {
     implicit val opEnc = Encoders.product[Op]
+    // the contexted stream feeds FIVE consumers (row/query/begin/commit
+    // branches + the table-map build side); persist it so the upstream
+    // source and the context windows execute once, not per branch (at
+    // 100 TB this persist is a checkpoint of one micro-batch's events)
     val ctx = withContext(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val txnId = coalesce(col("curGtid"), concat(lit("pos:"), col("position")))
     val emptyMap = typedLit(Map.empty[String, String])
 
     // --- rows events: resolve TABLE_MAP as-of, explode row images ---
     val rowEvents = ctx.filter(col("code").isin(seqAny(RT.rowCodes): _*))
-    val tableMaps = raw.toDF().filter(col("code") === RT.TABLE_MAP)
+    val tableMaps = ctx.filter(col("code") === RT.TABLE_MAP)
     val resolved = TemporalJoins.asOfJoin(
       rowEvents, col("tableId"), col("position"),
       tableMaps, tableMaps("tableId"), tableMaps("position"),
