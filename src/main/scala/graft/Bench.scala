@@ -18,7 +18,7 @@ object Bench {
     "q_rollup", "q_semi_anti", "q_json_extract", "q_time_window",
     "q_asof_join", "q_range_join",
     "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_time_machine",
-    "cdc_safe_checkpoint", "text_fingerprint", "text_quality", "text_vocab_topk",
+    "cdc_safe_checkpoint", "cdc_raw_adapter", "text_fingerprint", "text_quality", "text_vocab_topk",
     "text_tfidf", "text_repetition",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_resolve",
