@@ -149,6 +149,39 @@ object SparkEntry {
           col("cell_ts"), col("event_id"))
     }),
 
+    "skew_salted_agg" -> ((s, d) =>
+      // two-phase salted aggregation (hot-key spread over salt buckets,
+      // partials merged by the combiner algebra) must equal the direct
+      // group-aggregate — decimal totals rendered as strings (driver
+      // decimal-hash contract)
+      graft.operators.Skew.saltedSum(t(s, d, "events"), col("event_type"),
+          col("value"), saltBuckets = 8)
+        .select(col("key").as("event_type"), col("total").cast("string").as("total"))),
+
+    "q_pivot" -> ((s, d) =>
+      // native relational pivot with explicit values (stable schema — the
+      // only scale-safe form: value discovery is a driver-side scan)
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"))),
+
+    "q_sliding_window" -> ((s, d) =>
+      // explicit ROWS frame: trailing 3-row moving sum over each user's
+      // event sequence; decimal-exact arithmetic (a moving AVG would
+      // divide — decimal-vs-double division rounding diverges across
+      // engines, sums do not)
+      t(s, d, "events")
+        .withColumn("mov_sum",
+          sum(col("value").cast("decimal(18,2)")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+              .rowsBetween(-2, 0)).cast("string"))
+        .select("event_id", "user_id", "mov_sum")),
+
     "cdc_raw_adapter" -> ((s, d) => {
       // the raw binlog event layer end-to-end (reference RawEventType.java:
       // 4-43): events synthesized as serialized GTID/TABLE_MAP/ROWS/XID
@@ -722,6 +755,25 @@ object SparkEntry {
            max(event_id) AS last_event,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value
          FROM events GROUP BY user_id""",
+
+    "skew_salted_agg" ->
+      """SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
+         FROM events GROUP BY event_type""",
+
+    "q_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase
+         FROM events GROUP BY user_id""",
+
+    "q_sliding_window" ->
+      """SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS mov_sum
+         FROM events""",
 
     "cdc_raw_adapter" ->
       """SELECT 'srv1:' || CAST(user_id AS VARCHAR) AS txn_uuid,
