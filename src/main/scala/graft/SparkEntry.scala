@@ -734,7 +734,17 @@ object SparkEntry {
           t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
           "payload")
         .select(col("doc_id"),
-          explode(Multimodal.sampleFrameIndices(col("frame.n_frames"), 4)).as("frame_idx")))
+          explode(Multimodal.sampleFrameIndices(col("frame.n_frames"), 4)).as("frame_idx"))),
+
+    "mm_resize" -> ((s, d) =>
+      // stub-codec resize to a 64x64 box: emits the resized dims + payload
+      // length (rows-only check — dims come from the fake decode)
+      Multimodal.resizePayloads(
+          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload", maxW = 64, maxH = 64)
+        .select(col("doc_id"), col("resized_meta.width").as("width"),
+          col("resized_meta.height").as("height"),
+          octet_length(col("resized")).as("resized_len")))
   )
 
   // ==========================================================================
@@ -1374,7 +1384,7 @@ object SparkEntry {
          FROM c, q WHERE vec_id <> query_id
            AND round(list_dot_product(cv, qv)
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) >= 0.3"""
-    // mm_decode_features / mm_frame_sample: stub-codec operators — not
-    // SQL-expressible, driver records rows-only checks.
+    // mm_decode_features / mm_frame_sample / mm_resize: stub-codec
+    // operators — not SQL-expressible, driver records rows-only checks.
   )
 }

@@ -88,4 +88,36 @@ object Multimodal {
     * `n_frames` — pure column math over the decoded metadata. */
   def sampleFrameIndices(nFrames: Column, stride: Int): Column =
     sequence(lit(0), nFrames - 1, lit(stride))
+
+  /** Resize (downscale) payloads to a target box — `mapPartitions` like
+    * [[extractFeatures]]: one codec context per partition, the original
+    * payload read and the resized payload written in place, neither ever
+    * shuffled. The stub "resampler" is deterministic in (bytes, target):
+    * output dims are the aspect-preserving fit and the output payload is a
+    * proportional byte resample, so the size contract (dims fit the box,
+    * len ∝ area ratio) is testable without a real image library — swap
+    * [[FakeCodec]] for one to go live. */
+  def resizePayloads(df: DataFrame, binColName: String,
+                     maxW: Int, maxH: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resized_meta", StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false))))))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (w, h, _) = FakeCodec.decodeDims(bytes)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val outLen = math.max(1, (bytes.length * (ow.toLong * oh) / math.max(1L, w.toLong * h)).toInt)
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < outLen) { out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }
+        Row.fromSeq(r.toSeq ++ Seq(out, Row(ow, oh)))
+      }
+    }(enc)
+  }
 }

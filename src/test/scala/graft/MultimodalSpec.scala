@@ -32,6 +32,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(again == rows)
   }
 
+  test("resize fits the box, scales payload by area ratio, stays deterministic") {
+    val payload = Array.tabulate(10000)(i => (i % 251).toByte)
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val out = Multimodal.resizePayloads(df, "payload", 64, 64)
+      .select(col("resized_meta.width"), col("resized_meta.height"),
+        octet_length(col("resized")), col("resized"))
+      .as[(Int, Int, Int, Array[Byte])].collect()(0)
+    val (w, h, _) = Multimodal.FakeCodec.decodeDims(payload)
+    assert(out._1 <= 64 && out._2 <= 64)
+    // aspect preserved to integer truncation
+    assert(math.abs(out._1.toDouble / out._2 - w.toDouble / h) < 0.1)
+    // payload length proportional to area ratio
+    val expected = payload.length.toLong * (out._1.toLong * out._2) / (w.toLong * h)
+    assert(math.abs(out._3 - expected) <= 1)
+    val again = Multimodal.resizePayloads(df, "payload", 64, 64)
+      .select(col("resized")).as[Array[Byte]].collect()(0)
+    assert(java.util.Arrays.equals(again, out._4))
+    // a payload already inside the box is untouched dimensionally
+    val small = Multimodal.resizePayloads(df, "payload", 4096, 4096)
+      .select(col("resized_meta.width"), col("resized_meta.height"))
+      .as[(Int, Int)].collect()(0)
+    assert(small == ((w, h)))
+  }
+
   test("frame sampling indices") {
     val idx = Seq(10).toDF("n")
       .select(Multimodal.sampleFrameIndices(col("n"), 3)).as[Seq[Int]].collect()(0)
