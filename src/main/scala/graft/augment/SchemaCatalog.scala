@@ -55,7 +55,10 @@ final class SchemaCatalog(val ownSchema: String) {
         install(name, ddl, tsMs, Some(TableSchemaV(ownSchema, norm(name), nextVersion(name), cols, Some(ddl), tsMs)))
       case addColRe(name, colName, colType) =>
         current(name).foreach { prev =>
-          val added = prev.columns :+ ColumnSpec(colName, colType.trim, nullable = true, "", None, None)
+          val (default, collation) = columnExtras(colType)
+          val baseType = colType.split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).trim
+          val added = prev.columns :+
+            ColumnSpec(colName, baseType, nullable = true, "", default, collation)
           install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name), columns = added, validFromMs = tsMs)))
         }
       case dropColRe(name, colName) =>
@@ -118,16 +121,31 @@ final class SchemaCatalog(val ownSchema: String) {
         // from INFORMATION_SCHEMA per column — ActiveSchemaManager.java:
         // 202-231, MysqlTypeDeserializer.java:85-97; here it comes off the
         // DDL text: COLLATE wins, else CHARACTER SET/CHARSET names the family)
-        val collation = "(?i)collate[\\s=]+`?([\\w]+)`?".r.findFirstMatchIn(rest)
-          .map(_.group(1).toLowerCase)
-          .orElse("(?i)(?:character\\s+set|charset)[\\s=]+`?([\\w]+)`?".r
-            .findFirstMatchIn(rest).map(_.group(1).toLowerCase))
+        val (default, collation) = columnExtras(rest)
         Some(ColumnSpec(name, rest.split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).trim,
           nullable = !notNull && !inlinePk,
           key = if (inlinePk || pkClause.contains(name.toLowerCase)) "PRI" else "",
-          defaultValue = None, collation = collation))
+          defaultValue = default, collation = collation))
       }
     }
+  }
+
+  /** Per-column DEFAULT value and collation off a column-definition tail
+    * (reference scrapes COLUMN_DEFAULT / COLLATION_NAME from
+    * INFORMATION_SCHEMA — ActiveSchemaManager.java:202-231; here they come
+    * off the DDL text): default is a quoted literal (with '' unescaping) or
+    * a bare token (number / CURRENT_TIMESTAMP; bare NULL means no default);
+    * collation is COLLATE, else the CHARACTER SET/CHARSET family name. */
+  private def columnExtras(rest: String): (Option[String], Option[String]) = {
+    val default = "(?i)default\\s+'((?:[^']|'')*)'".r.findFirstMatchIn(rest)
+      .map(_.group(1).replace("''", "'"))
+      .orElse("(?i)default\\s+([^\\s,)]+)".r.findFirstMatchIn(rest)
+        .map(_.group(1)).filterNot(_.equalsIgnoreCase("null")))
+    val collation = "(?i)collate[\\s=]+`?([\\w]+)`?".r.findFirstMatchIn(rest)
+      .map(_.group(1).toLowerCase)
+      .orElse("(?i)(?:character\\s+set|charset)[\\s=]+`?([\\w]+)`?".r
+        .findFirstMatchIn(rest).map(_.group(1).toLowerCase))
+    (default, collation)
   }
 
   /** Schema-history rows for the history sink — the append-only analog of

@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan shape guards: the properties SCALE.md claims (broadcast
+  * joins, scan-level pushdown, no cartesian products on bucketed paths)
+  * asserted against the actual planner output, so a refactor that silently
+  * regresses data movement fails CI, not the 100 TB run. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q3: both dimension joins broadcast; segment filter reaches the scan") {
+    val p = plan("q3_shipping_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q5: five-way join stays broadcast with no cartesian fallback") {
+    val p = plan("q5_local_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cdc_filter_project: table-gate predicates push to the parquet reader") {
+    val p = plan("cdc_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"))
+  }
+
+  test("near-dup bucketed paths never plan a cross product") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_contamination").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cross product")
+    }
+  }
+
+  test("cdc_time_machine: op synthesis scans the source exactly once") {
+    val p = plan("cdc_time_machine")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("ivf assignment broadcasts the centroids, never shuffles vectors to them") {
+    val p = plan("sim_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+}

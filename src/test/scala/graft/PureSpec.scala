@@ -108,6 +108,24 @@ class PureSpec extends AnyFunSuite {
     assert(cat.at("organisms", 2500L).get.version == 1)
   }
 
+  test("catalog: column DEFAULT values parse from create and add-column DDL") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE t (id INT NOT NULL PRIMARY KEY, " +
+      "status VARCHAR(10) DEFAULT 'new', retries INT DEFAULT 0, " +
+      "note VARCHAR(20) DEFAULT 'it''s fine', " +
+      "created DATETIME DEFAULT CURRENT_TIMESTAMP, free TEXT)", 1L)
+    val cols = cat.current("t").get.columns.map(c => c.name -> c.defaultValue).toMap
+    assert(cols("status").contains("new"))
+    assert(cols("retries").contains("0"))
+    assert(cols("note").contains("it's fine"))
+    assert(cols("created").contains("CURRENT_TIMESTAMP"))
+    assert(cols("free").isEmpty && cols("id").isEmpty)
+    cat.applyDdl("ALTER TABLE t ADD COLUMN lang CHAR(2) DEFAULT 'en' COLLATE latin1_swedish_ci", 2L)
+    val lang = cat.current("t").get.columns.find(_.name == "lang").get
+    assert(lang.defaultValue.contains("en") && lang.collation.contains("latin1_swedish_ci"))
+    assert(lang.mysqlType.equalsIgnoreCase("char(2)"))
+  }
+
   test("catalog: table-swap RENAME flow (mysql.binlog.test.sql)") {
     val cat = new SchemaCatalog("mydb")
     cat.applyDdl("CREATE TABLE animal (id INT PRIMARY KEY, name VARCHAR(30))", 1L)
