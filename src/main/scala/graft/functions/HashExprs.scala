@@ -41,12 +41,17 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
 
 /** Native dot product over two DOUBLE arrays — wraps [[VecAlgos.dot]].
   * Replaces the interpreted `aggregate(zip_with(...))` fold in the hot
-  * cosine/LSH-verify paths (bit-identical accumulation order). Inputs must
-  * already be ArrayType(DoubleType) (Similarity.asDouble / transform-cast —
-  * all graft call sites do); enforced at analysis time below. */
+  * cosine/LSH-verify paths (bit-identical accumulation order for
+  * equal-length inputs, which every engine pipeline produces). Mismatched
+  * lengths yield NULL — the same surfacing the replaced fold gave (zip_with
+  * null-pads, null poisons the sum), so a corrupt/truncated embedding drops
+  * at the threshold filter instead of scoring on a plausible partial sum.
+  * Inputs must already be ArrayType(DoubleType) (Similarity.asDouble /
+  * transform-cast — all graft call sites do); enforced at analysis time. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -60,11 +65,20 @@ case class DotProductExpr(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecAlgos.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecAlgos.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecAlgos.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecAlgos.dot($a, $b);
+      }
+    """)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
@@ -72,7 +86,11 @@ case class DotProductExpr(left: Expression, right: Expression)
 
 /** Native random-hyperplane sign signature — wraps [[VecAlgos.hyperplaneSig]].
   * One codegen'd pass per row instead of `planes` interpreted zip_with+fold
-  * traversals; bucket values bit-identical to the composed formulation. */
+  * traversals. Deterministic and self-consistent across the cluster (plane
+  * components derive from XXH64.hashLong chains); NOT byte-compatible with
+  * signatures produced by the composed built-in formulation this replaced
+  * (Spark's xxhash64 hashes IntegerType args via hashInt), so persisted
+  * buckets from before the switch must be rebuilt. */
 case class HyperplaneSigExpr(child: Expression, planes: Int, planeOffset: Int)
     extends UnaryExpression {
   require(planes > 0 && planes <= 64, "planes must be in (0, 64]")

@@ -9,16 +9,19 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * verify and brute-force scoring paths the dot product IS the CPU budget,
   * so these run as one static call whose loop the JIT vectorizes.
   *
-  * Float semantics are IDENTICAL to the built-in fold they replace
-  * (left-to-right accumulation over j = 0..n-1, same xxhash64 composition),
-  * so scores are bit-equal and the DuckDB oracles stay green.
+  * Dot-product float semantics match the built-in fold for equal-length
+  * inputs (left-to-right accumulation over j = 0..n-1), so scores are
+  * bit-equal and the DuckDB oracles stay green; length-mismatch surfacing
+  * (NULL) lives in [[DotProductExpr]], which gates this kernel.
   */
 object VecAlgos {
 
   private final val Seed = 42L // Spark's xxhash64 default seed
 
   /** Dot product of two double arrays (sequential left-to-right sum —
-    * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)`). */
+    * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` for
+    * equal-length inputs; callers guarantee equal lengths, see
+    * [[DotProductExpr]]). */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0d
@@ -31,10 +34,10 @@ object VecAlgos {
   }
 
   /** Random-hyperplane sign signature over `planes` pseudo-random planes.
-    * Plane component (i, j) = (xxhash64(i + offset, j) % 1000) / 1000.0 —
-    * exactly the composed-builtin formulation it replaces (Spark's
-    * xxhash64(c1, c2) chains XXH64.hashLong with seed 42), so bucket ids are
-    * bit-identical while the loop hashes without any per-plane array pass. */
+    * Plane component (i, j) = (hash64(i + offset, j) % 1000) / 1000.0 via
+    * XXH64.hashLong chains (seed 42) — deterministic, driver-state-free,
+    * identical on every executor; see [[HyperplaneSigExpr]] for the
+    * compatibility note vs the composed built-in formulation. */
   def hyperplaneSig(vec: ArrayData, planes: Int, planeOffset: Int): Long = {
     val n = vec.numElements()
     var sig = 0L

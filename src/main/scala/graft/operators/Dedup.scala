@@ -78,9 +78,12 @@ object Dedup {
     *    long equality being several× cheaper than UTF8 string equality. */
   def jaccardVerify(cands: DataFrame, docsWithShingles: DataFrame, idCol: String, shCol: String,
                     thresholdPpm: Long): DataFrame = {
+    // sizes come from the DISTINCT hashed set — the same sets the Jaccard
+    // runs on — so the ratio bound holds for ANY input, duplicated shingle
+    // arrays included (raw sizes would over-prune docs with repeats)
     val hashed = docsWithShingles.select(col(idCol),
-      array_distinct(transform(col(shCol), s => xxhash64(s))).as("__hs"),
-      size(col(shCol)).as("__n"))
+      array_distinct(transform(col(shCol), s => xxhash64(s))).as("__hs"))
+      .withColumn("__n", size(col("__hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aN = hashed.select(col(idCol).as("a_id"), col("__n").as("a_n"))
     val bN = hashed.select(col(idCol).as("b_id"), col("__n").as("b_n"))
@@ -324,7 +327,7 @@ object Dedup {
     * diameters the same loop shape takes the alternating large-star /
     * small-star optimization (Kiveris et al., "Connected Components in
     * MapReduce"); for crawl-dedup graphs plain propagation converges first. */
-  def resolveCanonical(pairs: DataFrame): DataFrame = {
+  def resolveCanonical(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("a_id").as("id"), col("b_id").as("peer"))
       .union(pairs.select(col("b_id").as("id"), col("a_id").as("peer")))
@@ -334,7 +337,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       // each node pulls the smallest label among its own and its neighbors'
       val viaPeers = edges
         .join(labels.select(col("id").as("peer"), col("canonical_id").as("peer_label")), "peer")
@@ -352,6 +355,16 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // unconverged labels are WRONG labels (members map to chain
+    // intermediates, not the component minimum) — fail loudly rather than
+    // hand corrupt canonicals downstream; a graph needing this many rounds
+    // wants the large-star/small-star formulation, not a bigger cap
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"resolveCanonical did not converge in $maxRounds rounds " +
+          s"($changed labels still changing); component diameter exceeds the " +
+          "min-propagation budget — raise maxRounds or switch to " +
+          "alternating large-star/small-star (Kiveris et al.)")
     labels
   }
 }

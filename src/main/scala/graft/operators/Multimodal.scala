@@ -112,10 +112,16 @@ object Multimodal {
         val (w, h, _) = FakeCodec.decodeDims(bytes)
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
         val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        val outLen = math.max(1, (bytes.length * (ow.toLong * oh) / math.max(1L, w.toLong * h)).toInt)
-        val out = new Array[Byte](outLen)
-        var i = 0
-        while (i < outLen) { out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }
+        val out =
+          if (bytes.isEmpty) bytes // empty payload resizes to empty, no codec call
+          else {
+            val outLen = math.max(1,
+              (bytes.length * (ow.toLong * oh) / math.max(1L, w.toLong * h)).toInt)
+            val o = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) { o(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }
+            o
+          }
         Row.fromSeq(r.toSeq ++ Seq(out, Row(ow, oh)))
       }
     }(enc)

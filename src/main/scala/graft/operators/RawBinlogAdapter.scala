@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,11 +42,28 @@ object RawBinlogAdapter {
 
   private def seqAny(s: Set[Int]): Seq[Any] = s.toSeq.map(_.asInstanceOf[Any])
 
+  /** Total binlog order as ONE sortable long: file sequence number (binlog
+    * file names carry a numeric suffix — `binlog.000001`) in the high bits,
+    * position in the low 40 (positions are bounded by the 1 GB-ish
+    * max_binlog_size, far under 2^40). Positions RESET on rotation, so bare
+    * position comparisons are wrong the moment a log spans files — every
+    * ordering in this adapter (context windows, as-of table-map resolution,
+    * streaming sort) goes through this ordinal. */
+  def binlogOrdinal(file: Column, position: Column): Column =
+    (coalesce(regexp_extract(file, "(\\d+)$", 1).cast("long"), lit(0L)) * lit(1L << 40)) +
+      position
+
+  private def ordinalOf(e: RawEvent): Long = {
+    val m = "(\\d+)$".r.findFirstIn(e.file)
+    m.map(_.toLong).getOrElse(0L) * (1L << 40) + e.position
+  }
+
   /** Raw events with supplier context attached (current gtid / pending
-    * rows-query), still one row per raw event. */
+    * rows-query), still one row per raw event. Both context fills share one
+    * window spec → a single Window pass. */
   def withContext(raw: Dataset[RawEvent]): DataFrame = {
     val w = Window.partitionBy(col("serverId"))
-      .orderBy(col("file"), col("position"))
+      .orderBy(binlogOrdinal(col("file"), col("position")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     raw.toDF()
       .withColumn("curGtid",
@@ -72,8 +89,9 @@ object RawBinlogAdapter {
     val rowEvents = ctx.filter(col("code").isin(seqAny(RT.rowCodes): _*))
     val tableMaps = ctx.filter(col("code") === RT.TABLE_MAP)
     val resolved = TemporalJoins.asOfJoin(
-      rowEvents, col("tableId"), col("position"),
-      tableMaps, tableMaps("tableId"), tableMaps("position"),
+      rowEvents, col("tableId"), binlogOrdinal(col("file"), col("position")),
+      tableMaps, tableMaps("tableId"),
+      binlogOrdinal(tableMaps("file"), tableMaps("position")),
       Seq("mapDb" -> tableMaps("db"), "mapTable" -> tableMaps("table"),
         "mapPks" -> tableMaps("pkColumns")))
     val kind = when(col("code").isin(seqAny(RT.writeRowCodes): _*), "INSERT")
@@ -135,12 +153,13 @@ object RawBinlogAdapter {
         col("serverId"), col("file"), col("position"), col("tsMs"),
         col("nextFile"), col("gtidSet"), col("intVar"))
 
-  /** Supplier context carried across micro-batches: current GTID, pending
-    * ROWS_QUERY, and the tableId → TABLE_MAP cache (bounded by live table
-    * count, exactly like the reference's map cache). */
+  /** Supplier context carried across micro-batches: current GTID and the
+    * tableId → TABLE_MAP cache (bounded by live table count, exactly like
+    * the reference's map cache). ROWS_QUERY attachment is the batch
+    * surface's `curRowsQuery` (withContext) — the op model carries no
+    * metadata slot, so the streaming state deliberately does not hold it. */
   final case class SupplierState(
       gtid: Option[String],
-      rowsQuery: Option[String],
       tableMaps: Map[Long, TableMapEntry])
   final case class TableMapEntry(db: String, table: String, pkColumns: Seq[String])
 
@@ -149,10 +168,11 @@ object RawBinlogAdapter {
     * reference's mutable supplier context made explicit, so TABLE_MAP /
     * GTID context set in one micro-batch correctly applies to rows events
     * arriving in a later one (the batch windows can't do that). Within a
-    * micro-batch, events sort by (file, position) — the source (a binlog
-    * reader) delivers batches in stream order, matching the single ordered
-    * partition contract of OpLogSource. Scales across servers: one state
-    * entry per serverId, like one reference supplier per source. */
+    * micro-batch, events sort by the binlog ordinal (file seq, position) —
+    * the source (a binlog reader) delivers batches in stream order,
+    * matching the single ordered partition contract of OpLogSource. Scales
+    * across servers: one state entry per serverId, like one reference
+    * supplier per source. */
   def toOpsStreaming(raw: Dataset[RawEvent]): Dataset[Op] = {
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -164,17 +184,16 @@ object RawBinlogAdapter {
       .flatMapGroupsWithState[SupplierState, Op](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (serverId: Long, incoming: Iterator[RawEvent], state: GroupState[SupplierState]) =>
-          var st = state.getOption.getOrElse(SupplierState(None, None, Map.empty))
+          var st = state.getOption.getOrElse(SupplierState(None, Map.empty))
           val out = List.newBuilder[Op]
           def txnId(e: RawEvent): String = st.gtid.getOrElse(s"pos:${e.position}")
-          incoming.toSeq.sortBy(e => (e.file, e.position)).foreach { e =>
+          incoming.toSeq.sortBy(ordinalOf).foreach { e =>
             e.code match {
               case RT.GTID =>
                 st = st.copy(gtid = e.gtid)
                 out += Op("BEGIN", e.gtid.getOrElse(""), 0L, e.position, e.tsMs,
                   "", "", Map.empty, Map.empty)
-              case RT.ROWS_QUERY =>
-                st = st.copy(rowsQuery = e.sql)
+              case RT.ROWS_QUERY => () // surfaced via withContext (batch)
               case RT.TABLE_MAP =>
                 e.tableId.foreach { tid =>
                   st = st.copy(tableMaps = st.tableMaps +

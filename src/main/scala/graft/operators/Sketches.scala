@@ -46,6 +46,8 @@ object Sketches {
     bloom.writeTo(out)
     val mightContain = GraftBridge.toCol(graft.functions.BloomMightContainExpr(
       GraftBridge.toExpr(col(fpColName)), out.toByteArray))
-    newDocs.filter(col(fpColName).isNotNull && !mightContain)
+    // null fingerprints PASS the gate (can't be proven known — dropping
+    // them would violate the nothing-new-is-ever-lost contract above)
+    newDocs.filter(col(fpColName).isNull || !mightContain)
   }
 }

@@ -191,6 +191,17 @@ class DedupTextSpec extends SparkTestBase {
     val kept = Sketches.filterKnown(incoming, "fp", bloom).as[String].collect().toSet
     assert(kept.forall(_.startsWith("new")))   // all survivors genuinely new
     assert(kept.size >= 95)                    // ≥ (1-fpp) of the new docs survive
+    // null fingerprints pass the gate — they can't be proven known
+    val withNull = incoming.unionByName(Seq(Option.empty[String]).toDF("fp"))
+    assert(Sketches.filterKnown(withNull, "fp", bloom).filter(col("fp").isNull).count() == 1)
+  }
+
+  test("dot product surfaces mismatched-length vectors as NULL, not a partial sum") {
+    import graft.operators.Similarity
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)), (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+    val dots = df.select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].collect()
+    assert(dots(0).contains(14.0) && dots(1).isEmpty)
   }
 
   test("text metrics: token counts, ppm ratios, langid, fingerprints") {

@@ -54,6 +54,11 @@ class MultimodalSpec extends SparkTestBase {
       .select(col("resized_meta.width"), col("resized_meta.height"))
       .as[(Int, Int)].collect()(0)
     assert(small == ((w, h)))
+    // empty payload resizes to empty instead of crashing the task
+    val empty = Multimodal.resizePayloads(
+        Seq((2L, Array.empty[Byte])).toDF("doc_id", "payload"), "payload", 64, 64)
+      .select(octet_length(col("resized"))).as[Int].collect()(0)
+    assert(empty == 0)
   }
 
   test("frame sampling indices") {

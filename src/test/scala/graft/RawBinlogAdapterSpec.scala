@@ -115,6 +115,27 @@ class RawBinlogAdapterSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("table-map resolution survives binlog rotation (positions reset per file)") {
+    // positions RESET across files: the rows event in file 1 at pos 1000
+    // must resolve to file 1's map even though file 2's re-map has a
+    // NUMERICALLY smaller position (600 < 1000)
+    val raw = Seq(
+      ev(RT.GTID, 100).copy(gtid = Some("s1:70")),
+      ev(RT.TABLE_MAP, 500).copy(tableId = Some(7L), db = Some("d"),
+        table = Some("orders_v1"), pkColumns = Seq("id")),
+      ev(RT.WRITE_ROWS, 1000).copy(tableId = Some(7L),
+        rows = Seq(RowImage(Map.empty, Map("id" -> "1")))),
+      ev(RT.ROTATE, 2000).copy(nextFile = Some("binlog.000002")),
+      ev(RT.TABLE_MAP, 600).copy(file = "binlog.000002", tableId = Some(7L),
+        db = Some("d"), table = Some("orders_v2"), pkColumns = Seq("id")),
+      ev(RT.WRITE_ROWS, 700).copy(file = "binlog.000002", tableId = Some(7L),
+        rows = Seq(RowImage(Map.empty, Map("id" -> "2")))),
+      ev(RT.XID, 800).copy(file = "binlog.000002", xid = Some(3L)))
+    val ops = RawBinlogAdapter.toOps(spark.createDataset(raw)).collect()
+    val byKey = ops.filter(_.kind == "INSERT").map(o => o.rowKey -> o.table).toMap
+    assert(byKey == Map("1" -> "orders_v1", "2" -> "orders_v2"))
+  }
+
   test("control tail surfaces with names and payloads, never as data ops") {
     val raw = txn1 ++ Seq(
       ev(RT.ROTATE, 200).copy(nextFile = Some("binlog.000002")),
