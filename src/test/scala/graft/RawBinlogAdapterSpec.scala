@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.model.{RawEvent, RawEventType => RT, RowImage}
 import graft.operators.RawBinlogAdapter
 import graft.streaming.TransactionAssembler
@@ -112,6 +114,34 @@ class RawBinlogAdapterSpec extends SparkTestBase {
       // streaming emits one BEGIN per GTID (not also per BEGIN-query); data
       // and commit ops must agree exactly with the batch adapter
       assert(norm(streamed.toSeq) == norm(batch.toSeq))
+    } finally q.stop()
+  }
+
+  test("raw stream end-to-end: supplier state machine → per-batch assembly → time-machine sink") {
+    // Spark allows ONE flatMapGroupsWithState per streaming query, so the
+    // deployment shape is: stateful supplier normalization in the query,
+    // transaction assembly + sink inside foreachBatch (the batch-form
+    // assembler is exact on the committed prefix of each micro-batch)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.{PipelineConfig, ReplicatorPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("rawsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rawckpt").toString
+    val cfg = PipelineConfig(sink, ckpt, partitions = 2)
+    val mem = MemoryStream[RawEvent]
+    val q = RawBinlogAdapter.toOpsStreaming(mem.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.Op], _: Long) =>
+        ReplicatorPipeline.runBatch(batch, cfg)
+      }.start()
+    try {
+      mem.addData(txn1: _*)
+      q.processAllAvailable()
+      val latest = graft.streaming.TimeMachineSink.latestRows(spark, sink)
+      val vals = latest.select(col("row_key"), element_at(col("cols"), "amt"))
+        .as[(String, String)].collect().toMap
+      assert(vals == Map("1" -> "10", "2" -> "20"))
     } finally q.stop()
   }
 
