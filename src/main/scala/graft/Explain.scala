@@ -18,7 +18,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q3_shipping_topk", "q5_local_revenue", "cdc_filter_project",
-      "cdc_latest_state", "q1_pricing_summary")
+      "cdc_latest_state", "q1_pricing_summary", "cdc_raw_adapter",
+      "dedup_simhash", "dedup_embedding_lsh", "dedup_contamination")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")
