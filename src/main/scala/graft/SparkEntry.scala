@@ -149,6 +149,24 @@ object SparkEntry {
           col("cell_ts"), col("event_id"))
     }),
 
+    "pipe_source_mix" -> ((s, d) =>
+      // dataset mixing: deterministic per-source sampling rates via md5
+      // hex-prefix thresholds — reproducible on any cluster layout and
+      // byte-identical in any engine computing the same md5
+      graft.operators.Sampling.stratifiedSample(t(s, d, "documents"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))),
+
+    "text_pack_sequences" -> ((s, d) =>
+      // token-budget packing: whitespace token counts, cumulative chunking
+      // into 10k-token bins per language shard
+      graft.operators.Sampling.packSequences(
+          t(s, d, "documents").withColumn("n_tokens",
+            size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long")),
+          col("lang"), col("doc_id"), col("n_tokens"), budget = 10000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))),
+
     "skew_salted_agg" -> ((s, d) =>
       // two-phase salted aggregation (hot-key spread over salt buckets,
       // partials merged by the combiner algebra) must equal the direct
@@ -765,6 +783,23 @@ object SparkEntry {
            max(event_id) AS last_event,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value
          FROM events GROUP BY user_id""",
+
+    "pipe_source_mix" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+         WHERE (source = 'src0' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff')
+            OR (source = 'src1' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+            OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+            OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a')
+         GROUP BY source""",
+
+    "text_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+           len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens
+         FROM documents)
+         SELECT doc_id, lang, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 10000) AS BIGINT) AS bin_id
+         FROM d""",
 
     "skew_salted_agg" ->
       """SELECT event_type,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and sequence-packing operators for training-data
+  * pipelines: dataset mixing (per-source rates), stratified subsampling, and
+  * token-budget packing. All decisions are pure functions of the row key via
+  * md5 — no RNG state, no seed coordination, identical results on any
+  * cluster layout, task retry, or engine (md5 is md5 everywhere, which also
+  * makes every operator here oracle-checkable against DuckDB verbatim).
+  *
+  * 100 TB posture: sampling is a scan-local filter (no shuffle, pushable
+  * below joins); packing is one window per shard ordered by id — the shard
+  * column bounds the sort, so packing parallelizes by shard exactly like
+  * the training job that consumes the bins.
+  */
+object Sampling {
+
+  /** Uniform-rate keep decision: md5(key) 32-bit hex prefix compared
+    * against rate·2^32 rendered in hex — a pure string comparison both
+    * Spark and any SQL oracle evaluate identically. */
+  def keepHash(keyCol: Column, rate: Double): Column = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
+    val threshold = f"${math.round(rate * 4294967296.0).min(4294967295L)}%08x"
+    substring(md5(keyCol.cast("string")), 1, 8) < lit(threshold)
+  }
+
+  /** Deterministic uniform sample of `rate` of the rows. */
+  def deterministicSample(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
+    df.filter(keepHash(keyCol, rate))
+
+  /** Dataset mixing: per-stratum sampling rates (unlisted strata drop).
+    * The standard source-weighting step of corpus assembly. */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                       rates: Map[String, Double]): DataFrame = {
+    val keep = rates.foldLeft(lit(false)) { case (acc, (stratum, rate)) =>
+      acc || (strataCol === stratum && keepHash(keyCol, rate))
+    }
+    df.filter(keep)
+  }
+
+  /** Token-budget sequence packing: within each shard (ordered by id), the
+    * running token total assigns each document to bin
+    * floor((cumsum − n_tokens) / budget) — the cumulative-chunking form of
+    * first-fit packing (documents may straddle a budget boundary; the
+    * training loader treats bin edges as truncation points). One window
+    * per shard; shards pack independently and in parallel. */
+  def packSequences(df: DataFrame, shardCol: Column, idCol: Column,
+                    tokensCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(tokensCol).over(w))
+      .withColumn("bin_id", floor((col("__cum") - tokensCol) / budget))
+      .drop("__cum")
+  }
+}
