@@ -786,7 +786,7 @@ object SparkEntry {
 
     "pipe_source_mix" ->
       """SELECT source, count(*) AS n_kept FROM documents
-         WHERE (source = 'src0' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff')
+         WHERE (source = 'src0')
             OR (source = 'src1' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
             OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
             OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a')

@@ -359,12 +359,14 @@ object Dedup {
     // intermediates, not the component minimum) — fail loudly rather than
     // hand corrupt canonicals downstream; a graph needing this many rounds
     // wants the large-star/small-star formulation, not a bigger cap
-    if (changed > 0)
+    if (changed > 0) {
+      labels.unpersist() // callers get no handle to it on the throw path
       throw new IllegalStateException(
         s"resolveCanonical did not converge in $maxRounds rounds " +
           s"($changed labels still changing); component diameter exceeds the " +
           "min-propagation budget — raise maxRounds or switch to " +
           "alternating large-star/small-star (Kiveris et al.)")
+    }
     labels
   }
 }

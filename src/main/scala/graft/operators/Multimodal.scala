@@ -78,8 +78,11 @@ object Multimodal {
       // per-partition codec init would happen here (the expensive part)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val (w, h, f) = FakeCodec.decodeDims(bytes)
-        Row.fromSeq(r.toSeq :+ Row(w, h, f, FakeCodec.feature(bytes)))
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null) // undecodable → null frame
+        else {
+          val (w, h, f) = FakeCodec.decodeDims(bytes)
+          Row.fromSeq(r.toSeq :+ Row(w, h, f, FakeCodec.feature(bytes)))
+        }
       }
     }(enc)
   }
@@ -109,20 +112,21 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val (w, h, _) = FakeCodec.decodeDims(bytes)
-        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        val out =
-          if (bytes.isEmpty) bytes // empty payload resizes to empty, no codec call
-          else {
-            val outLen = math.max(1,
-              (bytes.length * (ow.toLong * oh) / math.max(1L, w.toLong * h)).toInt)
-            val o = new Array[Byte](outLen)
-            var i = 0
-            while (i < outLen) { o(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }
-            o
-          }
-        Row.fromSeq(r.toSeq ++ Seq(out, Row(ow, oh)))
+        if (bytes == null || bytes.isEmpty) {
+          // null/empty payloads carry through untouched — no codec call, no
+          // fabricated dims (null meta marks "nothing to resize")
+          Row.fromSeq(r.toSeq ++ Seq(bytes, null))
+        } else {
+          val (w, h, _) = FakeCodec.decodeDims(bytes)
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val outLen = math.max(1,
+            (bytes.length * (ow.toLong * oh) / math.max(1L, w.toLong * h)).toInt)
+          val o = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) { o(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }
+          Row.fromSeq(r.toSeq ++ Seq(o, Row(ow, oh)))
+        }
       }
     }(enc)
   }

@@ -48,14 +48,29 @@ object RawBinlogAdapter {
     * max_binlog_size, far under 2^40). Positions RESET on rotation, so bare
     * position comparisons are wrong the moment a log spans files — every
     * ordering in this adapter (context windows, as-of table-map resolution,
-    * streaming sort) goes through this ordinal. */
+    * streaming sort) goes through this ordinal, and it IS `Op.eventId`, so
+    * downstream consumers that order by event id (DDL replay in
+    * ReplicatorPipeline.writeBatch, version tie-breaks in TimeMachineSink)
+    * inherit the cross-file total order.
+    *
+    * Contract: MySQL binlog suffixes are at most 6 digits (the server wraps
+    * at 999999), far below the 2^23 ceiling this layout holds before Long
+    * overflow; the clamp keeps any out-of-contract suffix (date-stamped
+    * names etc.) ordered AFTER every in-contract file instead of wrapping
+    * negative and silently scrambling. A file with NO numeric suffix maps
+    * to sequence 0 — correct for the single-file streams tests synthesize,
+    * but two DIFFERENT suffix-less files would collide: rotated logs need
+    * their numeric suffixes. */
+  private final val MaxFileSeq = (1L << 23) - 1
+
   def binlogOrdinal(file: Column, position: Column): Column =
-    (coalesce(regexp_extract(file, "(\\d+)$", 1).cast("long"), lit(0L)) * lit(1L << 40)) +
-      position
+    (least(coalesce(regexp_extract(file, "(\\d+)$", 1).cast("long"), lit(0L)),
+      lit(MaxFileSeq)) * lit(1L << 40)) + position
 
   private def ordinalOf(e: RawEvent): Long = {
     val m = "(\\d+)$".r.findFirstIn(e.file)
-    m.map(_.toLong).getOrElse(0L) * (1L << 40) + e.position
+    val seq = m.flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+    math.min(seq, MaxFileSeq) * (1L << 40) + e.position
   }
 
   /** Raw events with supplier context attached (current gtid / pending
@@ -101,7 +116,7 @@ object RawBinlogAdapter {
       .withColumn("row", explode(col("rows")))
       .select(
         kind.as("kind"), txnId.as("txnId"), lit(0L).as("xxid"),
-        col("position").as("eventId"), col("tsMs"),
+        binlogOrdinal(col("file"), col("position")).as("eventId"), col("tsMs"),
         col("mapTable").as("table"),
         array_join(transform(col("mapPks"),
           c => coalesce(element_at(col("row.after"), c),
@@ -117,7 +132,7 @@ object RawBinlogAdapter {
       .select(
         when(col("cls").startsWith("DDL"), "DDL").otherwise(col("cls")).as("kind"),
         txnId.as("txnId"), lit(0L).as("xxid"),
-        col("position").as("eventId"), col("tsMs"),
+        binlogOrdinal(col("file"), col("position")).as("eventId"), col("tsMs"),
         // DDL target table (best-effort parse; catalog replay re-parses the
         // full statement — reference rewrites+replays the raw SQL too)
         coalesce(regexp_extract(col("sql"),
@@ -130,13 +145,13 @@ object RawBinlogAdapter {
     // --- transaction boundaries: GTID begins, XID / XA_PREPARE commit ---
     val beginOps = ctx.filter(col("code") === RT.GTID)
       .select(lit("BEGIN").as("kind"), col("gtid").as("txnId"), lit(0L).as("xxid"),
-        col("position").as("eventId"), col("tsMs"),
+        binlogOrdinal(col("file"), col("position")).as("eventId"), col("tsMs"),
         lit("").as("table"), lit("").as("rowKey"),
         emptyMap.as("before"), emptyMap.as("after"))
     val commitOps = ctx.filter(col("code") === RT.XID || col("code") === RT.XA_PREPARE)
       .select(lit("COMMIT").as("kind"), txnId.as("txnId"),
         coalesce(col("xid"), lit(0L)).as("xxid"),
-        col("position").as("eventId"), col("tsMs"),
+        binlogOrdinal(col("file"), col("position")).as("eventId"), col("tsMs"),
         lit("").as("table"), lit("").as("rowKey"),
         emptyMap.as("before"), emptyMap.as("after"))
 
@@ -157,7 +172,11 @@ object RawBinlogAdapter {
     * tableId → TABLE_MAP cache (bounded by live table count, exactly like
     * the reference's map cache). ROWS_QUERY attachment is the batch
     * surface's `curRowsQuery` (withContext) — the op model carries no
-    * metadata slot, so the streaming state deliberately does not hold it. */
+    * metadata slot, so the streaming state deliberately does not hold it.
+    * NOTE: this case class IS the flatMapGroupsWithState state schema;
+    * changing its fields invalidates existing streaming checkpoints (state
+    * rows deserialize against the new encoder) — bump the checkpoint dir
+    * when evolving it. */
   final case class SupplierState(
       gtid: Option[String],
       tableMaps: Map[Long, TableMapEntry])
@@ -191,7 +210,7 @@ object RawBinlogAdapter {
             e.code match {
               case RT.GTID =>
                 st = st.copy(gtid = e.gtid)
-                out += Op("BEGIN", e.gtid.getOrElse(""), 0L, e.position, e.tsMs,
+                out += Op("BEGIN", e.gtid.getOrElse(""), 0L, ordinalOf(e), e.tsMs,
                   "", "", Map.empty, Map.empty)
               case RT.ROWS_QUERY => () // surfaced via withContext (batch)
               case RT.TABLE_MAP =>
@@ -209,7 +228,7 @@ object RawBinlogAdapter {
                     // per-column after-else-before, matching the batch form
                     val key = m.pkColumns
                       .flatMap(c => r.after.get(c).orElse(r.before.get(c))).mkString(";")
-                    out += Op(kind, txnId(e), 0L, e.position, e.tsMs,
+                    out += Op(kind, txnId(e), 0L, ordinalOf(e), e.tsMs,
                       m.table, key, r.before, r.after)
                   }
                 }
@@ -217,20 +236,20 @@ object RawBinlogAdapter {
                 val sql = e.sql.getOrElse("")
                 DdlClassifier.classify(sql) match {
                   case DdlClassifier.Begin =>
-                    out += Op("BEGIN", txnId(e), 0L, e.position, e.tsMs,
+                    out += Op("BEGIN", txnId(e), 0L, ordinalOf(e), e.tsMs,
                       "", "", Map.empty, Map.empty)
                   case DdlClassifier.Commit =>
-                    out += Op("COMMIT", txnId(e), 0L, e.position, e.tsMs,
+                    out += Op("COMMIT", txnId(e), 0L, ordinalOf(e), e.tsMs,
                       "", "", Map.empty, Map.empty)
                   case DdlClassifier.Other => ()
                   case _ =>
                     val table = "(?i)table\\s+`?([A-Za-z0-9_]+)`?".r
                       .findFirstMatchIn(sql).map(_.group(1)).getOrElse("")
-                    out += Op("DDL", txnId(e), 0L, e.position, e.tsMs,
+                    out += Op("DDL", txnId(e), 0L, ordinalOf(e), e.tsMs,
                       table, "", Map.empty, Map("ddl" -> sql))
                 }
               case RT.XID | RT.XA_PREPARE =>
-                out += Op("COMMIT", txnId(e), e.xid.getOrElse(0L), e.position,
+                out += Op("COMMIT", txnId(e), e.xid.getOrElse(0L), ordinalOf(e),
                   e.tsMs, "", "", Map.empty, Map.empty)
               case _ => () // control tail: supplier bookkeeping only
             }

@@ -22,8 +22,15 @@ object Sampling {
     * Spark and any SQL oracle evaluate identically. */
   def keepHash(keyCol: Column, rate: Double): Column = {
     require(rate >= 0.0 && rate <= 1.0, "rate must be in [0,1]")
-    val threshold = f"${math.round(rate * 4294967296.0).min(4294967295L)}%08x"
-    substring(md5(keyCol.cast("string")), 1, 8) < lit(threshold)
+    // exact endpoints short-circuit: the hex threshold caps at 'ffffffff',
+    // which a strict '<' would otherwise turn into a 1-in-2^32 silent drop
+    // at rate 1.0 (~23 lost rows per 100B-doc corpus)
+    if (rate >= 1.0) lit(true)
+    else if (rate <= 0.0) lit(false)
+    else {
+      val threshold = f"${math.round(rate * 4294967296.0).min(4294967295L)}%08x"
+      substring(md5(keyCol.cast("string")), 1, 8) < lit(threshold)
+    }
   }
 
   /** Deterministic uniform sample of `rate` of the rows. */

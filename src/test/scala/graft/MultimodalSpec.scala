@@ -54,11 +54,17 @@ class MultimodalSpec extends SparkTestBase {
       .select(col("resized_meta.width"), col("resized_meta.height"))
       .as[(Int, Int)].collect()(0)
     assert(small == ((w, h)))
-    // empty payload resizes to empty instead of crashing the task
-    val empty = Multimodal.resizePayloads(
-        Seq((2L, Array.empty[Byte])).toDF("doc_id", "payload"), "payload", 64, 64)
-      .select(octet_length(col("resized"))).as[Int].collect()(0)
-    assert(empty == 0)
+    // empty and NULL payloads carry through instead of crashing the task
+    val degenerate = Multimodal.resizePayloads(
+        Seq((2L, Array.empty[Byte]), (3L, null)).toDF("doc_id", "payload"),
+        "payload", 64, 64)
+      .select(col("doc_id"), octet_length(col("resized")), col("resized_meta").isNull)
+      .as[(Long, Option[Int], Boolean)].collect().toSet
+    assert(degenerate == Set((2L, Some(0), true), (3L, None, true)))
+    val nullFrame = Multimodal.extractFeatures(
+        Seq((3L, null: Array[Byte])).toDF("doc_id", "payload"), "payload")
+      .select(col("frame").isNull).as[Boolean].collect()(0)
+    assert(nullFrame)
   }
 
   test("frame sampling indices") {
