@@ -25,12 +25,24 @@ object Sinks {
     * partitioner column the reference uses (Partitioner.TRID/XXID). The
     * `partition` column maps 1:1 onto Kafka topic partitions when a real
     * broker connector replaces the directory. */
-  def kafkaLikeJson(df: DataFrame, partitions: Int, partitionKey: String, logDir: String): Unit =
-    df.withColumn("partition", pmod(xxhash64(col(partitionKey)), lit(partitions.toLong)))
+  def kafkaLikeJson(df: DataFrame, partitions: Int, partitionKey: String, logDir: String,
+                    includeColumns: Option[Seq[String]] = None): Unit = {
+    // column include-filter on the serialized payload (reference:
+    // KafkaApplier.setupColumnsFilter, KafkaApplier.java:127-141 — a
+    // serialization filter, not a projection: unlisted columns simply
+    // don't appear in the message)
+    val filtered = includeColumns.fold(df) { cols =>
+      val keep = typedLit(cols)
+      df.withColumn("after", map_filter(col("after"), (k, _) => array_contains(keep, k)))
+        .withColumn("before", map_filter(col("before"), (k, _) => array_contains(keep, k)))
+    }
+    filtered
+      .withColumn("partition", pmod(xxhash64(col(partitionKey)), lit(partitions.toLong)))
       .withColumn("key", to_json(struct(col("txnUuid"), col("table"), col("eventId"))))
       .withColumn("value", to_json(struct(col("*"))))
       .select("partition", "key", "value", "eventId")
       .write.mode("append").partitionBy("partition").parquet(logDir)
+  }
 
   /** Avro mode of the Kafka-applier analog: encode each row's after-image
     * through [[AvroPresenter]] (reference type mapping + __timestamp/

@@ -225,6 +225,19 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set(9L))
   }
 
+  test("kafka sink column include-filter drops unlisted columns from the payload only") {
+    val log = Files.createTempDirectory("kcollog").toString
+    val df = Seq(("t1", "t", 1L,
+        Map("id" -> "1", "secret" -> "x", "amt" -> "10"),
+        Map("id" -> "1", "secret" -> "y", "amt" -> "20")))
+      .toDF("txnUuid", "table", "eventId", "before", "after")
+    Sinks.kafkaLikeJson(df, partitions = 1, partitionKey = "txnUuid", log,
+      includeColumns = Some(Seq("id", "amt")))
+    val value = spark.read.parquet(log).select("value").as[String].collect()(0)
+    assert(value.contains("\"amt\":\"20\"") && value.contains("\"id\":\"1\""))
+    assert(!value.contains("secret")) // filtered from the serialized message
+  }
+
   test("validation sampler emits a deterministic 1-in-N subset") {
     val df = (1 to 1000).map(i => (s"k$i", i)).toDF("rowKey", "v")
     val n = Sinks.validationSample(df, 10, "rowKey").count()
