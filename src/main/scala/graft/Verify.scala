@@ -17,13 +17,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // one retry: a transient local-FS hiccup (staging-commit chmod race
+      // seen under tmp pressure) must not red-flag a correct query
+      def attempt(): Option[Throwable] =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable => Some(e) }
+      attempt().foreach { e1 =>
+        System.err.println(s"[verify] $name attempt 1 failed (retrying): ${e1.getMessage}")
+        attempt().foreach(e2 =>
+          System.err.println(s"[verify] $name failed: ${e2.getMessage}"))
       }
       // queries persist() intermediates scoped to their own run; drop them so
-      // 65 queries in one JVM don't accumulate cache pressure
+      // 79 queries in one JVM don't accumulate cache pressure
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
