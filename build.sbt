@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE parseable JSON line on stdout; sbt's
+// default logger decorates forked-run output with "[info] " which breaks
+// the driver's json.loads (BENCH_r01/r02 both show parsed:null). Inherit
+// stdout/stderr instead of logging them.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -699,6 +699,19 @@ object SparkEntry {
         .select("vec_id", "centroid_id")
     }),
 
+    "sim_ann_ivf_exact" -> ((s, d) => {
+      // honest IVF: distributed Lloyd's centroids, inverted lists with a
+      // per-cluster pruning radius, triangle-inequality probe plan, exact
+      // cosine verify — output provably equals the brute-force threshold
+      // join for ANY centroid set, so the all-pairs oracle hash-matches
+      // while the scan stays bucket-local.
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfExactThreshold(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
+        threshold = 0.35, k = 16, iters = 3)
+    }),
+
     "sim_ann_lsh" -> ((s, d) => {
       // threshold 0.3 over a 50-vector query set: non-trivial result (~200
       // rows) at the weakest similarity the banding still fully recalls
@@ -1408,6 +1421,17 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+
+    "sim_ann_ivf_exact" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 100)
+         SELECT query_id, vec_id,
+           round(list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+         FROM c, q WHERE vec_id <> query_id
+           AND round(list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) >= 0.35""",
 
     "sim_ann_lsh" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

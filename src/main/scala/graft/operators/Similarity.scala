@@ -131,6 +131,74 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("v"))
   }
 
+  /** IVF inverted-list index: members assigned to their nearest centroid
+    * plus, per cluster, the widest member angle to the centroid — the
+    * pruning radius for [[ivfExactThreshold]]. Returns
+    * (assigned: vec_id, centroid_id, v, n) and
+    * (clusters: centroid_id, cvec, cn, max_theta). Clusters that win no
+    * members drop out (they can produce no candidates). */
+  def ivfClusterIndex(corpus: DataFrame, idCol: Column, vecCol: Column,
+                      centroids: DataFrame): (DataFrame, DataFrame) = {
+    val cts = centroids
+      .withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
+    val assigned = ivfAssign(corpus, idCol, vecCol, cts)
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    // member angle to its centroid; clamp the cosine into acos's domain
+    // (round-off can push |cos| a few ulps past 1)
+    val withTheta = assigned.join(broadcast(cts), "centroid_id")
+      .withColumn("theta",
+        acos(least(greatest(dot(col("v"), col("cvec")) / (col("n") * col("cn")),
+          lit(-1.0)), lit(1.0))))
+    val clusters = withTheta.groupBy("centroid_id")
+      .agg(max(col("theta")).as("max_theta"))
+      .join(broadcast(cts), "centroid_id")
+    (assigned.select("vec_id", "centroid_id", "v", "n"), clusters)
+  }
+
+  /** Probe plan: which (query, cluster) pairs can possibly hold a match at
+    * `threshold`. Spherical triangle inequality: for any member m of
+    * cluster c, theta(q,m) >= theta(q,c) - max_theta(c), so
+    * cos(theta(q,m)) <= cos(max(0, theta(q,c) - max_theta(c))). A cluster
+    * whose bound falls below the threshold is PROVABLY match-free and is
+    * skipped; a small angle slack absorbs acos/cos round-off, erring only
+    * toward extra (harmless, exactly re-verified) probes. */
+  def ivfProbes(clusters: DataFrame, queries: DataFrame, queryId: Column, queryVec: Column,
+                threshold: Double, slack: Double = 1e-6): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val simQc = dot(col("qv"), col("cvec")) / (col("qn") * col("cn"))
+    val thetaQc = acos(least(greatest(simQc, lit(-1.0)), lit(1.0)))
+    q.join(broadcast(clusters))
+      .withColumn("bound",
+        cos(greatest(lit(0.0), thetaQc - col("max_theta") - lit(slack))))
+      .filter(col("bound") >= threshold)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+  }
+
+  /** Exact ANN, IVF-accelerated: centroids partition the corpus into
+    * inverted lists; each query scans only the lists the triangle-
+    * inequality bound cannot rule out, and survivors are verified with the
+    * exact cosine in the same float-op order as the brute-force form. The
+    * output therefore EQUALS the brute-force threshold join for ANY
+    * centroid set — centroid quality (and Lloyd's float-sum
+    * nondeterminism) only moves the speed, never the answer. At 100 TB the
+    * corpus shuffles once (on centroid_id); tight clusters turn the scan
+    * into a bucket-local probe, the honest form of "approximate" NN when
+    * the answer must be exact. */
+  def ivfExactThreshold(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                        queries: DataFrame, queryId: Column, queryVec: Column,
+                        threshold: Double, k: Int, iters: Int): DataFrame = {
+    val cts = kmeansCentroids(corpus, corpusId, corpusVec, k, iters)
+    val (assigned, clusters) = ivfClusterIndex(corpus, corpusId, corpusVec, cts)
+    val probes = ivfProbes(clusters, queries, queryId, queryVec, threshold)
+    probes.join(assigned, "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("query_id", "vec_id", "cos_sim")
+  }
+
   /** Distributed Lloyd's iterations for the IVF coarse quantizer (spherical
     * k-means: cosine assignment, elementwise-mean update — scale is
     * irrelevant to cosine ranking, so means need no re-normalization for
@@ -170,6 +238,16 @@ object Similarity {
       cts.unpersist()
       cts = next
     }
-    cts
+    // Localize the k·dim result: the centroid set is driver-tiny at any
+    // corpus scale, and collecting it truncates the iterative lineage so
+    // every downstream broadcast reuses a local relation instead of
+    // re-running Lloyd's — and lets the corpus cache go now.
+    val local = cts.collect().toSeq.map(r =>
+      (r.getLong(r.fieldIndex("centroid_id")), r.getSeq[Double](r.fieldIndex("cvec"))))
+    cts.unpersist()
+    v.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits._
+    local.toDF("centroid_id", "cvec")
   }
 }

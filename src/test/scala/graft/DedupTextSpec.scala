@@ -167,6 +167,31 @@ class DedupTextSpec extends SparkTestBase {
     assert(groups.forall(_._2 == 1L))
   }
 
+  test("ivf exact threshold join equals brute force and prunes provably-empty clusters") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = base(i % 10)
+      (i.toLong, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 15)
+    val exact = Similarity.bruteForceTopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 120)
+      .filter(col("cos_sim") >= 0.9)
+      .select("query_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfExactThreshold(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), threshold = 0.9, k = 10, iters = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && ivf == exact)
+    // the probe plan must rule out most (query, cluster) pairs: with 10
+    // tight well-separated clusters, each query should probe ~its own
+    val cts = Similarity.kmeansCentroids(vecs, col("vec_id"), col("embedding"), 10, 3)
+    val (_, clusters) = Similarity.ivfClusterIndex(vecs, col("vec_id"), col("embedding"), cts)
+    val probes = Similarity.ivfProbes(clusters, queries, col("vec_id"), col("embedding"), 0.9).count()
+    assert(probes < 15L * 10 / 2, s"pruning too weak: $probes of ${15 * 10} probes survive")
+  }
+
   test("simhash-verified pairs equal the all-pairs n-gram jaccard result") {
     val pairs = Dedup.simhashVerifiedPairs(docs, col("doc_id"), col("text"), 3, 500000L)
       .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
