@@ -19,7 +19,7 @@ object Bench {
     "q_asof_join", "q_range_join",
     "cdc_txn_group", "cdc_latest_state", "cdc_salted_rowkey", "cdc_time_machine",
     "cdc_safe_checkpoint", "cdc_raw_adapter", "text_fingerprint", "text_quality", "text_vocab_topk",
-    "text_tfidf", "text_repetition",
+    "text_tfidf", "text_repetition", "text_lm_score",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_resolve",
     "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "pipe_clean_corpus", "mm_media_meta"
@@ -37,7 +37,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: run 2 of each query re-persists run 1's intermediates
+    // and CacheManager's benign "already cached" WARN floods the one-line
+    // JSON contract's surrounding output (BENCH_r02 tail).
+    spark.sparkContext.setLogLevel("ERROR")
 
     // untimed warmup: pay JVM/codegen/session costs outside the measurements
     try {

@@ -158,6 +158,13 @@ object SparkEntry {
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))),
 
+    "sample_quota" -> ((s, d) =>
+      // balanced subsample: exactly 40 docs per language by md5-rank —
+      // the equal-representation step of corpus assembly
+      graft.operators.Sampling.quotaSample(t(s, d, "documents"),
+          col("doc_id"), col("lang"), n = 40)
+        .select("doc_id", "lang", "source")),
+
     "text_pack_sequences" -> ((s, d) =>
       // token-budget packing: whitespace token counts, cumulative chunking
       // into 10k-token bins per language shard
@@ -616,6 +623,9 @@ object SparkEntry {
         emails.cast("long").as("n_emails"), digitRuns.cast("long").as("n_digit_runs"))
     }),
 
+    "text_lm_score" -> ((s, d) =>
+      operators.Text.lmBigramScore(t(s, d, "documents"), col("doc_id"), col("text"))),
+
     "dedup_contamination" -> ((s, d) => {
       // train/eval decontamination: flag TRAINING docs (odd doc_id) whose
       // 3-gram Jaccard against any EVAL doc (even doc_id) is ≥ 0.8 — the
@@ -804,6 +814,13 @@ object SparkEntry {
             OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
             OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a')
          GROUP BY source""",
+
+    "sample_quota" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents) WHERE rk <= 40""",
 
     "text_pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang,
@@ -1271,6 +1288,29 @@ object SparkEntry {
          SELECT doc_id,
            CAST(floor((len(grams) - len(list_distinct(grams))) * 1000000.0 / len(grams)) AS BIGINT) AS rep3_ppm
          FROM g""",
+
+    "text_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         bi AS (
+           SELECT doc_id, t[CAST(u.i AS INT)] AS w1, t[CAST(u.i AS INT) + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         doc_bi AS (
+           SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, sum(k) AS c2 FROM doc_bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(k) AS c1 FROM doc_bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT w2) AS v FROM doc_bi),
+         scored AS (
+           SELECT doc_id, k,
+             floor((c2.c2 + 1) * 1000000.0 / (c1.c1 + v.v)) AS s
+           FROM doc_bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         per_doc AS (
+           SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             CAST(floor(sum(s * k) / sum(k)) AS BIGINT) AS lm_ppm
+           FROM scored GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.lm_ppm
+         FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
 
     "text_pii" ->
       """SELECT doc_id,

@@ -47,6 +47,24 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Balanced (quota) subsample: exactly min(n, |stratum|) rows per stratum,
+    * chosen by md5-rank — the "equal representation per language/source"
+    * step of corpus assembly, deterministic on any cluster layout. One
+    * window keyed by the stratum; with many strata the sort is
+    * shuffle-partition-local. When n ≪ stratum size at 100 TB, pre-thin
+    * with [[keepHash]] at a generous rate bound (e.g. 10·n/|stratum|) so
+    * the window sorts a sliver, not the corpus — the md5 order is identical
+    * before and after thinning, so the selected set is unchanged unless the
+    * bound itself cuts below rank n. */
+  def quotaSample(df: DataFrame, keyCol: Column, strataCol: Column, n: Int,
+                  preRate: Double = 1.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(md5(keyCol.cast("string")), keyCol)
+    df.filter(keepHash(keyCol, preRate))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
   /** Token-budget sequence packing: within each shard (ordered by id), the
     * running token total assigns each document to bin
     * floor((cumsum − n_tokens) / budget) — the cumulative-chunking form of

@@ -99,4 +99,46 @@ object Text {
     * 64-bit) — cheap locality-insensitive id for shard-local joins. Uses
     * Spark's xxhash64 (codegen'd) rather than a Scala UDF. */
   def rollingFingerprint(text: Column): Column = xxhash64(normalized(text))
+
+  /** Corpus-fit bigram language-model score — the LM-perplexity quality gate
+    * of a cleaning pipeline (CCNet-style), self-trained on the corpus it
+    * scores. Per document: mean over its bigrams of the add-one-smoothed
+    * transition likelihood ppm, floor((c(w1,w2)+1)·1e6 / (c(w1·)+V)) —
+    * gibberish and boilerplate-free prose diverge cleanly. Integer-exact end
+    * to end (counts → one IEEE division → floor), so any engine scores
+    * identically.
+    *
+    * Scale shape: the model is two corpus-wide count aggregations
+    * (map-side-combined; the shuffle carries DISTINCT bigrams, not token
+    * occurrences). Scoring aggregates each doc's bigrams to (doc, w1, w2,
+    * k) FIRST, so the model join also moves only distinct doc-bigrams —
+    * high-frequency bigrams ride the join as one row per doc, not one per
+    * occurrence, which is what keeps Zipf-skewed keys from melting a
+    * 100 TB shuffle. Output: doc_id, n_bigrams, lm_ppm (NULL for docs with
+    * fewer than two tokens). */
+  def lmBigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), split(normalized(textCol), " ").as("toks"))
+    // adjacent pairs via zip of the two shifted slices: empty for <2 tokens
+    val bi = toks.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // per-doc bigram multiplicity before any join (see scale note above)
+    val docBi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = docBi.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
+    val c1 = docBi.groupBy("w1").agg(sum(col("k")).as("c1"))
+    val vocab = docBi.select(countDistinct(col("w2")).as("v"))
+    val scored = docBi
+      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .withColumn("s", floor((col("c2") + 1).cast("double") * lit(1000000.0d)
+        / (col("c1") + col("v")).cast("double")).cast("long"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      sum(col("k")).as("n_bigrams"),
+      floor(sum(col("s") * col("k")).cast("double") / sum(col("k")).cast("double"))
+        .cast("long").as("lm_ppm"))
+    df.select(idCol.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
+  }
 }

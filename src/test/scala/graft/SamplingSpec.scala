@@ -33,6 +33,35 @@ class SamplingSpec extends SparkTestBase {
     assert(!bySrc.contains("src3"))
   }
 
+  test("quota sample: exact n per stratum, md5-deterministic, preRate-invariant") {
+    val df = (1L to 3000L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val q = Sampling.quotaSample(df, col("id"), col("lang"), n = 25)
+    val byLang = q.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.values.toSet == Set(25L) && byLang.size == 3)
+    // small strata: quota caps at the stratum size
+    val tiny = Sampling.quotaSample(df.filter(col("id") <= 10), col("id"), col("lang"), n = 25)
+    assert(tiny.count() == 10)
+    // a generous pre-thinning keeps the md5 order, so the selected set is
+    // identical — the 100 TB fast path is a pure optimization
+    val thinned = Sampling.quotaSample(df, col("id"), col("lang"), n = 25, preRate = 0.5)
+    val a = q.select("id").as[Long].collect().toSet
+    val b = thinned.select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("bigram LM score: hand-checked smoothed transition ppm, NULL below two tokens") {
+    import graft.operators.Text
+    val docs = Seq((1L, "a b a b"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val got = Text.lmBigramScore(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_bigrams", "lm_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // model: c2(a,b)=2 c2(b,a)=1 c2(x,y)=1; c1(a)=2 c1(b)=1 c1(x)=1; V=3
+    // s(a,b)=floor(3e6/5)=600000, s(b,a)=floor(2e6/4)=500000, s(x,y)=500000
+    // doc1 = floor((2*600000+500000)/3) = 566666; doc2 = 500000; doc3 = NULL
+    assert(got == Set((1L, 3L, Some(566666L)), (2L, 1L, Some(500000L)), (3L, 0L, None)))
+  }
+
   test("sequence packing: bins chunk the cumulative budget per shard, order-stable") {
     val df = Seq(
       ("en", 1L, 4000L), ("en", 2L, 4000L), ("en", 3L, 4000L), ("en", 4L, 9000L),
