@@ -22,7 +22,8 @@ object Bench {
     "text_tfidf", "text_repetition", "text_lm_score",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_resolve",
-    "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "pipe_clean_corpus", "mm_media_meta"
+    "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "sim_pq_encode",
+    "pipe_clean_corpus", "mm_media_meta"
   )
 
   def main(args: Array[String]): Unit = {

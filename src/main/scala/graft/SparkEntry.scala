@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MysqlValues
-import graft.operators.{Cdc, Dedup, EventsAsCdc, Multimodal, Similarity, Text}
+import graft.operators.{Cdc, Dedup, EventsAsCdc, Multimodal, Pq, Similarity, Text}
 import graft.streaming.{TimeMachineSink, TransactionAssembler}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -720,6 +720,22 @@ object SparkEntry {
         emb, col("vec_id"), col("embedding"),
         emb.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
         threshold = 0.35, k = 16, iters = 3)
+    }),
+
+    "sim_pq_encode" -> ((s, d) => {
+      // product quantization encode: 8×8-dim subspaces, 16 codewords from
+      // the deterministic seed codebook — the compression step that lets a
+      // 100 TB ANN scan read 8 ints per vector instead of 64 doubles. The
+      // ADC search itself (Pq.adcTopK) is spec-verified on clustered data;
+      // this corpus's top-k sits at the cosine noise floor (~0.24), where
+      // no quantizer is rank-selective (same finding as hyperplane LSH at
+      // threshold 0.4), so the oracle-checkable surface is the encoding.
+      val emb = t(s, d, "embeddings")
+      val cb = Pq.seedCodebook(emb, col("vec_id"), col("embedding"), m = 8, k = 16)
+      Pq.encode(emb, col("vec_id"), col("embedding"), cb, m = 8)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub_id", "code")))
+        .select(col("vec_id"), col("sub_id").cast("int").as("sub_id"),
+          col("code").cast("int").as("code"))
     }),
 
     "sim_ann_lsh" -> ((s, d) => {
@@ -1461,6 +1477,29 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+
+    "sim_pq_encode" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM v),
+         u AS (SELECT vec_id,
+                 CASE WHEN nn > 0 THEN list_transform(v, x -> x / nn) ELSE v END AS vn
+               FROM n),
+         seeds AS (SELECT vec_id, vn,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+                   FROM u QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+         subids AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub_id),
+         cb AS (SELECT s.sub_id, seeds.code_id,
+                  seeds.vn[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS cw
+                FROM seeds, subids s),
+         subs AS (SELECT u.vec_id, s.sub_id,
+                    u.vn[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
+                  FROM u, subids s),
+         scored AS (SELECT vec_id, sub_id, code_id,
+                      list_dot_product(sv, sv) - 2 * list_dot_product(sv, cw)
+                        + list_dot_product(cw, cw) AS d2
+                    FROM subs JOIN cb USING (sub_id))
+         SELECT vec_id, sub_id, code_id AS code FROM scored
+         QUALIFY row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, code_id) = 1""",
 
     "sim_ann_ivf_exact" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

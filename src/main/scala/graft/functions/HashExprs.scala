@@ -84,6 +84,47 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native ADC (asymmetric distance computation) score for product-quantized
+  * search — wraps [[VecAlgos.adcScore]]. `codes` is the vector's `m`
+  * subspace code ids (array<int>), `table` the query's flattened m·k
+  * lookup table (array<double>, subspace-major). Runs per (query, vector)
+  * pair in the compressed-domain scan, so it must stay inside whole-stage
+  * codegen; an out-of-range code yields NULL, never a partial score. */
+case class AdcScoreExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0, "codebook size k must be positive")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<double>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val s = VecAlgos.adcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+    if (java.lang.Double.isNaN(s)) null else s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VecAlgos.adcScore($a, $b, $k);
+      if (java.lang.Double.isNaN(${ev.value})) {
+        ${ev.isNull} = true;
+      }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native random-hyperplane sign signature — wraps [[VecAlgos.hyperplaneSig]].
   * One codegen'd pass per row instead of `planes` interpreted zip_with+fold
   * traversals. Deterministic and self-consistent across the cluster (plane

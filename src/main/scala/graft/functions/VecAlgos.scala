@@ -33,6 +33,25 @@ object VecAlgos {
     s
   }
 
+  /** Asymmetric-distance (ADC) score for a product-quantized vector: the
+    * query's per-subspace lookup table is flattened to `m·k` doubles
+    * (subspace-major), the vector is `m` code ids, and the score is
+    * Σ_s table[s·k + codes[s]] — left-to-right, so bit-deterministic.
+    * Returns NaN only if a code indexes out of range, which
+    * [[AdcScoreExpr]] surfaces as NULL (corrupt codes must not rank). */
+  def adcScore(codes: ArrayData, table: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0d
+    var i = 0
+    while (i < m) {
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k || i * k + c >= table.numElements()) return Double.NaN
+      s += table.getDouble(i * k + c)
+      i += 1
+    }
+    s
+  }
+
   /** Random-hyperplane sign signature over `planes` pseudo-random planes.
     * Plane component (i, j) = (hash64(i + offset, j) % 1000) / 1000.0 via
     * XXH64.hashLong chains (seed 42) — deterministic, driver-state-free,

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Similarity.{asDouble, dot}
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — public knowledge): vectors are
+  * compressed to `m` small subspace code ids, and queries rank the whole
+  * corpus in the compressed domain via an m·k lookup table (ADC), touching
+  * full vectors only for a bounded shortlist that is exactly re-ranked.
+  *
+  * 100 TB posture: the compressed scan reads m ints per vector instead of
+  * the d-dim float payload (16–64× less I/O and shuffle), the per-pair score
+  * is a codegen'd m-element table walk ([[graft.functions.AdcScoreExpr]]),
+  * and the expensive exact cosine runs only on shortlist·|queries| rows.
+  * Everything is deterministic: the codebook derives from the first-k
+  * corpus vectors by id, argmin ties break by code id, and the ADC sum is
+  * fixed-order — so with a shortlist wide enough for full recall the final
+  * top-k EQUALS the brute-force result and stays oracle-checkable.
+  */
+object Pq {
+
+  /** Native ADC score ([[graft.functions.AdcScoreExpr]]). */
+  def adc(codes: Column, table: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.AdcScoreExpr(
+      GraftBridge.toExpr(codes), GraftBridge.toExpr(table), k))
+  }
+
+  /** Unit-normalized copy of a double-array column; the norm is materialized
+    * first so the per-element lambda reads an attribute, not a re-derived
+    * O(d) dot. Rows with zero norm keep their zeros (0/0 would poison ADC). */
+  private def withUnit(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("__norm", sqrt(dot(col(vec), col(vec))))
+      .withColumn(out, when(col("__norm") > 0.0,
+        transform(col(vec), x => x / col("__norm"))).otherwise(col(vec)))
+      .drop("__norm")
+
+  /** Subspace slices (sub_id, sv) of a unit-normalized vector column. */
+  private def subspaces(df: DataFrame, keep: Seq[String], vn: String, m: Int): DataFrame =
+    df.select(keep.map(col) :+ explode(sequence(lit(0), lit(m - 1))).as("sub_id")
+        :+ col(vn) :+ (size(col(vn)) / m).as("__sublen"): _*)
+      .select(keep.map(col) :+ col("sub_id")
+        :+ slice(col(vn), col("sub_id") * col("__sublen") + 1, col("__sublen")).as("sv"): _*)
+
+  /** Deterministic codebook: subspace slices of the first `k` corpus vectors
+    * by id (unit-normalized domain). Driver-tiny (m·k rows) and collected
+    * local, so every downstream use broadcasts a literal relation instead of
+    * re-running the limit. */
+  def seedCodebook(corpus: DataFrame, idCol: Column, vecCol: Column, m: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = withUnit(
+        corpus.select(idCol.as("vec_id"), asDouble(vecCol).as("v")).orderBy("vec_id").limit(k),
+        "v", "vn")
+      .withColumn("code_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+    val sub = subspaces(base, Seq("code_id"), "vn", m)
+      .select(col("sub_id"), col("code_id"), col("sv").as("cw"))
+    val local = sub.collect().toSeq.map(r =>
+      (r.getInt(r.fieldIndex("sub_id")), r.getInt(r.fieldIndex("code_id")),
+        r.getSeq[Double](r.fieldIndex("cw"))))
+    import spark.implicits._
+    local.toDF("sub_id", "code_id", "cw")
+  }
+
+  /** Encode the corpus: per (vector, subspace) the L2-argmin codeword id,
+    * ties broken by code id (lexicographic struct min — deterministic),
+    * assembled subspace-major into an array<int> of length m. One broadcast
+    * join against the m·k codebook; no vector ever shuffles. */
+  def encode(corpus: DataFrame, idCol: Column, vecCol: Column,
+             codebook: DataFrame, m: Int): DataFrame = {
+    val v = withUnit(corpus.select(idCol.as("vec_id"), asDouble(vecCol).as("v")), "v", "vn")
+    val scored = subspaces(v, Seq("vec_id"), "vn", m)
+      .join(broadcast(codebook), "sub_id")
+      .withColumn("d2", dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw"))
+        + dot(col("cw"), col("cw")))
+    scored.groupBy("vec_id", "sub_id")
+      .agg(min(struct(col("d2"), col("code_id"))).getField("code_id").as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** Per-query flattened ADC lookup table: entry (s, c) = dot(q_s, cw_{s,c})
+    * over the unit-normalized query, subspace-major array<double> of m·k —
+    * so ADC approximates the cosine of the normalized pair. */
+  def queryTables(codebook: DataFrame, queries: DataFrame,
+                  queryId: Column, queryVec: Column, m: Int): DataFrame = {
+    val q = withUnit(queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv")),
+      "qv", "qvn")
+    subspaces(q, Seq("query_id"), "qvn", m)
+      .join(broadcast(codebook), "sub_id")
+      .withColumn("e", dot(col("sv"), col("cw")))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code_id"), col("e")))),
+        s => s.getField("e")).as("qtable"))
+  }
+
+  /** PQ top-k: compressed-domain ADC scan → per-query shortlist → exact
+    * cosine re-rank (same float-op order as [[Similarity.bruteForceTopK]]).
+    * With `shortlist` wide enough for full recall the output equals the
+    * brute-force top-k; the spec asserts that equality, and recall
+    * degradation under a too-narrow shortlist is measurable, not silent. */
+  def adcTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column,
+              m: Int, k: Int, shortlist: Int, finalK: Int): DataFrame = {
+    val cb = seedCodebook(corpus, corpusId, corpusVec, m, k)
+    val codes = encode(corpus, corpusId, corpusVec, cb, m)
+    val qt = queryTables(cb, queries, queryId, queryVec, m)
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = codes.crossJoin(broadcast(qt))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc(col("codes"), col("qtable"), k))
+      .withColumn("__rn", row_number().over(wA)).filter(col("__rn") <= shortlist)
+      .select("query_id", "vec_id")
+    val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+    val wB = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.join(c, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos_sim", round(Similarity.cosine(col("cv"), col("qv")), 6))
+      .withColumn("__rn", row_number().over(wB)).filter(col("__rn") <= finalK)
+      .select("query_id", "vec_id", "cos_sim")
+  }
+}

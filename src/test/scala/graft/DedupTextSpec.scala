@@ -192,6 +192,39 @@ class DedupTextSpec extends SparkTestBase {
     assert(probes < 15L * 10 / 2, s"pruning too weak: $probes of ${15 * 10} probes survive")
   }
 
+  test("pq: compressed ADC shortlist recalls the exact top-k on clustered data") {
+    import graft.operators.{Pq, Similarity}
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map { i =>
+      val c = base(i % 10)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    // shortlist = 20% of the corpus: the compressed-domain ranking must
+    // surface every true neighbor, then the exact re-rank reproduces the
+    // brute-force result bit-for-bit
+    val pq = Pq.adcTopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        m = 8, k = 16, shortlist = 40, finalK = 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && pq == exact)
+    // compression contract: m ints per vector, every code within the book
+    val cb = Pq.seedCodebook(vecs, col("vec_id"), col("embedding"), m = 8, k = 16)
+    val codes = Pq.encode(vecs, col("vec_id"), col("embedding"), cb, m = 8)
+    assert(codes.count() == 200)
+    val badRows = codes.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(badRows == 0)
+    // corrupt codes must NULL out, never rank on a partial score
+    val nulls = codes.select(Pq.adc(array(lit(99)), array(lit(0.5d)), 16).as("s"))
+      .filter(col("s").isNull).count()
+    assert(nulls == 200)
+  }
+
   test("simhash-verified pairs equal the all-pairs n-gram jaccard result") {
     val pairs = Dedup.simhashVerifiedPairs(docs, col("doc_id"), col("text"), 3, 500000L)
       .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
