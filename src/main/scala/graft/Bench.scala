@@ -49,7 +49,11 @@ object Bench {
         .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
-    val results = headline.flatMap { name =>
+    // optional comma-separated headline filter — local iteration only (the
+    // driver sets neither, so its runs stay full)
+    val only: Set[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
+    val results = headline.filter(n => only.isEmpty || only.contains(n)).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // two timed executions, report the faster: first pass pays per-plan
         // codegen compilation, which is amortized noise for a resident engine

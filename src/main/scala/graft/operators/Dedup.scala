@@ -321,37 +321,53 @@ object Dedup {
   /** Dedup resolution: map every node of the duplicate-pair graph to the
     * MINIMUM id in its connected component — min-label propagation iterated
     * to fixpoint, so chained clusters (A–B, B–C) resolve C→A, not C→B.
-    * Each round is two shuffles on the node id; rounds needed = graph
-    * diameter (near-dup clusters are shallow, typically ≤ 3). The driver
-    * only sees a per-round changed-count action, never the data. At larger
-    * diameters the same loop shape takes the alternating large-star /
-    * small-star optimization (Kiveris et al., "Connected Components in
-    * MapReduce"); for crawl-dedup graphs plain propagation converges first. */
+    *
+    * Each round a node pulls the smallest label among (a) its own, (b) its
+    * neighbors', and (c) its LABEL's label — the pointer-doubling hop of
+    * parallel connectivity (Shiloach/Vishkin shape), which cuts convergence
+    * from O(diameter) to O(log diameter) rounds for chained clusters at the
+    * cost of one extra self-join on the (tiny) label table. The changed
+    * count rides on the `old` column carried through the round, so the
+    * convergence test is a filter on the already-materialized result — no
+    * per-round join against the previous labels. The driver only ever sees
+    * that count, never the data. At adversarial diameters the same loop
+    * shape takes the alternating large-star / small-star optimization
+    * (Kiveris et al., "Connected Components in MapReduce"); for crawl-dedup
+    * graphs this converges in 2-3 rounds. */
   def resolveCanonical(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("a_id").as("id"), col("b_id").as("peer"))
       .union(pairs.select(col("b_id").as("id"), col("a_id").as("peer")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("id"))
+    // `cached` is always the EXACT persisted plan (unpersist is plan-keyed —
+    // calling it on a projection of the cached frame would silently no-op
+    // and leak a cache entry per round); `labels` is the (id, canonical_id)
+    // view of it the round logic reads.
+    var cached = edges.groupBy(col("id"))
       .agg(least(min(col("peer")), min(col("id"))).as("canonical_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      // each node pulls the smallest label among its own and its neighbors'
       val viaPeers = edges
         .join(labels.select(col("id").as("peer"), col("canonical_id").as("peer_label")), "peer")
         .groupBy(col("id")).agg(min(col("peer_label")).as("peer_min"))
-      val next = labels.join(viaPeers, Seq("id"), "left")
-        .select(col("id"),
-          least(col("canonical_id"), coalesce(col("peer_min"), col("canonical_id")))
+      // pointer doubling: resolve each node's label through its label's label
+      val hop = labels.join(
+        labels.select(col("id").as("canonical_id"), col("canonical_id").as("label_label")),
+        Seq("canonical_id"), "left")
+      val next = hop.join(viaPeers, Seq("id"), "left")
+        .select(col("id"), col("canonical_id").as("old"),
+          least(col("canonical_id"),
+            coalesce(col("label_label"), col("canonical_id")),
+            coalesce(col("peer_min"), col("canonical_id")))
             .as("canonical_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("canonical_id").as("old")), "id")
-        .filter(col("canonical_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("canonical_id") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("canonical_id"))
       rounds += 1
     }
     edges.unpersist()
@@ -360,7 +376,7 @@ object Dedup {
     // hand corrupt canonicals downstream; a graph needing this many rounds
     // wants the large-star/small-star formulation, not a bigger cap
     if (changed > 0) {
-      labels.unpersist() // callers get no handle to it on the throw path
+      cached.unpersist() // callers get no handle to it on the throw path
       throw new IllegalStateException(
         s"resolveCanonical did not converge in $maxRounds rounds " +
           s"($changed labels still changing); component diameter exceeds the " +
