@@ -165,6 +165,23 @@ object SparkEntry {
           col("doc_id"), col("lang"), n = 40)
         .select("doc_id", "lang", "source")),
 
+    "sample_mixture" -> ((s, d) =>
+      // data-mixture epochs per source (LLaMA-recipe upsampling): src0 seen
+      // twice, src1 1.5x, src2 0.5x, src3 0.25x, everything else dropped
+      graft.operators.Sampling.mixtureUpsample(t(s, d, "documents"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.5, "src3" -> 0.25))
+        .select(col("doc_id"), col("source"), col("epoch_idx"))),
+
+    "pipe_shard_assign" -> ((s, d) =>
+      // LPT round-robin training-shard assignment: global size rank without
+      // a single-partition sort (range-partition + local rank + offsets)
+      graft.operators.Sampling.shardAssign(
+          t(s, d, "documents").withColumn("n_tokens",
+            size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long")),
+          col("doc_id"), col("n_tokens"), numShards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))),
+
     "text_pack_sequences" -> ((s, d) =>
       // token-budget packing: whitespace token counts, cumulative chunking
       // into 10k-token bins per language shard
@@ -671,6 +688,17 @@ object SparkEntry {
         Dedup.minhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))),
 
+    "dedup_paragraph" -> ((s, d) =>
+      // sub-document exact dedup (MassiveText "repeated passage" rule):
+      // 10-token chunks, corpus-wide keep-first, reassemble in doc order
+      Dedup.chunkDedup(t(s, d, "documents"), col("doc_id"), col("text"),
+        chunkTokens = 10)),
+
+    "dedup_dup_ngrams" -> ((s, d) =>
+      // duplicated-span detection (Lee et al. exact-substring flavor):
+      // positional 5-gram multiset counted corpus-wide, per-doc dup ratio
+      Dedup.dupSpanStats(t(s, d, "documents"), col("doc_id"), col("text"), n = 5)),
+
     "dedup_simhash" -> ((s, d) =>
       // Manku-style simhash multiprobe (hamming<=7 guaranteed) ensembled
       // with minhash bands for the high-hamming short-doc tail, EXACT
@@ -837,6 +865,24 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents) WHERE rk <= 40""",
+
+    "sample_mixture" ->
+      """WITH r AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2
+             WHEN 'src1' THEN 1 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < '80000000' THEN 1 ELSE 0 END
+             WHEN 'src2' THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < '80000000' THEN 1 ELSE 0 END
+             WHEN 'src3' THEN CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,8) < '40000000' THEN 1 ELSE 0 END
+             ELSE 0 END AS reps
+         FROM documents)
+         SELECT doc_id, source, CAST(unnest([i for i in range(1, reps+1)]) AS INT) AS epoch_idx FROM r""",
+
+    "pipe_shard_assign" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT doc_id, n_tokens,
+           CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8 AS INT) AS shard_id
+         FROM d""",
 
     "text_pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang,
@@ -1456,6 +1502,33 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            hex(substr(text, 1, 4)) AS magic
          FROM documents""",
+
+    "dedup_paragraph" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         ch AS (SELECT doc_id,
+           unnest([{'ord': i-1, 'chunk': array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ')}
+             for i in range(1, CAST(ceil(len(w)/10.0) AS BIGINT) + 1)], recursive := true)
+         FROM docs),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ord) AS rn FROM ch)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(chunk, ' ' ORDER BY ord) FILTER (WHERE rn = 1), '') AS deduped_text
+         FROM rk GROUP BY doc_id""",
+
+    "dedup_dup_ngrams" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sp AS (SELECT doc_id,
+           unnest([array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w)-5, 0)+2)]) AS span
+         FROM docs),
+         cnt AS (SELECT doc_id, count(*) OVER (PARTITION BY span) AS gc FROM sp)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE gc >= 2) AS BIGINT) AS n_dup_spans,
+           CAST(floor(count(*) FILTER (WHERE gc >= 2) * 1000000.0 / count(*)) AS BIGINT) AS dup_ppm
+         FROM cnt GROUP BY doc_id""",
 
     "dedup_simhash" ->
       """WITH docs AS (SELECT doc_id,

@@ -18,12 +18,33 @@ object Dedup {
     df.groupBy(fpCol.as("fp"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles of normalized text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(Text.normalized(text), " ")
+  /** Word n-gram shingles of normalized text.
+    *
+    * EVALUATION TRAP: do not inline an expensive expression as `text` of a
+    * per-element lambda pipeline — a higher-order function evaluates its
+    * lambda body per element, and `slice(toks, …)` embeds the whole
+    * `split(regexp_replace(lower(text)))` subtree, re-tokenizing the
+    * document once per shingle (measured 3-5 s/query at sf0.1 from
+    * tokenization alone). Materialize tokens behind a projection first
+    * ([[tokenized]]) and shingle the ATTRIBUTE ([[shinglesOfTokens]]);
+    * this wrapper exists for one-shot/spec use where the blowup is moot. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(split(Text.normalized(text), " "), n)
+
+  /** [[shingles]] over an already-materialized token-array column — the
+    * form every pipeline here uses (per-element lambda evaluation then
+    * reads the computed array instead of re-deriving it). */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
+
+  /** (id, __toks) projection: the materialization barrier that keeps
+    * per-element lambdas from re-running tokenization (CollapseProject
+    * leaves the alias in place because it is referenced more than once by
+    * non-cheap expressions). */
+  private def tokenized(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("id"), split(Text.normalized(textCol), " ").as("__toks"))
 
   /** MinHash signature: k independent permutation approximations; signature
     * element j = min over shingles of hash_j(shingle). A native Catalyst
@@ -103,7 +124,8 @@ object Dedup {
     * formulation, used as the correctness oracle for LSH and directly when
     * one side is small enough to broadcast. */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int, thresholdPpm: Long): DataFrame = {
-    val docs = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    val docs = tokenized(df, idCol, textCol)
+      .select(col("id"), shinglesOfTokens(col("__toks"), n).as("sh"))
     val a = docs.select(col("id").as("a_id"), col("sh").as("a_sh"))
     val b = docs.select(col("id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -125,7 +147,8 @@ object Dedup {
     // join — without it the shingle+signature build (the expensive narrow
     // stage) re-executes once per consumer. At 100 TB this persist becomes a
     // checkpoint to storage; the shape is the same.
-    val docs = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    val docs = tokenized(df, idCol, textCol)
+      .select(col("id"), shinglesOfTokens(col("__toks"), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandsDf = lshBands(docs, col("id"), col("sig"), bands, rows)
@@ -207,7 +230,8 @@ object Dedup {
   def simhashVerifiedPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int,
                            thresholdPpm: Long, minhashHashes: Int = 64,
                            minhashBands: Int = 16): DataFrame = {
-    val docs = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    val docs = tokenized(df, idCol, textCol)
+      .select(col("id"), shinglesOfTokens(col("__toks"), n).as("sh"))
       .withColumn("sig", simhashOfFeatures(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // generator 1: simhash 16-bit bands, 1-bit multiprobe on one join side
@@ -233,6 +257,76 @@ object Dedup {
       lshBands(signed, col("id"), col("msig"), minhashBands, rows))
     jaccardVerify(simhashCands.unionByName(minhashCands).distinct(),
       docs, "id", "sh", thresholdPpm)
+  }
+
+  /** Sub-document exact dedup (the MassiveText/Gopher "repeated passage"
+    * cleanup, Rae et al. 2021): split each document into fixed-size token
+    * chunks (the flat-text analog of paragraphs — pass pre-split paragraph
+    * ordinals through the same keep-first rule when the corpus has real
+    * `\n\n` structure), keep only the FIRST occurrence of each distinct
+    * chunk corpus-wide (ordered by doc id, then position), and reassemble
+    * the surviving chunks in document order. Returns per-doc
+    * (n_chunks, n_kept, deduped_text).
+    *
+    * Scale shape: one shuffle keyed by chunk content for the keep-first
+    * window (duplicate groups are tiny, so the per-group sort is O(dups)),
+    * one hash-agg back to doc id for reassembly. No joins, no quadratic
+    * step anywhere; at 100 TB the chunk shuffle is the cost and it is the
+    * minimum any exact sub-document dedup must pay. */
+  def chunkDedup(df: DataFrame, idCol: Column, textCol: Column, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val toks = col("__toks") // materialized attribute — see shingles() trap note
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunkArr = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("ord"),
+        array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ").as("chunk")))
+    val exploded = tokenized(df, idCol, textCol)
+      .select(col("id").as("doc_id"), explode(chunkArr).as("c"))
+      .select(col("doc_id"), col("c.ord").as("ord"), col("c.chunk").as("chunk"))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col("doc_id"), col("ord"))
+    exploded.withColumn("__rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls `when` leaves for non-kept chunks;
+        // array_sort orders the (ord, chunk) structs by ord — document order
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1, struct(col("ord"), col("chunk"))))),
+          c => c.getField("chunk")), " ").as("deduped_text"))
+  }
+
+  /** Duplicated-span statistics (the detection half of exact substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): every POSITIONAL token n-gram of every document (a
+    * multiset, unlike [[shingles]]' distinct set) is counted corpus-wide;
+    * a span occurring ≥ 2 times anywhere is a duplicated span. Returns
+    * per-doc (n_spans, n_dup_spans, dup_ppm) — the memorization-risk score
+    * used to rank documents for removal or span-level surgery.
+    *
+    * Scale shape: the global count is a window count over the 64-BIT HASH
+    * of the span — ONE shuffle (the suffix-array corpus sort, re-expressed
+    * relationally) that ships and sorts fixed-width longs instead of
+    * n-token strings (distinct spans → distinct hashes at ~1e-13/pair
+    * collision odds, the same contract [[jaccardVerify]]'s hashed
+    * intersects ride), then a hash-agg back to the doc. Join-free: the
+    * naive groupBy-count + join-back formulation pays the span shuffle
+    * twice. */
+  def dupSpanStats(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toks = col("__toks") // materialized attribute — see shingles() trap note
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val spanArr = transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))
+    val spans = tokenized(df, idCol, textCol)
+      .select(col("id").as("doc_id"), explode(spanArr).as("span_h"))
+    val globalCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("span_h")))
+    spans.withColumn("__gc", globalCount)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__gc") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+        floor(sum(when(col("__gc") >= 2, 1L).otherwise(0L)).cast("double") * lit(1000000.0d) /
+          count(lit(1))).cast("long").as("dup_ppm"))
   }
 
   /** Embedding near-dup: pairs with cosine above threshold. Exact/quadratic;

@@ -65,6 +65,66 @@ object Sampling {
       .filter(col("__rk") <= n).drop("__rk")
   }
 
+  /** Mixture upsampling: per-stratum EPOCH weights ≥ 0 (how many times each
+    * source is seen in one training pass — the data-mixture knob of
+    * LLaMA-style corpus recipes, where curated sources run > 1 epoch and
+    * bulk crawl < 1). Every row is emitted floor(w) times plus one more
+    * when its md5 fraction falls below frac(w), tagged with `epoch_idx`
+    * 1..reps; strata without a weight drop. Deterministic per row key —
+    * identical output on any cluster layout or retry, and expected stratum
+    * volume = w·|stratum| exactly.
+    *
+    * Scale shape: a scan-local explode — zero shuffles; output volume is
+    * the sum of weights, which is the volume the training job reads. */
+  def mixtureUpsample(df: DataFrame, keyCol: Column, strataCol: Column,
+                      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(_ >= 0.0), "epoch weights must be >= 0")
+    val reps = epochs.foldLeft(lit(0)) { case (acc, (stratum, w)) =>
+      val whole = math.floor(w).toInt
+      val frac = w - whole
+      when(strataCol === stratum,
+        lit(whole) + when(keepHash(keyCol, frac), 1).otherwise(0)).otherwise(acc)
+    }
+    df.withColumn("__reps", reps)
+      .filter(col("__reps") > 0)
+      .withColumn("epoch_idx", explode(sequence(lit(1), col("__reps"))))
+      .drop("__reps")
+  }
+
+  /** Balanced shard assignment: rank all rows by descending size (token
+    * count, unique-ized by id) and deal them round-robin across `numShards`
+    * — the longest-processing-time heuristic that keeps shard token totals
+    * within one max-document of each other, for writing training shards of
+    * near-equal work.
+    *
+    * The global rank is computed WITHOUT a single-partition sort (the naive
+    * `row_number() over (order by …)` collapses 100 TB onto one task):
+    * range-partition on the sort key, rank locally per partition, and add
+    * per-partition row-count offsets (a ≤-#partitions-row table, broadcast
+    * back). Ranks equal the global-sort ranks for ANY partition boundaries
+    * because the key order is total (size desc, id unique tiebreak), so the
+    * output is deterministic even though RangePartitioner samples. */
+  def shardAssign(df: DataFrame, idCol: Column, tokensCol: Column, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
+    val keyed = df.repartitionByRange(parts, tokensCol.desc, idCol.asc)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition counts are driver-tiny; the running offset is a window
+    // over that tiny table, then broadcast-joined back — no collect
+    val offsets = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val localRank = row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(tokensCol.desc, idCol.asc))
+    keyed.join(broadcast(offsets), "__pid")
+      .withColumn("shard_id",
+        ((col("__offset") + localRank - 1) % numShards).cast("int"))
+      .drop("__pid", "__offset")
+  }
+
   /** Token-budget sequence packing: within each shard (ordered by id), the
     * running token total assigns each document to bin
     * floor((cumsum − n_tokens) / budget) — the cumulative-chunking form of

@@ -262,6 +262,36 @@ class DedupTextSpec extends SparkTestBase {
     assert(dots(0).contains(14.0) && dots(1).isEmpty)
   }
 
+  test("chunk dedup keeps the first occurrence corpus-wide and reassembles in order") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // chunks (k=3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" is a repeat of doc 1's first chunk
+      (3L, "d e f"),         // fully duplicated by doc 1's second chunk
+      (4L, "x y z q")        // chunks "x y z" (dup of doc 2's tail chunk) and "q"
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, col("doc_id"), col("text"), chunkTokens = 3)
+      .select("doc_id", "n_chunks", "n_kept", "deduped_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, "a b c d e f"))) // first occurrences keep everything
+    assert(out(2L) == ((2L, 2L, 1L, "x y z")))       // repeated chunk dropped, tail kept
+    assert(out(3L) == ((3L, 1L, 0L, "")))            // fully duplicate doc empties out
+    assert(out(4L) == ((4L, 2L, 1L, "q")))           // first chunk lost to doc 2, tail kept
+  }
+
+  test("duplicated-span stats count positional n-grams corpus-wide") {
+    val df = Seq(
+      (1L, "a b c d e"),  // 3-gram spans: "a b c", "b c d", "c d e"
+      (2L, "a b c q r"),  // shares span "a b c" with doc 1
+      (3L, "z z z z z")   // spans "z z z" x3 — duplicated WITHIN the doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(df, col("doc_id"), col("text"), n = 3)
+      .select("doc_id", "n_spans", "n_dup_spans", "dup_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, 333333L)))
+    assert(out(2L) == ((2L, 3L, 1L, 333333L)))
+    assert(out(3L) == ((3L, 3L, 3L, 1000000L))) // intra-doc repeats are duplicates too
+  }
+
   test("text metrics: token counts, ppm ratios, langid, fingerprints") {
     val df = Seq((1L, "The cat and the dog!  Extra   spaces here."))
       .toDF("doc_id", "text")

@@ -72,4 +72,45 @@ class SamplingSpec extends SparkTestBase {
     assert(packed == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 0L),
       ("en", 4L, 1L), ("fr", 10L, 0L), ("fr", 11L, 0L)))
   }
+
+  test("mixture upsample: integer epochs exact, fractional in expectation, deterministic") {
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val up = Sampling.mixtureUpsample(df, col("id"), col("source"),
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0))
+    val bySrc = up.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == 2000L) // exactly 2 epochs: every doc twice
+    assert(math.abs(bySrc("src1") - 500) < 100) // 0.5 epochs in expectation
+    assert(!bySrc.contains("src2")) // weight 0 drops the stratum
+    // epoch_idx enumerates copies 1..reps
+    val idx = up.filter(col("source") === "src0").groupBy("epoch_idx").count()
+      .as[(Int, Long)].collect().toMap
+    assert(idx == Map(1 -> 1000L, 2 -> 1000L))
+    // pure function of the key: identical multiset on re-evaluation
+    assert(Sampling.mixtureUpsample(df, col("id"), col("source"),
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0)).count() == up.count())
+    // scan-local: no shuffle anywhere in the plan
+    assert(!up.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("shard assign: distributed rank equals the global sort rank; shards balanced") {
+    val df = (1L to 997L).map(i => (i, (i * 7919L) % 400 + 10)).toDF("id", "n_tokens")
+    val got = Sampling.shardAssign(df, col("id"), col("n_tokens"), numShards = 8)
+      .select("id", "shard_id").as[(Long, Int)].collect().toMap
+    // oracle: single-partition global window
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_tokens").desc, col("id"))
+    val want = df.withColumn("shard_id", ((row_number().over(w) - 1) % 8).cast("int"))
+      .select("id", "shard_id").as[(Long, Int)].collect().toMap
+    assert(got == want)
+    // LPT round-robin: shard token totals within one max-document of each other
+    val totals = Sampling.shardAssign(df, col("id"), col("n_tokens"), numShards = 8)
+      .groupBy("shard_id").agg(sum("n_tokens").as("t")).select("t").as[Long].collect()
+    assert(totals.max - totals.min <= 410)
+    // the data-path rank is distributed: range partitioning on the sort key
+    // feeds a window PARTITIONED by __pid (the only SinglePartition exchange
+    // is the ≤-#partitions-row offsets table — driver-tiny by construction)
+    val plan = Sampling.shardAssign(df, col("id"), col("n_tokens"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(n_tokens"), s"no range-partitioned rank:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"), s"rank window not pid-local:\n$plan")
+  }
 }
