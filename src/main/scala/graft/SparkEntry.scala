@@ -688,6 +688,20 @@ object SparkEntry {
         Dedup.minhashNearDupPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))),
 
+    "dedup_incremental" -> ((s, d) => {
+      // bloom-gated EXACT incremental dedup: the corpus half builds a tiny
+      // broadcastable bloom over its fingerprints; the new batch pays the
+      // anti-join only on the bloom-positive sliver. Output provably equals
+      // the plain anti-join (sketch prunes work, never the answer).
+      val docs = t(s, d, "documents")
+        .withColumn("fp", Text.fingerprint(col("text")))
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val bloom = operators.Sketches.fingerprintBloom(corpus, col("fp"), expected = 1000L)
+      operators.Sketches.novelDocs(batch, corpus, "fp", bloom)
+        .select(col("doc_id"), col("fp"))
+    }),
+
     "dedup_paragraph" -> ((s, d) =>
       // sub-document exact dedup (MassiveText "repeated passage" rule):
       // 10-token chunks, corpus-wide keep-first, reassemble in doc order
@@ -1502,6 +1516,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            hex(substr(text, 1, 4)) AS magic
          FROM documents""",
+
+    "dedup_incremental" ->
+      """WITH f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents)
+         SELECT n.doc_id, n.fp FROM f n
+         WHERE n.doc_id >= 250
+           AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id < 250 AND c.fp = n.fp)""",
 
     "dedup_paragraph" ->
       """WITH docs AS (SELECT doc_id,

@@ -50,4 +50,26 @@ object Sketches {
     // them would violate the nothing-new-is-ever-lost contract above)
     newDocs.filter(col(fpColName).isNull || !mightContain)
   }
+
+  /** EXACT incremental dedup with the Bloom filter as a pre-gate: new docs
+    * the filter rejects are provably novel (no false negatives) and skip
+    * the join entirely; only the bloom-positive sliver — fpp of the novel
+    * docs plus the true duplicates — pays an anti-join against the corpus
+    * fingerprints. Output is BIT-IDENTICAL to the plain anti-join for any
+    * Bloom filter (the sketch prunes work, never changes the answer),
+    * which is what makes this form oracle-checkable while [[filterKnown]]
+    * stays approximate. At 100 TB the gate turns a corpus-sized shuffle
+    * into a batch-sized scan plus a sliver-sized join. */
+  def novelDocs(newDocs: DataFrame, corpus: DataFrame, fpColName: String,
+                bloom: BloomFilter): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val mightContain = GraftBridge.toCol(graft.functions.BloomMightContainExpr(
+      GraftBridge.toExpr(col(fpColName)), out.toByteArray))
+    val definitelyNovel = newDocs.filter(col(fpColName).isNotNull && !mightContain)
+    val suspects = newDocs.filter(col(fpColName).isNull || mightContain)
+      .join(corpus.select(col(fpColName)).distinct(), Seq(fpColName), "left_anti")
+    definitelyNovel.unionByName(suspects.select(definitelyNovel.columns.map(col): _*))
+  }
 }

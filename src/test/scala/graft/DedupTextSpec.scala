@@ -252,6 +252,14 @@ class DedupTextSpec extends SparkTestBase {
     // null fingerprints pass the gate — they can't be proven known
     val withNull = incoming.unionByName(Seq(Option.empty[String]).toDF("fp"))
     assert(Sketches.filterKnown(withNull, "fp", bloom).filter(col("fp").isNull).count() == 1)
+
+    // novelDocs: bloom-gated EXACT form equals the plain anti-join —
+    // the sketch prunes join work but can never change the answer
+    val novel = Sketches.novelDocs(incoming, corpus, "fp", bloom)
+      .as[String].collect().sorted
+    val plain = incoming.join(corpus, Seq("fp"), "left_anti").as[String].collect().sorted
+    assert(novel.sameElements(plain))
+    assert(novel.length == 100 && novel.forall(_.startsWith("new")))
   }
 
   test("dot product surfaces mismatched-length vectors as NULL, not a partial sum") {
