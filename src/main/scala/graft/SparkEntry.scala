@@ -182,6 +182,17 @@ object SparkEntry {
           col("doc_id"), col("n_tokens"), numShards = 8)
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))),
 
+    "text_unicode_nfc" -> ((s, d) => {
+      // Unicode canonicalization: the corpus is ASCII, so decompose 'a' into
+      // 'a'+U+0301 first (same projection on both engines) — NFC must fuse
+      // every pair back into the composed 'á', shrinking the codepoint count
+      val decomposed = regexp_replace(col("text"), "a", "a\u0301")
+      t(s, d, "documents").select(col("doc_id"),
+        Text.unicodeNormalize(decomposed).as("nfc_text"),
+        length(decomposed).cast("long").as("n_cp_before"),
+        length(Text.unicodeNormalize(decomposed)).cast("long").as("n_cp_after"))
+    }),
+
     "text_pack_sequences" -> ((s, d) =>
       // token-budget packing: whitespace token counts, cumulative chunking
       // into 10k-token bins per language shard
@@ -896,6 +907,14 @@ object SparkEntry {
          FROM documents)
          SELECT doc_id, n_tokens,
            CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8 AS INT) AS shard_id
+         FROM d""",
+
+    "text_unicode_nfc" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, 'a', 'a' || chr(769), 'g') AS dec
+         FROM documents)
+         SELECT doc_id, nfc_normalize(dec) AS nfc_text,
+           CAST(length(dec) AS BIGINT) AS n_cp_before,
+           CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_cp_after
          FROM d""",
 
     "text_pack_sequences" ->

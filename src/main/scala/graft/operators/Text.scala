@@ -49,6 +49,16 @@ object Text {
   def repetitionPpm(text: Column, n: Int): Column =
     repetitionPpmOfTokens(split(normalized(text), " "), n)
 
+  /** Unicode normalization (NFC default): canonicalize composed/decomposed
+    * codepoint sequences before any fingerprinting or shingling — crawl
+    * text mixes the two and every exact-dedup key disagrees across them
+    * otherwise. Native codegen'd expression (no Scala-UDF boundary);
+    * scan-local, no shuffle. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.UnicodeNormalizeExpr(GraftBridge.toExpr(text), form))
+  }
+
   /** PII-pattern counts per document (email-shaped strings, long digit
     * runs) — the redaction-stage signal of a cleaning pipeline. Patterns are
     * RE2-compatible so every engine scores identically. */

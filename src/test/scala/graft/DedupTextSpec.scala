@@ -300,6 +300,25 @@ class DedupTextSpec extends SparkTestBase {
     assert(out(3L) == ((3L, 3L, 3L, 1000000L))) // intra-doc repeats are duplicates too
   }
 
+  test("unicode normalization: NFC composes, NFD decomposes, NFKC folds compat forms") {
+    import graft.operators.Text
+    // explicit escapes throughout — composed vs decomposed source literals
+    // are indistinguishable to a reader: e+U+0301 combining acute, U+FB01 fi
+    val df = Seq((1L, "cafe\u0301 \ufb01ne")).toDF("doc_id", "text")
+    def norm(form: String): String =
+      df.select(Text.unicodeNormalize(col("text"), form)).as[String].collect()(0)
+    assert(norm("NFC") == "caf\u00e9 \ufb01ne")  // combining pair fuses; ligature untouched
+    assert(norm("NFD") == "cafe\u0301 \ufb01ne") // already decomposed
+    assert(norm("NFKC") == "caf\u00e9 fine")      // compat: ligature expands to "fi"
+    // idempotent, null-safe, and plan stays scan-local
+    val once = df.select(Text.unicodeNormalize(col("text")).as("t"))
+    assert(once.select(Text.unicodeNormalize(col("t"))).as[String].collect()(0) == norm("NFC"))
+    val withNull = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(withNull.select(Text.unicodeNormalize(col("text"))).as[Option[String]].collect()(0).isEmpty)
+    assert(!once.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException](norm("NFX"))
+  }
+
   test("text metrics: token counts, ppm ratios, langid, fingerprints") {
     val df = Seq((1L, "The cat and the dog!  Extra   spaces here."))
       .toDF("doc_id", "text")
