@@ -430,16 +430,28 @@ object Dedup {
     * graphs this converges in 2-3 rounds. */
   def resolveCanonical(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // edges are re-read every round but their plan never grows — persist
     val edges = pairs.select(col("a_id").as("id"), col("b_id").as("peer"))
       .union(pairs.select(col("b_id").as("id"), col("a_id").as("peer")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lineage bookkeeping: each round references the previous labels three
+    // times (peer join + both sides of the pointer-doubling self-join), so
+    // the LOGICAL plan quadruples per round even though execution reads the
+    // persisted cache — left unchecked the driver OOMs just PRINTING the
+    // plan by round ~8. But truncating EVERY round (localCheckpoint) costs
+    // too: Dataset.checkpoint compiles via toRdd, bypassing AQE's final
+    // coalescing, so every round runs wide tiny tasks. Compromise: persist
+    // (fast path, AQE intact) with a lineage CUT every TRUNCATE_EVERY
+    // rounds — plan size stays ≤ 4^TRUNCATE_EVERY base copies, and graphs
+    // that converge quickly (crawl dedup: 2-4 rounds) never pay a cut.
+    // At 100 TB the cut becomes reliable checkpoint() to DFS.
+    val TruncateEvery = 4
+    import StorageLevel.MEMORY_AND_DISK
     // `cached` is always the EXACT persisted plan (unpersist is plan-keyed —
-    // calling it on a projection of the cached frame would silently no-op
-    // and leak a cache entry per round); `labels` is the (id, canonical_id)
-    // view of it the round logic reads.
+    // on a projection of it, unpersist silently no-ops and leaks the entry)
     var cached = edges.groupBy(col("id"))
       .agg(least(min(col("peer")), min(col("id"))).as("canonical_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
     var labels = cached
     var changed = 1L
     var rounds = 0
@@ -451,13 +463,15 @@ object Dedup {
       val hop = labels.join(
         labels.select(col("id").as("canonical_id"), col("canonical_id").as("label_label")),
         Seq("canonical_id"), "left")
-      val next = hop.join(viaPeers, Seq("id"), "left")
+      val merged = hop.join(viaPeers, Seq("id"), "left")
         .select(col("id"), col("canonical_id").as("old"),
           least(col("canonical_id"),
             coalesce(col("label_label"), col("canonical_id")),
             coalesce(col("peer_min"), col("canonical_id")))
             .as("canonical_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (rounds % TruncateEvery == TruncateEvery - 1) merged.localCheckpoint(false)
+        else merged.persist(MEMORY_AND_DISK)
       changed = next.filter(col("canonical_id") =!= col("old")).count()
       cached.unpersist()
       cached = next
@@ -470,13 +484,90 @@ object Dedup {
     // hand corrupt canonicals downstream; a graph needing this many rounds
     // wants the large-star/small-star formulation, not a bigger cap
     if (changed > 0) {
-      cached.unpersist() // callers get no handle to it on the throw path
       throw new IllegalStateException(
         s"resolveCanonical did not converge in $maxRounds rounds " +
           s"($changed labels still changing); component diameter exceeds the " +
           "min-propagation budget — raise maxRounds or switch to " +
-          "alternating large-star/small-star (Kiveris et al.)")
+          "[[resolveCanonicalStars]] (alternating large-star/small-star)")
     }
+    labels
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the adversarial-diameter fallback to [[resolveCanonical]]. Same
+    * (id, canonical_id) contract; prefer plain propagation for crawl-dedup
+    * graphs (shallow components, fewer shuffles per round).
+    *
+    * Each round rewrites the edge set itself (not a label table):
+    *  - large-star: for every node u, connect each STRICTLY-LARGER
+    *    neighbor to u's minimum neighbor-or-self m(u) — hangs heavy
+    *    subtrees directly under local minima;
+    *  - small-star: connect each ≤-neighbor (and u itself) to m(u) —
+    *    flattens the remaining shallow tendrils.
+    * Both emit only (min, other) edges, so the edge multiset shrinks
+    * toward a star per component; convergence (edge set = star forest,
+    * detected by an unchanged edge-count pair signature) takes
+    * O(log² n) rounds worst-case against ANY graph shape, vs
+    * O(diameter) for propagation. Each star op is one explode + one
+    * groupBy-min + one re-explode — two shuffles, same per-round cost
+    * class as a propagation round. */
+  def resolveCanonicalStars(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Same lineage regime as [[resolveCanonical]]: star() references its
+    // input several times, so the plan quadruples per round; persist keeps
+    // rounds on the AQE fast path and a localCheckpoint cut every few
+    // rounds bounds the plan (reliable checkpoint() to DFS at 100 TB).
+    val TruncateEvery = 3
+    // undirected edge multiset as (u, v) both ways, deduplicated
+    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(MEMORY_AND_DISK)
+    // star ops share one shape: group u's neighborhood, take m = min(v, u),
+    // re-emit (m, w) for the selected subset of neighbors w
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val grouped = e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"), collect_list(col("v")).as("nbrs"))
+      // selection in its own projection: a lambda referencing a sibling
+      // select-list alias trips lateral-column-alias resolution
+      val withSel = grouped.select(col("u"), col("m"),
+        (if (large) filter(col("nbrs"), w => w > col("u"))
+         else array_union(filter(col("nbrs"), w => w <= col("u")), array(col("u")))).as("sel"))
+      val emitted = withSel.select(col("m"), explode(col("sel")).as("w"))
+        .filter(col("m") =!= col("w"))
+      emitted.select(col("w").as("u"), col("m").as("v"))
+        .union(emitted.select(col("m").as("u"), col("w").as("v")))
+        .distinct()
+    }
+    def signature(e: DataFrame) =
+      e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+    var prevSig = signature(edges)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val round = star(star(edges, large = true), large = false)
+      val next =
+        if (rounds % TruncateEvery == TruncateEvery - 1) round.localCheckpoint(false)
+        else round.persist(MEMORY_AND_DISK)
+      // convergence: after small-star, a star forest maps to itself —
+      // detect via an order-insensitive signature of the edge multiset
+      val sig = signature(next)
+      stable = sig == prevSig
+      prevSig = sig
+      edges.unpersist() // no-op on checkpointed rounds; ContextCleaner covers
+      edges = next
+      rounds += 1
+    }
+    if (!stable) {
+      edges.unpersist() // callers get no handle to it on the throw path
+      throw new IllegalStateException(
+        s"resolveCanonicalStars did not converge in $maxRounds rounds")
+    }
+    // star forest: every edge is (member, min) or (min, member); canonical =
+    // min neighbor-or-self, and roots map to themselves
+    val labels = edges.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), first(col("u"))).as("canonical_id"))
     labels
   }
 }

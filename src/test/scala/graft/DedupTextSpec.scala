@@ -65,6 +65,24 @@ class DedupTextSpec extends SparkTestBase {
     assert(out(2L) == 2L && out(3L) == 2L)
   }
 
+  test("large-star/small-star components equal min-propagation on chains and random graphs") {
+    // deep chain (adversarial for propagation), plus a separate pair
+    val chain = ((100L to 119L).sliding(2).map(s => (s(1), s(0))).toSeq :+ ((2L, 3L)))
+      .toDF("a_id", "b_id")
+    val viaStars = Dedup.resolveCanonicalStars(chain).as[(Long, Long)].collect().toMap
+    val viaProp = Dedup.resolveCanonical(chain).as[(Long, Long)].collect().toMap
+    assert(viaStars == viaProp)
+    assert((100L to 119L).forall(viaStars(_) == 100L) && viaStars(3L) == 2L)
+    // random graph: 300 nodes, 260 random edges — many odd-shaped components
+    val rnd = new scala.util.Random(11)
+    val randomPairs = (1 to 260)
+      .map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }.toDF("a_id", "b_id")
+    val s2 = Dedup.resolveCanonicalStars(randomPairs).as[(Long, Long)].collect().toMap
+    val p2 = Dedup.resolveCanonical(randomPairs).as[(Long, Long)].collect().toMap
+    assert(s2 == p2, s"stars/propagation disagree on ${s2.toSet.diff(p2.toSet).take(5)}")
+  }
+
   test("contamination sweep runs on the LSH candidate path: no cross product in the plan") {
     val q = SparkEntry.queries("dedup_contamination")(spark, "/root/testdata/sf0.001")
     val phys = q.queryExecution.executedPlan.toString
