@@ -108,21 +108,33 @@ object Sampling {
     require(numShards > 0, "numShards must be positive")
     import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
-    val keyed = df.repartitionByRange(parts, tokensCol.desc, idCol.asc)
+    // Ranking runs on a NARROW (id, tokens, pid) projection, PERSISTED on
+    // purpose: both the offsets aggregate and the rank window read __pid,
+    // and each must see the SAME partition boundaries. RangePartitioner
+    // samples with a per-RDD seed, so two independent executions of this
+    // exchange could legally pick different boundaries and misalign
+    // offsets against ranks — sharing one ~16-byte/row materialization
+    // removes that dependence on exchange-reuse kicking in (per-query
+    // cache hygiene in Verify/Bench reclaims it). The full-width rows
+    // never enter the cache; the (id, shard_id) mapping joins back by id.
+    val narrow = df.select(idCol.as("__sa_id"), tokensCol.as("__sa_tok"))
+      .repartitionByRange(parts, col("__sa_tok").desc, col("__sa_id").asc)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition counts are driver-tiny; the running offset is a window
     // over that tiny table, then broadcast-joined back — no collect
-    val offsets = keyed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = narrow.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
     val localRank = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(tokensCol.desc, idCol.asc))
-    keyed.join(broadcast(offsets), "__pid")
+      Window.partitionBy(col("__pid")).orderBy(col("__sa_tok").desc, col("__sa_id").asc))
+    val mapping = narrow.join(broadcast(offsets), "__pid")
       .withColumn("shard_id",
         ((col("__offset") + localRank - 1) % numShards).cast("int"))
-      .drop("__pid", "__offset")
+      .select(col("__sa_id"), col("shard_id"))
+    df.join(mapping, idCol === col("__sa_id")).drop("__sa_id")
   }
 
   /** Token-budget sequence packing: within each shard (ordered by id), the

@@ -110,7 +110,7 @@ class SamplingSpec extends SparkTestBase {
     // is the ≤-#partitions-row offsets table — driver-tiny by construction)
     val plan = Sampling.shardAssign(df, col("id"), col("n_tokens"), 8)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning(n_tokens"), s"no range-partitioned rank:\n$plan")
+    assert(plan.contains("rangepartitioning(__sa_tok"), s"no range-partitioned rank:\n$plan")
     assert(plan.contains("windowspecdefinition(__pid"), s"rank window not pid-local:\n$plan")
   }
 }
