@@ -235,6 +235,34 @@ object SparkEntry {
               .rowsBetween(-2, 0)).cast("string"))
         .select("event_id", "user_id", "mov_sum")),
 
+    "q_range_frame" -> ((s, d) =>
+      // RANGE frame (value-based, vs q_sliding_window's ROWS): all events of
+      // the user whose event_id lies within 100 of the current one — frame
+      // membership by key distance, so peers and gaps behave differently
+      // from a row count. Count is integer-exact; the sum takes the
+      // decimal-as-string contract.
+      t(s, d, "events")
+        .withColumn("n_in_range",
+          count(lit(1)).over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+              .rangeBetween(-100, 0)))
+        .withColumn("sum_in_range",
+          sum(col("value").cast("decimal(18,2)")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+              .rangeBetween(-100, 0)).cast("string"))
+        .select("event_id", "user_id", "n_in_range", "sum_in_range")),
+
+    "q_scalar_subquery" -> ((s, d) => {
+      // correlated scalar subquery via the SQL surface — Catalyst
+      // decorrelates it into an aggregate + (broadcast) outer join rather
+      // than a per-row probe; count(*) in an empty group must surface as 0
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey,
+                 (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+               FROM customer_v c""")
+    }),
+
     "cdc_raw_adapter" -> ((s, d) => {
       // the raw binlog event layer end-to-end (reference RawEventType.java:
       // 4-43): events synthesized as serialized GTID/TABLE_MAP/ROWS/XID
@@ -830,6 +858,15 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.byte_len").as("byte_len"),
           col("media_meta.magic").as("magic"))),
 
+    "mm_payload_dedup" -> ((s, d) =>
+      // exact dedup on the OPAQUE BINARY payload (the multimodal analog of
+      // text fingerprint dedup): md5 over raw bytes, hash-agg clusters —
+      // payload bytes feed the scan-local hash and never shuffle
+      Dedup.exactClusters(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
+          .withColumn("pfp", md5(col("payload"))),
+        col("doc_id"), col("pfp"))),
+
     "mm_decode_features" -> ((s, d) =>
       Multimodal.extractFeatures(
           t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
@@ -944,6 +981,19 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS mov_sum
          FROM events""",
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_in_range,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS sum_in_range
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""",
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c""",
 
     "cdc_raw_adapter" ->
       """SELECT 'srv1:' || CAST(user_id AS VARCHAR) AS txn_uuid,
@@ -1535,6 +1585,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            hex(substr(text, 1, 4)) AS magic
          FROM documents""",
+
+    "mm_payload_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
+           count(*) AS dup_count
+         FROM documents GROUP BY 1""",
 
     "dedup_incremental" ->
       """WITH f AS (SELECT doc_id,
