@@ -21,8 +21,8 @@ object Bench {
     "cdc_safe_checkpoint", "cdc_raw_adapter", "text_fingerprint", "text_quality", "text_vocab_topk",
     "text_tfidf", "text_repetition", "text_lm_score",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-    "dedup_resolve", "dedup_paragraph", "dedup_dup_ngrams",
-    "sample_mixture", "pipe_shard_assign",
+    "dedup_resolve", "dedup_paragraph", "dedup_dup_ngrams", "dedup_incremental",
+    "sample_mixture", "pipe_shard_assign", "text_unicode_nfc", "q_range_frame",
     "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "sim_pq_encode",
     "pipe_clean_corpus", "mm_media_meta"
   )

@@ -752,6 +752,18 @@ object SparkEntry {
       // positional 5-gram multiset counted corpus-wide, per-doc dup ratio
       Dedup.dupSpanStats(t(s, d, "documents"), col("doc_id"), col("text"), n = 5)),
 
+    "dedup_keep_best" -> ((s, d) => {
+      // keep-BEST representative per near-dup cluster (token count as the
+      // quality score, ties to the smaller id) — the selection real
+      // cleaning pipelines make instead of keep-first
+      val docs = t(s, d, "documents")
+      val labels = Dedup.resolveCanonical(
+        Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+          n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))
+      Dedup.keepBest(labels, docs, "doc_id",
+        size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long"))
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       // Manku-style simhash multiprobe (hamming<=7 guaranteed) ensembled
       // with minhash bands for the high-hamming short-doc tail, EXACT
@@ -1530,6 +1542,33 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r)
          SELECT id, least(min(r), id) AS canonical_id FROM reach GROUP BY id""",
+
+    "dedup_keep_best" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
+         edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
+                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs),
+         reach(id, r) AS (
+           SELECT id, peer FROM edges
+           UNION
+           SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r),
+         comp AS (SELECT id, least(min(r), id) AS canonical_id FROM reach GROUP BY id),
+         toks AS (SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS score
+         FROM documents),
+         best AS (SELECT canonical_id, id AS keeper_id FROM (
+           SELECT comp.id, comp.canonical_id,
+             row_number() OVER (PARTITION BY canonical_id ORDER BY t.score DESC, comp.id) AS rn
+           FROM comp JOIN toks t ON t.doc_id = comp.id) WHERE rn = 1)
+         SELECT comp.id, comp.canonical_id, best.keeper_id
+         FROM comp JOIN best USING (canonical_id)""",
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

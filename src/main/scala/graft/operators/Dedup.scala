@@ -493,6 +493,25 @@ object Dedup {
     labels
   }
 
+  /** Cluster-representative selection: keep the BEST member of each
+    * duplicate cluster by an explicit quality score (keep-first — min id —
+    * throws away the highest-quality copy whenever crawl order and quality
+    * disagree, which is the common case). Ties break toward the smaller id,
+    * so selection is deterministic. One broadcast-or-shuffle join to attach
+    * scores plus one hash-agg per cluster; composes with either resolver's
+    * (id, canonical_id) output. */
+  def keepBest(labels: DataFrame, scored: DataFrame, idColName: String,
+               scoreCol: Column): DataFrame = {
+    val withScore = labels.join(
+      scored.select(col(idColName).as("id"), scoreCol.as("__score")), "id")
+    // argmax via struct-min: min(-score, id) = highest score, then lowest id
+    val best = withScore.groupBy(col("canonical_id"))
+      .agg(min(struct((-col("__score")).as("ns"), col("id").as("bid")))
+        .getField("bid").as("keeper_id"))
+    labels.join(best, "canonical_id")
+      .select(col("id"), col("canonical_id"), col("keeper_id"))
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the adversarial-diameter fallback to [[resolveCanonical]]. Same

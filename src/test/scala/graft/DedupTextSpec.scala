@@ -65,6 +65,17 @@ class DedupTextSpec extends SparkTestBase {
     assert(out(2L) == 2L && out(3L) == 2L)
   }
 
+  test("keepBest picks the highest-scored cluster member, ties to the smaller id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "canonical_id")
+    val scored = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "quality")
+    val out = Dedup.keepBest(labels, scored, "doc_id", col("quality"))
+      .select("id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L && out(2L) == 2L && out(3L) == 2L) // max score, tie -> min id
+    assert(out(7L) == 7L && out(8L) == 7L)
+  }
+
   test("large-star/small-star components equal min-propagation on chains and random graphs") {
     // deep chain (adversarial for propagation), plus a separate pair
     val chain = ((100L to 119L).sliding(2).map(s => (s(1), s(0))).toSeq :+ ((2L, 3L)))

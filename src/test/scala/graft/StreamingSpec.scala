@@ -311,4 +311,29 @@ class StreamingSpec extends SparkTestBase {
     assert(ReplicatorPipeline.transform(ops, excOnly).collect().map(_.table).toSet
       == Set("plain"))
   }
+
+  test("streaming corpus dedup: fingerprint state dedups across micro-batches") {
+    // the streaming form of incremental exact dedup: dropDuplicates on the
+    // content fingerprint keeps per-key state across batches, so a doc
+    // arriving again later (re-crawl) is dropped without any corpus join —
+    // state is the bloom/corpus analog, managed by the engine
+    implicit val sq = spark.sqlContext
+    val sink = Files.createTempDirectory("dedupsink").toString
+    val ckpt = Files.createTempDirectory("dedupck").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("doc_id", "text")
+      .withColumn("fp", graft.operators.Text.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData((1L, "alpha beta"), (2L, "gamma delta"))
+    q.processAllAvailable()
+    // batch 2: one true duplicate (different id, same normalized text), one new
+    mem.addData((3L, "Alpha  Beta"), (4L, "epsilon zeta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L)) // doc 3 deduped against batch-1 state
+  }
 }
