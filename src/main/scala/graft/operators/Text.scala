@@ -137,9 +137,12 @@ object Text {
     // per-doc bigram multiplicity before any join (see scale note above)
     val docBi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // model tables derive from the (much smaller) corpus bigram counts, so
+    // the doc-sized table is scanned once, not three times
     val c2 = docBi.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
-    val c1 = docBi.groupBy("w1").agg(sum(col("k")).as("c1"))
-    val vocab = docBi.select(countDistinct(col("w2")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = c2.select(countDistinct(col("w2")).as("v"))
     val scored = docBi
       .join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(vocab))
       .withColumn("s", floor((col("c2") + 1).cast("double") * lit(1000000.0d)
