@@ -125,9 +125,17 @@ object Similarity {
     val cts = centroids.select(col("centroid_id"), col("cvec"))
     val scored = v.join(broadcast(cts))
       .withColumn("sim", round(cosine(col("v"), col("cvec")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    // argmax as a struct-min hash-agg, NOT a rank window: the broadcast
+    // join keeps every centroid row of a vector in its scan partition, so
+    // map-side partial aggregation collapses k rows to one BEFORE the
+    // shuffle — the window form ships all k copies of each (vector,
+    // centroid-vector) array pair through the exchange just to rank them.
+    // min(-sim, cid) = highest sim, ties to the smallest centroid id
+    // (identical to the former window's (sim desc, cid) order).
+    scored.groupBy(col("vec_id"))
+      .agg(min(struct((-col("sim")).as("ns"), col("centroid_id").as("cid")))
+        .getField("cid").as("centroid_id"),
+        first(col("v")).as("v"))
       .select(col("vec_id"), col("centroid_id"), col("v"))
   }
 
@@ -216,14 +224,24 @@ object Similarity {
     * id, ties in assignment break by centroid id. */
   def kmeansCentroids(df: DataFrame, idCol: Column, vecCol: Column,
                       k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The centroid table is k·dim — driver-tiny at ANY corpus scale — so
+    // each Lloyd round collects it local and re-emits a literal relation:
+    // one job per round over the cached corpus (the collect IS the
+    // materialization), permanently flat lineage, and every assignment
+    // broadcasts a local relation. The corpus never leaves the cluster.
+    def localize(cts: DataFrame): Seq[(Long, Seq[Double])] =
+      cts.collect().toSeq.map(r =>
+        (r.getLong(r.fieldIndex("centroid_id")), r.getSeq[Double](r.fieldIndex("cvec"))))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    var cts = v.orderBy(col("vec_id")).limit(k)
+    var local = localize(v.orderBy(col("vec_id")).limit(k)
       .withColumn("centroid_id", row_number().over(w) - 1)
-      .select(col("centroid_id").cast("long").as("centroid_id"), col("v").as("cvec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("v").as("cvec")))
     (1 to iters).foreach { _ =>
+      val cts = local.toDF("centroid_id", "cvec")
       val assigned = ivfAssign(v, col("vec_id"), col("v"), cts)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -231,23 +249,12 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mvec"))
+      // empty clusters keep their previous centroid
       val next = cts.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("mvec"), col("cvec")).as("cvec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      cts.unpersist()
-      cts = next
+      local = localize(next)
     }
-    // Localize the k·dim result: the centroid set is driver-tiny at any
-    // corpus scale, and collecting it truncates the iterative lineage so
-    // every downstream broadcast reuses a local relation instead of
-    // re-running Lloyd's — and lets the corpus cache go now.
-    val local = cts.collect().toSeq.map(r =>
-      (r.getLong(r.fieldIndex("centroid_id")), r.getSeq[Double](r.fieldIndex("cvec"))))
-    cts.unpersist()
     v.unpersist()
-    val spark = df.sparkSession
-    import spark.implicits._
     local.toDF("centroid_id", "cvec")
   }
 }
