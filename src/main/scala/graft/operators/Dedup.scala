@@ -515,8 +515,12 @@ object Dedup {
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     * the adversarial-diameter fallback to [[resolveCanonical]]. Same
-    * (id, canonical_id) contract; prefer plain propagation for crawl-dedup
-    * graphs (shallow components, fewer shuffles per round).
+    * (id, canonical_id) contract for every real pair; degenerate SELF-pairs
+    * (a_id = b_id) are dropped here (a singleton is not a duplicate
+    * cluster) where propagation would emit an identity row — LSH candidate
+    * generators only ever produce strict pairs, so pipelines see no
+    * difference. Prefer plain propagation for crawl-dedup graphs (shallow
+    * components, fewer shuffles per round).
     *
     * Each round rewrites the edge set itself (not a label table):
     *  - large-star: for every node u, connect each STRICTLY-LARGER
