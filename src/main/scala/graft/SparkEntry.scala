@@ -870,6 +870,24 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.byte_len").as("byte_len"),
           col("media_meta.magic").as("magic"))),
 
+    "mm_ppm_decode" -> ((s, d) => {
+      // REAL image decode, distributed: build a P6 PPM payload from each
+      // doc's bytes (w×2 RGB raster), run the actual Netpbm parser in
+      // mapPartitions, emit integer channel sums — DuckDB re-derives the
+      // same sums straight from the text bytes (corpus is ASCII: byte ≡
+      // char), so the decoder itself is oracle-gated.
+      val w = floor(length(col("text")) / 6).cast("int")
+      val header = concat(lit("P6\n"), w.cast("string"), lit(" 2\n255\n"))
+      val payload = concat(header.cast("binary"),
+        col("text").substr(lit(1), w * 6).cast("binary"))
+      Multimodal.decodePpm(
+          t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
+          "payload")
+        .select(col("doc_id"), col("ppm.width").as("width"),
+          col("ppm.height").as("height"), col("ppm.sum_r").as("sum_r"),
+          col("ppm.sum_g").as("sum_g"), col("ppm.sum_b").as("sum_b"))
+    }),
+
     "mm_payload_dedup" -> ((s, d) =>
       // exact dedup on the OPAQUE BINARY payload (the multimodal analog of
       // text fingerprint dedup): md5 over raw bytes, hash-agg clusters —
@@ -1629,6 +1647,20 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
            count(*) AS dup_count
          FROM documents GROUP BY 1""",
+
+    "mm_ppm_decode" ->
+      """WITH d AS (SELECT doc_id, text,
+           CAST(floor(length(text)/6) AS BIGINT) AS w
+         FROM documents),
+         px AS (SELECT doc_id, w,
+           unnest([{'i': i, 'b': ascii(substring(text, i, 1))}
+             for i in range(1, CAST(w*6 AS BIGINT) + 1)], recursive := true)
+         FROM d)
+         SELECT doc_id, CAST(w AS INT) AS width, 2 AS height,
+           CAST(sum(b) FILTER (WHERE (i-1)%3=0) AS BIGINT) AS sum_r,
+           CAST(sum(b) FILTER (WHERE (i-1)%3=1) AS BIGINT) AS sum_g,
+           CAST(sum(b) FILTER (WHERE (i-1)%3=2) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id, w""",
 
     "dedup_incremental" ->
       """WITH f AS (SELECT doc_id,

@@ -67,6 +67,82 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for binary P6 PPM (Netpbm — public format): magic check,
+    * whitespace- and comment-tolerant header parse (dims + maxval), then
+    * per-channel byte sums over the RGB raster. This is the proof that the
+    * [[extractFeatures]] plumbing runs an actual decoder distributed — a
+    * production build links libjpeg/ffmpeg into the same `mapPartitions`
+    * slot. Integer sums (not float means) keep the output exactly
+    * comparable across engines. Undecodable bytes → None, never a throw. */
+  object PpmCodec {
+    final case class Ppm(width: Int, height: Int, maxval: Int,
+                         sumR: Long, sumG: Long, sumB: Long)
+
+    def decode(bytes: Array[Byte]): Option[Ppm] = {
+      if (bytes == null || bytes.length < 9 ||
+          bytes(0) != 'P' || bytes(1) != '6') return None
+      var pos = 2
+      // read the next header int, skipping whitespace and '#' comments
+      def nextInt(): Option[Int] = {
+        while (pos < bytes.length &&
+               (Character.isWhitespace(bytes(pos)) || bytes(pos) == '#')) {
+          if (bytes(pos) == '#') {
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          } else pos += 1
+        }
+        val start = pos
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
+        // 9-digit cap: anything longer is garbage and would overflow toInt
+        if (pos == start || pos - start > 9) None
+        else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
+      }
+      for {
+        w <- nextInt(); h <- nextInt(); mv <- nextInt()
+        if w > 0 && h > 0 && mv > 0 && mv < 65536 && pos < bytes.length
+        // exactly ONE whitespace byte separates maxval from the raster
+        _ = (pos += 1)
+        need = w.toLong * h * 3
+        if mv <= 255 && bytes.length - pos >= need // 2-byte samples unsupported
+      } yield {
+        var (r, g, b) = (0L, 0L, 0L)
+        var i = 0
+        while (i < need) {
+          val v = bytes(pos + i) & 0xFF
+          (i % 3: @annotation.switch) match {
+            case 0 => r += v
+            case 1 => g += v
+            case _ => b += v
+          }
+          i += 1
+        }
+        Ppm(w, h, mv, r, g, b)
+      }
+    }
+  }
+
+  /** Decode P6 payloads via `mapPartitions` — same batch shape as
+    * [[extractFeatures]] but with the REAL [[PpmCodec]]; appends a
+    * `ppm` struct (null for undecodable payloads). */
+  def decodePpm(df: DataFrame, binColName: String): DataFrame = {
+    val ppmType = StructType(Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("maxval", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val outSchema = StructType(df.schema.fields :+ StructField("ppm", ppmType))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = PpmCodec.decode(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ decoded.map(p =>
+          Row(p.width, p.height, p.maxval, p.sumR, p.sumG, p.sumB)).orNull)
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract over the binary column via `mapPartitions` —
     * the Scala analog of a pandas_udf/mapInPandas batch: one codec context
     * per partition, rows streamed through it, payload never shuffled. */

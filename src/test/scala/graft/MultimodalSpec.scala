@@ -20,6 +20,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(3L) == "application/octet-stream")
   }
 
+  test("ppm codec parses real P6 headers: comments, whitespace, garbage, truncation") {
+    import Multimodal.PpmCodec
+    // 2x1 raster: pixels (1,2,3) (250,251,252); comment + extra whitespace
+    val good = ("P6\n# a comment\n 2  1\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 250.toByte, 251.toByte, 252.toByte)
+    val p = PpmCodec.decode(good).get
+    assert((p.width, p.height, p.maxval) == ((2, 1, 255)))
+    assert((p.sumR, p.sumG, p.sumB) == ((251L, 253L, 255L)))
+    // undecodable inputs -> None, never a throw
+    assert(PpmCodec.decode(null).isEmpty)
+    assert(PpmCodec.decode("P5\n2 1\n255\n??????".getBytes).isEmpty) // wrong magic
+    assert(PpmCodec.decode("P6\n2 1\n255\n??".getBytes).isEmpty)     // truncated raster
+    assert(PpmCodec.decode("P6\n2 1\n9999999999\n".getBytes).isEmpty) // maxval overflow digits
+    // distributed decode: struct row per payload, null for the bad one
+    val df = Seq((1L, good), (2L, "nonsense".getBytes)).toDF("id", "payload")
+    val out = Multimodal.decodePpm(df, "payload")
+      .select(col("id"), col("ppm.sum_r"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(251L) && out(2L).isEmpty)
+  }
+
   test("extractFeatures runs the stub codec per partition with stable schema") {
     val df = Seq((1L, "aaaa".getBytes), (2L, "bbbbbbbb".getBytes)).toDF("doc_id", "payload")
     val out = Multimodal.extractFeatures(df, "payload")
