@@ -98,6 +98,56 @@ object Pq {
         s => s.getField("e")).as("qtable"))
   }
 
+  /** IVFADC (Jégou et al. §V: coarse quantizer + product-quantized
+    * residual scan — the FAISS billion-scale layout, here on raw vectors):
+    * Lloyd's centroids partition the corpus into inverted lists whose
+    * members are stored as PQ codes; each query probes its `nProbe`
+    * nearest lists, ADC-scores ONLY those members in the compressed
+    * domain, and exactly re-ranks a bounded shortlist.
+    *
+    * 100 TB posture — this is the layout the big-ANN world actually runs:
+    * the corpus shuffles once (by centroid id) at build; a query touches
+    * nProbe/k of the corpus and reads m bytes per member instead of the
+    * d-dim payload, so scan volume drops by (k/nProbe)·(4d/m)×; the exact
+    * re-rank touches shortlist·|queries| full vectors. Recall is the
+    * product of probe recall and shortlist recall — both measurable (the
+    * spec pins full recall on clustered data with generous settings). */
+  def ivfAdcTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                 queries: DataFrame, queryId: Column, queryVec: Column,
+                 kClusters: Int, iters: Int, m: Int, kCodes: Int,
+                 nProbe: Int, shortlist: Int, finalK: Int): DataFrame = {
+    val cts = Similarity.kmeansCentroids(corpus, corpusId, corpusVec, kClusters, iters)
+    val assigned = Similarity.ivfAssign(corpus, corpusId, corpusVec, cts)
+    val cb = seedCodebook(corpus, corpusId, corpusVec, m, kCodes)
+    val lists = assigned.select("vec_id", "centroid_id")
+      .join(encode(corpus, corpusId, corpusVec, cb, m), "vec_id")
+    // query-side probe plan: nProbe nearest centroids by cosine, via the
+    // same struct-min argmax trick k times -> a rank over k rows per query
+    // (centroids are driver-tiny, so this window input is |q|·k rows)
+    val q = queries.select(queryId.as("query_id"), Similarity.asDouble(queryVec).as("qv"))
+    val probed = q.join(broadcast(cts))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("cvec")), 6))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "centroid_id")
+    val qt = queryTables(cb, queries, queryId, queryVec, m)
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = probed.join(lists, "centroid_id")
+      .join(broadcast(qt), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc(col("codes"), col("qtable"), kCodes))
+      .withColumn("__rn", row_number().over(wA)).filter(col("__rn") <= shortlist)
+      .select("query_id", "vec_id")
+    val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
+    val qv = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+    val wB = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.join(c, "vec_id").join(broadcast(qv), "query_id")
+      .withColumn("cos_sim", round(Similarity.cosine(col("cv"), col("qv")), 6))
+      .withColumn("__rn", row_number().over(wB)).filter(col("__rn") <= finalK)
+      .select("query_id", "vec_id", "cos_sim")
+  }
+
   /** PQ top-k: compressed-domain ADC scan → per-query shortlist → exact
     * cosine re-rank (same float-op order as [[Similarity.bruteForceTopK]]).
     * With `shortlist` wide enough for full recall the output equals the

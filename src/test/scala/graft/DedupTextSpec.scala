@@ -221,6 +221,29 @@ class DedupTextSpec extends SparkTestBase {
     assert(probes < 15L * 10 / 2, s"pruning too weak: $probes of ${15 * 10} probes survive")
   }
 
+  test("ivfadc: probed compressed scan + exact re-rank equals brute force on clustered data") {
+    import graft.operators.{Pq, Similarity}
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 240).map { i =>
+      val c = base(i % 8)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    // generous probes+shortlist on well-separated clusters: the composed
+    // IVF->ADC->re-rank pipeline must reproduce brute force exactly
+    val ivfadc = Pq.ivfAdcTopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        kClusters = 8, iters = 2, m = 8, kCodes = 16,
+        nProbe = 4, shortlist = 60, finalK = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && ivfadc == exact,
+      s"missing=${(exact -- ivfadc).take(5)} extra=${(ivfadc -- exact).take(5)}")
+  }
+
   test("pq: compressed ADC shortlist recalls the exact top-k on clustered data") {
     import graft.operators.{Pq, Similarity}
     val rnd = new scala.util.Random(17)
