@@ -51,4 +51,40 @@ object OpSource {
         map(lit("v"), col("value").cast("string")).as("after"))
       .as[Op]
   }
+
+  /** Synthetic rate-driven RAW BINLOG stream: each transaction arrives as
+    * its four-event block (GTID → TABLE_MAP → WRITE_ROWS → XID) on one
+    * server, exercising the streaming supplier state machine
+    * ([[graft.operators.RawBinlogAdapter.toOpsStreaming]]) end-to-end —
+    * the soak lane for the raw edge, vs [[rateStream]]'s pre-normalized
+    * ops. */
+  def rawRateStream(spark: SparkSession, rps: Int, nKeys: Int = 1000,
+                    servers: Int = 1): Dataset[graft.model.RawEvent] = {
+    import spark.implicits._
+    import graft.model.{RawEvent, RawEventType => RT, RowImage}
+    spark.readStream.format("rate").option("rowsPerSecond", rps.toLong * 4).load()
+      .select(col("value"), unix_millis(col("timestamp")).as("ts"))
+      .as[(Long, Long)]
+      .map { case (v, ts) =>
+        val txn = v / 4
+        // transactions round-robin across synthetic source servers — the
+        // reference's scale-out model (one supplier per server), and the
+        // state machine's partition key; each server's positions stay
+        // monotone so per-server binlog order is a real binlog's
+        val server = 1L + txn % servers
+        val pos = v + 4L
+        ((v % 4).toInt: @annotation.switch) match {
+          case 0 => RawEvent(RT.GTID, server, "bin.000001", pos, ts,
+            gtid = Some(s"srv$server:$txn"))
+          case 1 => RawEvent(RT.TABLE_MAP, server, "bin.000001", pos, ts,
+            tableId = Some(7L), db = Some("db"), table = Some("rate"),
+            pkColumns = Seq("id"))
+          case 2 => RawEvent(RT.WRITE_ROWS, server, "bin.000001", pos, ts,
+            tableId = Some(7L), rows = Seq(RowImage(Map.empty,
+              Map("id" -> (txn % nKeys).toString, "v" -> v.toString))))
+          case _ => RawEvent(RT.XID, server, "bin.000001", pos, ts,
+            xid = Some(txn))
+        }
+      }
+  }
 }
