@@ -46,4 +46,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("round-3 dedup/sampling paths: no cross products, mixture stays scan-local") {
+    Seq("dedup_paragraph", "dedup_dup_ngrams", "dedup_incremental",
+        "dedup_keep_best").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cross product")
+      spark.sharedState.cacheManager.clearCache() // resolve/LSH persists
+    }
+    // mixture upsampling is a pure scan-side explode — zero exchanges
+    assert(!plan("sample_mixture").contains("Exchange"))
+  }
 }
