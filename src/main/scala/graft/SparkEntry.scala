@@ -752,6 +752,17 @@ object SparkEntry {
       // positional 5-gram multiset counted corpus-wide, per-doc dup ratio
       Dedup.dupSpanStats(t(s, d, "documents"), col("doc_id"), col("text"), n = 5)),
 
+    "dedup_span_contamination" -> ((s, d) => {
+      // GPT-3-style span decontamination: a TRAIN doc (odd id) is flagged
+      // per 5-gram it shares with the EVAL split (even ids) — catches a
+      // verbatim eval question quoted inside a long page that doc-level
+      // Jaccard (dedup_contamination) would miss
+      val docs = t(s, d, "documents")
+      Dedup.spanContamination(
+        docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 2 === 0), col("text"), n = 5)
+    }),
+
     "dedup_keep_best" -> ((s, d) => {
       // keep-BEST representative per near-dup cluster (token count as the
       // quality score, ties to the smaller id) — the selection real
@@ -1560,6 +1571,21 @@ object SparkEntry {
            UNION
            SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r)
          SELECT id, least(min(r), id) AS canonical_id FROM reach GROUP BY id""",
+
+    "dedup_span_contamination" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         tr AS (SELECT doc_id,
+           unnest([array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w)-5, 0)+2)]) AS span
+         FROM docs WHERE doc_id % 2 <> 0),
+         ev AS (SELECT DISTINCT
+           unnest([array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w)-5, 0)+2)]) AS span
+         FROM docs WHERE doc_id % 2 = 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE span IN (SELECT span FROM ev)) AS BIGINT) AS n_contaminated,
+           CAST(floor(count(*) FILTER (WHERE span IN (SELECT span FROM ev)) * 1000000.0 / count(*)) AS BIGINT) AS contam_ppm
+         FROM tr GROUP BY doc_id""",
 
     "dedup_keep_best" ->
       """WITH RECURSIVE docs AS (SELECT doc_id,

@@ -493,6 +493,37 @@ object Dedup {
     labels
   }
 
+  /** Span-level decontamination (the GPT-3/PaLM rule): a training doc is
+    * contaminated wherever ANY of its token n-grams also occurs in the
+    * eval set — stricter than doc-level Jaccard, which misses a verbatim
+    * eval question quoted inside a long page. Returns per-train-doc
+    * (n_spans, n_contaminated, contam_ppm); downstream either drops the
+    * doc or surgically removes the spans.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT span-hash set
+    * (benchmark suites are tiny next to a corpus — typically broadcast);
+    * the train side streams its positional spans through one semi-join on
+    * the 64-bit hash and one doc hash-agg. No shuffle of the train corpus
+    * beyond the span join. */
+  def spanContamination(train: DataFrame, trainId: Column, trainText: Column,
+                        eval: DataFrame, evalText: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toks = col("__toks")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val spanArr = transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))
+    val trainSpans = tokenized(train, trainId, trainText)
+      .select(col("id").as("doc_id"), explode(spanArr).as("span_h"))
+    val evalSpans = tokenized(eval, lit(0L), evalText)
+      .select(explode(spanArr).as("span_h")).distinct()
+    trainSpans
+      .join(broadcast(evalSpans.withColumn("__hit", lit(1))), Seq("span_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"),
+        floor(sum(coalesce(col("__hit"), lit(0))).cast("double") * lit(1000000.0d) /
+          count(lit(1))).cast("long").as("contam_ppm"))
+  }
+
   /** Cluster-representative selection: keep the BEST member of each
     * duplicate cluster by an explicit quality score (keep-first — min id —
     * throws away the highest-quality copy whenever crawl order and quality

@@ -65,6 +65,21 @@ class DedupTextSpec extends SparkTestBase {
     assert(out(2L) == 2L && out(3L) == 2L)
   }
 
+  test("span contamination flags shared n-grams, counts positions, ignores eval-only text") {
+    val train = Seq(
+      (1L, "the exact eval question text plus more words here"), // quotes eval doc
+      (3L, "totally original training content nothing shared at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the exact eval question text")).toDF("doc_id", "text")
+    val out = Dedup.spanContamination(train, col("doc_id"), col("text"),
+        eval, col("text"), n = 5)
+      .select("doc_id", "n_spans", "n_contaminated", "contam_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 5 positional 5-grams, exactly 1 ("the exact eval question text") shared
+    assert(out(1L) == ((1L, 5L, 1L, 200000L)))
+    assert(out(3L) == ((3L, 4L, 0L, 0L)))
+  }
+
   test("keepBest picks the highest-scored cluster member, ties to the smaller id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "canonical_id")
