@@ -899,6 +899,30 @@ object SparkEntry {
           col("ppm.sum_g").as("sum_g"), col("ppm.sum_b").as("sum_b"))
     }),
 
+    "mm_wav_meta" -> ((s, d) => {
+      // REAL audio-container decode, distributed: build a PCM WAV from each
+      // doc's bytes (format params derived from doc_id), walk the RIFF
+      // chunk list in mapPartitions, emit the parsed header — the oracle
+      // recomputes every field from doc_id + length(text), so the
+      // build+parse round trip is correctness-gated.
+      import s.implicits._
+      val withWav = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val ch = 1 + (id % 2).toInt
+          val sr = 8000 * (1 + (id % 3).toInt)
+          (id, Multimodal.buildWav(ch, sr, 16, text.getBytes("US-ASCII")))
+        }.toDF("doc_id", "payload")
+      Multimodal.decodeWav(withWav, "payload")
+        .select(col("doc_id"),
+          col("wav.audio_format").as("audio_format"),
+          col("wav.channels").as("channels"),
+          col("wav.sample_rate").as("sample_rate"),
+          col("wav.bits_per_sample").as("bits_per_sample"),
+          col("wav.data_len").as("data_len"),
+          col("wav.duration_ms").as("duration_ms"))
+    }),
+
     "mm_payload_dedup" -> ((s, d) =>
       // exact dedup on the OPAQUE BINARY payload (the multimodal analog of
       // text fingerprint dedup): md5 over raw bytes, hash-agg clusters —
@@ -1673,6 +1697,18 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
            count(*) AS dup_count
          FROM documents GROUP BY 1""",
+
+    "mm_wav_meta" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+           length(text) AS n
+         FROM documents)
+         SELECT doc_id, 1 AS audio_format, channels, sample_rate,
+           16 AS bits_per_sample,
+           CAST((n // (channels*2)) * (channels*2) AS BIGINT) AS data_len,
+           CAST(((n // (channels*2)) * (channels*2) * 1000) // (sample_rate * channels * 2) AS BIGINT) AS duration_ms
+         FROM d""",
 
     "mm_ppm_decode" ->
       """WITH d AS (SELECT doc_id, text,

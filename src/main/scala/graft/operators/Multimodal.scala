@@ -120,6 +120,97 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for RIFF/WAVE headers (public format): validates the RIFF
+    * container, walks the chunk list (chunks may precede `fmt `; odd-sized
+    * chunks pad to even per the spec), and reads the PCM format fields +
+    * data length. The audio twin of [[PpmCodec]] — proof the audio arm of
+    * the multimodal plumbing parses a real container, with the raw sample
+    * payload left opaque exactly as a feature pipeline would. */
+  object WavCodec {
+    final case class Wav(audioFormat: Int, channels: Int, sampleRate: Int,
+                         bitsPerSample: Int, dataLen: Long) {
+      def byteRate: Long = sampleRate.toLong * channels * bitsPerSample / 8
+      def durationMs: Long = if (byteRate <= 0) 0L else dataLen * 1000L / byteRate
+    }
+
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    def decode(bytes: Array[Byte]): Option[Wav] = {
+      if (bytes == null || bytes.length < 44 ||
+          tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var dataLen: Option[Long] = None
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || dataLen.isEmpty)) {
+        val id = tag(bytes, pos)
+        val size = u32(bytes, pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " if size >= 16 && body + 16 <= bytes.length =>
+            fmt = Some((u16(bytes, body), u16(bytes, body + 2),
+              u32(bytes, body + 4).toInt, u16(bytes, body + 14)))
+          case "data" =>
+            // honor the declared size, clipped to what is actually present
+            dataLen = Some(math.min(size, (bytes.length - body).toLong))
+          case _ => ()
+        }
+        pos = body + size.toInt + (size.toInt & 1) // odd chunks pad to even
+      }
+      for ((af, ch, sr, bps) <- fmt; dl <- dataLen
+           if ch > 0 && sr > 0 && bps > 0)
+        yield Wav(af, ch, sr, bps, dl)
+    }
+  }
+
+  /** Decode WAV payloads via `mapPartitions`; appends a `wav` struct
+    * (null for undecodable payloads). */
+  def decodeWav(df: DataFrame, binColName: String): DataFrame = {
+    val wavType = StructType(Seq(
+      StructField("audio_format", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("bits_per_sample", IntegerType, nullable = false),
+      StructField("data_len", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val outSchema = StructType(df.schema.fields :+ StructField("wav", wavType))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = WavCodec.decode(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ decoded.map(w =>
+          Row(w.audioFormat, w.channels, w.sampleRate, w.bitsPerSample,
+            w.dataLen, w.durationMs)).orNull)
+      }
+    }(enc)
+  }
+
+  /** Deterministic PCM WAV payload builder (JVM-side twin of the decoder,
+    * used by the oracle round-trip query): standard 44-byte RIFF header +
+    * the given data bytes truncated to whole frames. */
+  def buildWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+               data: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = if (blockAlign <= 0) 0 else (data.length / blockAlign) * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * bitsPerSample / 8)
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(data, 0, dataLen)
+    buf.array()
+  }
+
   /** Decode P6 payloads via `mapPartitions` — same batch shape as
     * [[extractFeatures]] but with the REAL [[PpmCodec]]; appends a
     * `ppm` struct (null for undecodable payloads). */

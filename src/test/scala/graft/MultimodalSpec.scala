@@ -41,6 +41,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1L).contains(251L) && out(2L).isEmpty)
   }
 
+  test("wav codec walks real RIFF chunk lists: extra chunks, padding, truncation") {
+    import Multimodal.WavCodec
+    val data = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val wav = Multimodal.buildWav(channels = 2, sampleRate = 8000, bitsPerSample = 16, data)
+    val w = WavCodec.decode(wav).get
+    assert((w.audioFormat, w.channels, w.sampleRate, w.bitsPerSample) == ((1, 2, 8000, 16)))
+    assert(w.dataLen == 8L && w.byteRate == 32000L && w.durationMs == 0L)
+    // an ODD-sized unknown chunk before fmt must be skipped with padding
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9) ++ Array[Byte](0) // 3 bytes + pad
+    val withExtra = wav.take(12) ++ extra ++ wav.drop(12)
+    // patch the RIFF size: + extra chunk bytes
+    val bb = java.nio.ByteBuffer.wrap(withExtra).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withExtra.length - 8)
+    assert(WavCodec.decode(withExtra).contains(w))
+    // undecodable inputs -> None, never a throw
+    assert(WavCodec.decode(null).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxWAVE".getBytes).isEmpty)           // no chunks
+    assert(WavCodec.decode(wav.take(30)).isEmpty)                      // truncated fmt
+    assert(WavCodec.decode("FORM".getBytes ++ wav.drop(4)).isEmpty)    // wrong magic
+    // data declared longer than present clips to the actual payload
+    val lying = wav.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 999)
+    assert(WavCodec.decode(lying).get.dataLen == 8L)
+  }
+
   test("extractFeatures runs the stub codec per partition with stable schema") {
     val df = Seq((1L, "aaaa".getBytes), (2L, "bbbbbbbb".getBytes)).toDF("doc_id", "payload")
     val out = Multimodal.extractFeatures(df, "payload")
