@@ -11,10 +11,11 @@ import graft.sources.OpSource
   * events/s + batch-latency percentiles against the reference's 5 s
   * safe-checkpoint envelope (BASELINE.md B2/B3).
   *
-  * Usage: sbt "runMain graft.Soak [rps] [seconds] [lane]" — lane `ops`
-  * (default) feeds pre-normalized ops; lane `raw` feeds four-event raw
+  * Usage: sbt "runMain graft.Soak [rps] [seconds] [lane] [servers]" — lane
+  * `ops` (default) feeds pre-normalized ops; lane `raw` feeds four-event raw
   * binlog blocks through the streaming supplier state machine
-  * (RawBinlogAdapter.toOpsStreaming) first.
+  * (RawBinlogAdapter.toOpsStreaming) first, fanned across `servers`
+  * simulated server groups (default 1).
   */
 object Soak {
   def main(args: Array[String]): Unit = {

@@ -892,7 +892,13 @@ object SparkEntry {
       val payload = concat(header.cast("binary"),
         col("text").substr(lit(1), w * 6).cast("binary"))
       Multimodal.decodePpm(
-          t(s, d, "documents").select(col("doc_id"), payload.as("payload")),
+          t(s, d, "documents")
+            // docs shorter than one 2-row pixel column have no raster: the
+            // decoder yields null and the oracle's unnest drops the doc —
+            // filter identically on both sides so cardinality agrees for
+            // ANY corpus, not just one with no short docs
+            .filter(length(col("text")) >= 6)
+            .select(col("doc_id"), payload.as("payload")),
           "payload")
         .select(col("doc_id"), col("ppm.width").as("width"),
           col("ppm.height").as("height"), col("ppm.sum_r").as("sum_r"),
@@ -1713,7 +1719,7 @@ object SparkEntry {
     "mm_ppm_decode" ->
       """WITH d AS (SELECT doc_id, text,
            CAST(floor(length(text)/6) AS BIGINT) AS w
-         FROM documents),
+         FROM documents WHERE length(text) >= 6),
          px AS (SELECT doc_id, w,
            unnest([{'i': i, 'b': ascii(substring(text, i, 1))}
              for i in range(1, CAST(w*6 AS BIGINT) + 1)], recursive := true)

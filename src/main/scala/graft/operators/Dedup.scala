@@ -484,6 +484,7 @@ object Dedup {
     // hand corrupt canonicals downstream; a graph needing this many rounds
     // wants the large-star/small-star formulation, not a bigger cap
     if (changed > 0) {
+      cached.unpersist() // callers get no handle to it — reclaim before failing
       throw new IllegalStateException(
         s"resolveCanonical did not converge in $maxRounds rounds " +
           s"($changed labels still changing); component diameter exceeds the " +

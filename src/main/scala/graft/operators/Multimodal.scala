@@ -160,7 +160,11 @@ object Multimodal {
             dataLen = Some(math.min(size, (bytes.length - body).toLong))
           case _ => ()
         }
-        pos = body + size.toInt + (size.toInt & 1) // odd chunks pad to even
+        // A declared size larger than the remaining bytes means a truncated
+        // (or hostile) chunk — nothing can follow it, and size.toInt may be
+        // negative (u32 high bit), which would stall or rewind pos forever.
+        if (size > bytes.length - body) pos = bytes.length
+        else pos = body + size.toInt + (size.toInt & 1) // odd chunks pad to even
       }
       for ((af, ch, sr, bps) <- fmt; dl <- dataLen
            if ch > 0 && sr > 0 && bps > 0)

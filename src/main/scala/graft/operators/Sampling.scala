@@ -108,19 +108,20 @@ object Sampling {
     require(numShards > 0, "numShards must be positive")
     import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
-    // Ranking runs on a NARROW (id, tokens, pid) projection, PERSISTED on
-    // purpose: both the offsets aggregate and the rank window read __pid,
-    // and each must see the SAME partition boundaries. RangePartitioner
-    // samples with a per-RDD seed, so two independent executions of this
-    // exchange could legally pick different boundaries and misalign
-    // offsets against ranks — sharing one ~16-byte/row materialization
-    // removes that dependence on exchange-reuse kicking in (per-query
-    // cache hygiene in Verify/Bench reclaims it). The full-width rows
-    // never enter the cache; the (id, shard_id) mapping joins back by id.
+    // Ranking runs on a NARROW (id, tokens, pid) projection, MATERIALIZED
+    // once (eager localCheckpoint): both the offsets aggregate and the rank
+    // window read __pid, and each must see the SAME partition boundaries.
+    // RangePartitioner samples with a per-RDD seed, so two independent
+    // executions of this exchange could legally pick different boundaries
+    // and misalign offsets against ranks — an eager lineage cut freezes one
+    // set of boundaries forever. Unlike persist(), the checkpoint blocks
+    // are reclaimed by the ContextCleaner when this DataFrame is GC'd, so
+    // library callers don't leak a cache-manager entry per invocation. The
+    // full-width rows never enter storage; (id, shard_id) joins back by id.
     val narrow = df.select(idCol.as("__sa_id"), tokensCol.as("__sa_tok"))
       .repartitionByRange(parts, col("__sa_tok").desc, col("__sa_id").asc)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // per-partition counts are driver-tiny; the running offset is a window
     // over that tiny table, then broadcast-joined back — no collect
     val offsets = narrow.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))

@@ -65,6 +65,13 @@ class MultimodalSpec extends SparkTestBase {
     val lying = wav.clone()
     java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 999)
     assert(WavCodec.decode(lying).get.dataLen == 8L)
+    // a chunk size with the u32 high bit set (negative as Int) must TERMINATE
+    // with None, not stall the chunk walk forever (executor-task hang)
+    val hostile = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      new Array[Byte](32)
+    assert(WavCodec.decode(hostile).isEmpty)
   }
 
   test("extractFeatures runs the stub codec per partition with stable schema") {

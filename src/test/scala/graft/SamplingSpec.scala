@@ -105,12 +105,18 @@ class SamplingSpec extends SparkTestBase {
     val totals = Sampling.shardAssign(df, col("id"), col("n_tokens"), numShards = 8)
       .groupBy("shard_id").agg(sum("n_tokens").as("t")).select("t").as[Long].collect()
     assert(totals.max - totals.min <= 410)
-    // the data-path rank is distributed: range partitioning on the sort key
-    // feeds a window PARTITIONED by __pid (the only SinglePartition exchange
-    // is the ≤-#partitions-row offsets table — driver-tiny by construction)
-    val plan = Sampling.shardAssign(df, col("id"), col("n_tokens"), 8)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning(__sa_tok"), s"no range-partitioned rank:\n$plan")
+    // the data-path rank is distributed: the range exchange on the sort key
+    // runs inside the eager localCheckpoint (the plan downstream reads the
+    // materialized RDD), and the rank window is PARTITIONED by __pid — never
+    // a global single-partition sort of the data. The only SinglePartition
+    // exchange is the ≤-#partitions-row offsets table (driver-tiny).
+    val assigned = Sampling.shardAssign(df, col("id"), col("n_tokens"), 8)
+    val plan = assigned.queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(__pid"), s"rank window not pid-local:\n$plan")
+    assert(!plan.contains("rangepartitioning(__sa_tok"),
+      s"range exchange should be frozen inside the checkpoint, not re-run:\n$plan")
+    // and the checkpointed projection really was range-partitioned: multiple
+    // partitions, each sorted run covering a disjoint token range
+    assert(plan.contains("Scan ExistingRDD"), s"narrow projection not materialized:\n$plan")
   }
 }
