@@ -938,31 +938,73 @@ object SparkEntry {
           .withColumn("pfp", md5(col("payload"))),
         col("doc_id"), col("pfp"))),
 
-    "mm_decode_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "payload")
-        .select(col("doc_id"), col("frame.width").as("width"),
-          col("frame.height").as("height"), col("frame.n_frames").as("n_frames"))),
+    "mm_decode_features" -> ((s, d) => {
+      // REAL image decode via the JDK's javax.imageio, distributed: build a
+      // w×4 grayscale PNG from each doc's bytes, decode it back with
+      // ImageIO in mapPartitions, emit dims + gray sum + the nonzero
+      // histogram buckets — the oracle recomputes every field straight from
+      // the text bytes (ASCII corpus: byte ≡ char), so the PNG encode/
+      // decode round trip is correctness-gated. The mm_wav_meta pattern.
+      import s.implicits._
+      val withPng = t(s, d, "documents")
+        .filter(length(col("text")) >= 4) // need at least one 4-row column
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val w = bytes.length / 4
+          (id, Multimodal.ImageCodec.buildPng(w, 4,
+            java.util.Arrays.copyOf(bytes, w * 4)))
+        }.toDF("doc_id", "payload")
+      Multimodal.extractFeatures(withPng, "payload")
+        .select(col("doc_id"), col("img.width").as("width"),
+          col("img.height").as("height"), col("img.gray_sum").as("gray_sum"),
+          // ASCII bytes (32..126) land in buckets 1-3 of the >>5 histogram
+          element_at(col("img.hist"), 2).as("h1"),
+          element_at(col("img.hist"), 3).as("h2"),
+          element_at(col("img.hist"), 4).as("h3"))
+    }),
 
-    "mm_frame_sample" -> ((s, d) =>
-      // deterministic frame sampling over decoded media: one row per kept
-      // frame index (stride 4), payload bytes never shuffled
-      Multimodal.extractFeatures(
-          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "payload")
-        .select(col("doc_id"),
-          explode(Multimodal.sampleFrameIndices(col("frame.n_frames"), 4)).as("frame_idx"))),
+    "mm_frame_sample" -> ((s, d) => {
+      // deterministic frame sampling over a DECODED media container: each
+      // doc becomes an 8×(4·n_frames) film-strip PNG (n_frames from
+      // doc_id), ImageIO decodes it, and every stride-4 frame index emits
+      // its per-frame gray sum — n_frames comes from the decode (height/4),
+      // not from metadata, so sampling is gated on real pixel geometry
+      import s.implicits._
+      val strips = t(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val nf = 1 + (id % 12).toInt
+          (id, Multimodal.ImageCodec.buildPng(8, 4 * nf, text.getBytes("US-ASCII")))
+        }.toDF("doc_id", "payload")
+      Multimodal.decodeFilmStrip(strips, "payload", frameH = 4)
+        .select(col("doc_id"), col("strip.frame_sums").as("sums"),
+          explode(Multimodal.sampleFrameIndices(col("strip.n_frames"), 4)).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          element_at(col("sums"), col("frame_idx") + 1).as("frame_sum"))
+    }),
 
-    "mm_resize" -> ((s, d) =>
-      // stub-codec resize to a 64x64 box: emits the resized dims + payload
-      // length (rows-only check — dims come from the fake decode)
-      Multimodal.resizePayloads(
-          t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "payload", maxW = 64, maxH = 64)
+    "mm_resize" -> ((s, d) => {
+      // REAL resize: build a w×h grayscale PNG (dims from doc_id, pixels
+      // cycled from the doc bytes), ImageIO-decode it, nearest-neighbor
+      // downscale into a 64×64 box via BufferedImage, re-encode, RE-decode,
+      // and emit the re-decoded dims + gray sum — integer floor-division
+      // fit and sampling, so the oracle reproduces the exact pixel values
+      import s.implicits._
+      val pngs = t(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val w = 16 + ((id * 7) % 113).toInt
+          val h = 16 + ((id * 13) % 89).toInt
+          (id, Multimodal.ImageCodec.buildPng(w, h, text.getBytes("US-ASCII")))
+        }.toDF("doc_id", "payload")
+      Multimodal.resizePayloads(pngs, "payload", maxW = 64, maxH = 64)
         .select(col("doc_id"), col("resized_meta.width").as("width"),
           col("resized_meta.height").as("height"),
-          octet_length(col("resized")).as("resized_len")))
+          col("resized_meta.gray_sum").as("gray_sum"))
+    })
   )
 
   // ==========================================================================
@@ -1829,8 +1871,58 @@ object SparkEntry {
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
            AND round(list_dot_product(cv, qv)
-             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) >= 0.3"""
-    // mm_decode_features / mm_frame_sample / mm_resize: stub-codec
-    // operators — not SQL-expressible, driver records rows-only checks.
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) >= 0.3""",
+
+    // The three ImageIO round-trip queries: the oracle re-derives every
+    // output field from the raw text bytes (ASCII corpus: byte ≡ char), so
+    // DuckDB independently checks what the PNG encode→decode path computed.
+    "mm_decode_features" ->
+      """WITH d AS (SELECT doc_id, text,
+           CAST(length(text) // 4 AS BIGINT) AS w
+         FROM documents WHERE length(text) >= 4),
+         px AS (SELECT doc_id, w,
+           unnest([ascii(substring(text, i, 1))
+             for i in range(1, CAST(w*4 AS BIGINT) + 1)]) AS b
+         FROM d)
+         SELECT doc_id, CAST(w AS INT) AS width, 4 AS height,
+           CAST(sum(b) AS BIGINT) AS gray_sum,
+           CAST(count(*) FILTER (WHERE b // 32 = 1) AS BIGINT) AS h1,
+           CAST(count(*) FILTER (WHERE b // 32 = 2) AS BIGINT) AS h2,
+           CAST(count(*) FILTER (WHERE b // 32 = 3) AS BIGINT) AS h3
+         FROM px GROUP BY doc_id, w""",
+
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n,
+           CAST(1 + doc_id % 12 AS BIGINT) AS nf
+         FROM documents WHERE length(text) >= 1),
+         fr AS (SELECT doc_id, text, n,
+           unnest(range(0, nf, 4)) AS frame_idx FROM d),
+         px AS (SELECT doc_id, frame_idx,
+           unnest([ascii(substring(text, CAST(p % n AS INT) + 1, 1))
+             for p in range(frame_idx*32, (frame_idx+1)*32)]) AS b
+         FROM fr)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(sum(b) AS BIGINT) AS frame_sum
+         FROM px GROUP BY doc_id, frame_idx""",
+
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n,
+           CAST(16 + (doc_id*7) % 113 AS BIGINT) AS w,
+           CAST(16 + (doc_id*13) % 89 AS BIGINT) AS h
+         FROM documents WHERE length(text) >= 1),
+         f AS (SELECT doc_id, text, n, w, h,
+           CASE WHEN w <= 64 AND h <= 64 THEN w
+                WHEN w >= h THEN 64 ELSE greatest(1, (w*64)//h) END AS ow,
+           CASE WHEN w <= 64 AND h <= 64 THEN h
+                WHEN w >= h THEN greatest(1, (h*64)//w) ELSE 64 END AS oh
+         FROM d),
+         px AS (SELECT doc_id, ow, oh,
+           unnest([ascii(substring(text,
+               CAST(((((q // ow) * h // oh) * w + ((q % ow) * w // ow)) % n) AS INT) + 1, 1))
+             for q in range(0, ow*oh)]) AS b
+         FROM f)
+         SELECT doc_id, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+           CAST(sum(b) AS BIGINT) AS gray_sum
+         FROM px GROUP BY doc_id, ow, oh"""
   )
 }

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
-  * `binary` columns with typed metadata structs. The Spark-side mechanics —
-  * schema, batch iteration, partition sizing — are real; the actual codec
-  * call is stubbed behind [[FakeCodec]] (decode libraries are not in this
-  * container) with a deterministic fake so tests exercise the full path.
+  * `binary` columns with typed metadata structs. Every codec here is REAL:
+  * PNG/JPEG/BMP/GIF via the JDK's own `javax.imageio` ([[ImageCodec]]),
+  * Netpbm P6 ([[PpmCodec]]) and RIFF/WAVE ([[WavCodec]]) hand-parsed. A
+  * production build would link libjpeg-turbo/ffmpeg into the same
+  * `mapPartitions` slots for the formats ImageIO lacks.
   *
   * At 100 TB the key constraints this module encodes:
   *  - payload bytes stay OFF the shuffle: decode/feature-extract runs
@@ -25,12 +26,13 @@ object Multimodal {
     StructField("media_type", StringType, nullable = true)
   ))
 
-  /** Decoded-frame feature schema produced by the (stubbed) codec. */
-  val frameFeatureType: StructType = StructType(Seq(
+  /** Decoded-image feature schema produced by [[ImageCodec]]: dims, total
+    * luminance, and an 8-bucket gray histogram (the feature vector). */
+  val imageFeatureType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("feature", ArrayType(DoubleType), nullable = false)
+    StructField("gray_sum", LongType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)
   ))
 
   /** Sniff payload metadata from the raw bytes — pure column expressions:
@@ -46,25 +48,131 @@ object Multimodal {
              magic.as("magic"), mediaType.as("media_type")))
   }
 
-  /** STUB codec: a real build links an image/audio library here. The fake is
-    * deterministic in the payload bytes so the distributed plumbing (batch
-    * shape, schema, partition boundaries) is fully testable. */
-  object FakeCodec {
-    def decodeDims(bytes: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(bytes)
-      val w = 16 + math.floorMod(h, 640)
-      val ht = 16 + math.floorMod(h / 640, 480)
-      val frames = 1 + math.floorMod(h / 307200, 16)
-      (w, ht, frames)
+  /** REAL image codec on the JDK's `javax.imageio` — no external library.
+    * Decodes any ImageIO-supported container (PNG/JPEG/BMP/GIF here), reads
+    * luminance samples off the raster, resizes via `BufferedImage`.
+    *
+    * Everything is integer math so a SQL oracle can recompute the outputs
+    * bit-exactly from the source bytes: gray sums (not float means),
+    * floor-division aspect fits, floor-division nearest-neighbor sampling.
+    * Undecodable bytes → None, never a throw. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // never spill decode scratch to disk tmp files on executors
+    ImageIO.setUseCache(false)
+
+    final case class Img(width: Int, height: Int, graySum: Long,
+                         hist: Array[Long])
+
+    /** Deterministic grayscale PNG builder (JVM-side twin of the decoder,
+      * used by the oracle round-trip queries — the [[buildWav]] pattern):
+      * pixel (x, y) = `bytes[(y*w + x) % bytes.length]`. PNG is lossless and
+      * 8-bit gray samples carry no color-profile ambiguity, so samples
+      * round-trip exactly through any conformant decoder. */
+    def buildPng(w: Int, h: Int, bytes: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && bytes.nonEmpty, "empty image")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var p = 0
+      while (p < w * h) {
+        raster.setSample(p % w, p / w, 0, bytes(p % bytes.length) & 0xFF)
+        p += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
-    /** Fake per-frame feature: 8-dim moments of the byte histogram. */
-    def feature(bytes: Array[Byte]): Array[Double] = {
+
+    private def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.length == 0) None
+      else
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+
+    /** Decode + feature-extract: dims, gray sum, 8-bucket histogram
+      * (bucket = sample >> 5). Color inputs fold to luminance via the
+      * raster's first band — our fixtures are gray, so band 0 IS the
+      * sample. */
+    def decode(bytes: Array[Byte]): Option[Img] = readImage(bytes).map { img =>
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
       val hist = new Array[Long](8)
-      var i = 0
-      while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 5) += 1; i += 1 }
-      val n = math.max(1, bytes.length).toDouble
-      hist.map(_ / n)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v; hist(v >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Img(w, h, sum, hist)
     }
+
+    /** Per-frame gray sums of a vertical film strip: frame f covers rows
+      * [f*frameH, (f+1)*frameH). Trailing rows short of a full frame are
+      * dropped, mirroring a container with a truncated last frame. */
+    def frameSums(bytes: Array[Byte], frameH: Int): Option[(Int, Int, Array[Long])] =
+      readImage(bytes).map { img =>
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val nFrames = h / frameH
+        val sums = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0L
+          var y = f * frameH
+          while (y < (f + 1) * frameH) {
+            var x = 0
+            while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          sums(f) = s
+          f += 1
+        }
+        (w, nFrames, sums)
+      }
+
+    /** Integer aspect-preserving fit of (w, h) into (maxW, maxH): the
+      * binding side lands exactly on the box, the other floors — pure
+      * integer math, reproducible in SQL. */
+    def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+      if (w <= maxW && h <= maxH) (w, h)
+      else if (w.toLong * maxH >= h.toLong * maxW) // width binds
+        (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+      else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+
+    /** Decode → nearest-neighbor downscale into the box → re-encode PNG →
+      * decode AGAIN and report dims + gray sum from the re-decoded image,
+      * so the emitted metadata witnesses the full write/read round trip.
+      * NN source pixel: (x*w/ow, y*h/oh), floor division. */
+    def resize(bytes: Array[Byte], maxW: Int, maxH: Int): Option[(Array[Byte], Img)] =
+      readImage(bytes).flatMap { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (ow, oh) = fitBox(w, h, maxW, maxH)
+        val out = new BufferedImage(ow, oh, BufferedImage.TYPE_BYTE_GRAY)
+        val src = img.getRaster
+        val dst = out.getRaster
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            dst.setSample(x, y, 0,
+              src.getSample((x.toLong * w / ow).toInt, (y.toLong * h / oh).toInt, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        val png = bos.toByteArray
+        decode(png).map(png -> _)
+      }
   }
 
   /** REAL codec for binary P6 PPM (Netpbm — public format): magic check,
@@ -240,20 +348,17 @@ object Multimodal {
 
   /** Decode + feature-extract over the binary column via `mapPartitions` —
     * the Scala analog of a pandas_udf/mapInPandas batch: one codec context
-    * per partition, rows streamed through it, payload never shuffled. */
+    * per partition, rows streamed through it, payload never shuffled.
+    * Appends an `img` struct ([[imageFeatureType]]); undecodable → null. */
   def extractFeatures(df: DataFrame, binColName: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+ StructField("frame", frameFeatureType))
+    val outSchema = StructType(df.schema.fields :+ StructField("img", imageFeatureType))
     val binIdx = df.schema.fieldIndex(binColName)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // per-partition codec init would happen here (the expensive part)
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        if (bytes == null) Row.fromSeq(r.toSeq :+ null) // undecodable → null frame
-        else {
-          val (w, h, f) = FakeCodec.decodeDims(bytes)
-          Row.fromSeq(r.toSeq :+ Row(w, h, f, FakeCodec.feature(bytes)))
-        }
+        val decoded = ImageCodec.decode(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ decoded.map(i =>
+          Row(i.width, i.height, i.graySum, i.hist.toSeq)).orNull)
       }
     }(enc)
   }
@@ -263,40 +368,54 @@ object Multimodal {
   def sampleFrameIndices(nFrames: Column, stride: Int): Column =
     sequence(lit(0), nFrames - 1, lit(stride))
 
-  /** Resize (downscale) payloads to a target box — `mapPartitions` like
-    * [[extractFeatures]]: one codec context per partition, the original
-    * payload read and the resized payload written in place, neither ever
-    * shuffled. The stub "resampler" is deterministic in (bytes, target):
-    * output dims are the aspect-preserving fit and the output payload is a
-    * proportional byte resample, so the size contract (dims fit the box,
-    * len ∝ area ratio) is testable without a real image library — swap
-    * [[FakeCodec]] for one to go live. */
+  /** Decode a vertical film strip (the poor man's video container: frames
+    * stacked top to bottom, `frameH` rows each) and append a `strip` struct
+    * with dims, frame count, and per-frame gray sums. Same `mapPartitions`
+    * batch shape as [[extractFeatures]]; a real video build swaps ImageIO
+    * for a demuxer in the same slot. */
+  def decodeFilmStrip(df: DataFrame, binColName: String, frameH: Int): DataFrame = {
+    require(frameH > 0, "frameH must be positive")
+    val stripType = StructType(Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_sums", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val outSchema = StructType(df.schema.fields :+ StructField("strip", stripType))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = ImageCodec.frameSums(r.getAs[Array[Byte]](binIdx), frameH)
+        Row.fromSeq(r.toSeq :+ decoded.map { case (w, n, sums) =>
+          Row(w, n, sums.toSeq) }.orNull)
+      }
+    }(enc)
+  }
+
+  /** Resize (downscale) image payloads to a target box — `mapPartitions`
+    * like [[extractFeatures]]: one codec context per partition, the original
+    * payload read and the resized PNG written in place, neither ever
+    * shuffled. The emitted `resized_meta` (dims + gray sum) comes from
+    * RE-decoding the freshly encoded PNG, so it witnesses the full
+    * encode/decode round trip. Null/undecodable payloads carry through with
+    * null meta — no codec call, no fabricated dims. */
   def resizePayloads(df: DataFrame, binColName: String,
                      maxW: Int, maxH: Int): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("resized", BinaryType),
       StructField("resized_meta", StructType(Seq(
         StructField("width", IntegerType, nullable = false),
-        StructField("height", IntegerType, nullable = false))))))
+        StructField("height", IntegerType, nullable = false),
+        StructField("gray_sum", LongType, nullable = false))))))
     val binIdx = df.schema.fieldIndex(binColName)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        if (bytes == null || bytes.isEmpty) {
-          // null/empty payloads carry through untouched — no codec call, no
-          // fabricated dims (null meta marks "nothing to resize")
-          Row.fromSeq(r.toSeq ++ Seq(bytes, null))
-        } else {
-          val (w, h, _) = FakeCodec.decodeDims(bytes)
-          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          val outLen = math.max(1,
-            (bytes.length * (ow.toLong * oh) / math.max(1L, w.toLong * h)).toInt)
-          val o = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) { o(i) = bytes(((i.toLong * bytes.length) / outLen).toInt); i += 1 }
-          Row.fromSeq(r.toSeq ++ Seq(o, Row(ow, oh)))
+        ImageCodec.resize(bytes, maxW, maxH) match {
+          case Some((png, img)) =>
+            Row.fromSeq(r.toSeq ++ Seq(png, Row(img.width, img.height, img.graySum)))
+          case None => Row.fromSeq(r.toSeq ++ Seq(bytes, null))
         }
       }
     }(enc)

@@ -74,51 +74,99 @@ class MultimodalSpec extends SparkTestBase {
     assert(WavCodec.decode(hostile).isEmpty)
   }
 
-  test("extractFeatures runs the stub codec per partition with stable schema") {
-    val df = Seq((1L, "aaaa".getBytes), (2L, "bbbbbbbb".getBytes)).toDF("doc_id", "payload")
-    val out = Multimodal.extractFeatures(df, "payload")
-    assert(out.schema.fieldNames.contains("frame"))
-    val rows = out.select(col("doc_id"), col("frame.width")).as[(Long, Int)].collect().toMap
-    assert(rows.size == 2 && rows.values.forall(_ >= 16))
-    // deterministic in the payload
-    val again = Multimodal.extractFeatures(df, "payload")
-      .select(col("doc_id"), col("frame.width")).as[(Long, Int)].collect().toMap
-    assert(again == rows)
+  test("imageio codec: PNG build/decode round-trips exact gray samples") {
+    import Multimodal.ImageCodec
+    val bytes = Array.tabulate(40)(i => (32 + i * 2).toByte) // ASCII-range grays
+    val png = ImageCodec.buildPng(10, 4, bytes)
+    // a real PNG container came out
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = ImageCodec.decode(png).get
+    assert(img.width == 10 && img.height == 4)
+    assert(img.graySum == bytes.map(_ & 0xFF).map(_.toLong).sum)
+    val wantHist = new Array[Long](8)
+    bytes.foreach(b => wantHist((b & 0xFF) >> 5) += 1)
+    assert(img.hist.toSeq == wantHist.toSeq)
+    // pixels cycle when bytes < w*h
+    val cycled = ImageCodec.decode(ImageCodec.buildPng(10, 8, bytes)).get
+    assert(cycled.graySum == 2 * img.graySum)
+    // undecodable inputs -> None, never a throw
+    assert(ImageCodec.decode(null).isEmpty)
+    assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
   }
 
-  test("resize fits the box, scales payload by area ratio, stays deterministic") {
-    val payload = Array.tabulate(10000)(i => (i % 251).toByte)
-    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+  test("extractFeatures runs ImageIO per partition with stable schema") {
+    import Multimodal.ImageCodec
+    val df = Seq(
+      (1L, ImageCodec.buildPng(4, 4, "abcdefgh".getBytes)),
+      (2L, ImageCodec.buildPng(8, 2, "zyxw".getBytes)),
+      (3L, "garbage-bytes".getBytes), // undecodable → null img
+      (4L, null: Array[Byte])
+    ).toDF("doc_id", "payload").repartition(3)
+    val out = Multimodal.extractFeatures(df, "payload")
+      .select(col("doc_id"), col("img.width"), col("img.gray_sum"))
+      .as[(Long, Option[Int], Option[Long])].collect()
+      .map { case (k, w, s) => k -> ((w, s)) }.toMap
+    def sum16(s: String) = (0 until 16).map(i => s(i % s.length).toLong).sum
+    assert(out(1L) == ((Some(4), Some(sum16("abcdefgh")))))
+    assert(out(2L) == ((Some(8), Some(sum16("zyxw")))))
+    assert(out(3L) == ((None, None)) && out(4L) == ((None, None)))
+  }
+
+  test("film strip decode: n_frames from pixel geometry, per-frame sums exact") {
+    import Multimodal.ImageCodec
+    val bytes = Array.tabulate(96)(i => (32 + i).toByte) // exactly 8×12
+    val strip = ImageCodec.buildPng(8, 12, bytes)
+    val (w, nf, sums) = ImageCodec.frameSums(strip, 4).get
+    assert(w == 8 && nf == 3)
+    val want = bytes.map(_ & 0xFF).map(_.toLong).grouped(32).map(_.sum).toSeq
+    assert(sums.toSeq == want)
+    // a trailing partial frame is dropped, not fabricated
+    val (_, nf2, _) = ImageCodec.frameSums(ImageCodec.buildPng(8, 14, bytes), 4).get
+    assert(nf2 == 3)
+    // distributed form
+    val df = Seq((1L, strip)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeFilmStrip(df, "payload", 4)
+      .select(col("strip.n_frames"), col("strip.frame_sums"))
+      .as[(Int, Seq[Long])].collect()(0)
+    assert(got == ((3, want)))
+  }
+
+  test("resize: integer aspect fit, NN sampling reproducible, round-trip meta") {
+    import Multimodal.ImageCodec
+    val bytes = Array.tabulate(997)(i => (32 + (i * 7) % 95).toByte)
+    val png = ImageCodec.buildPng(100, 40, bytes)
+    val df = Seq((1L, png)).toDF("doc_id", "payload")
     val out = Multimodal.resizePayloads(df, "payload", 64, 64)
       .select(col("resized_meta.width"), col("resized_meta.height"),
-        octet_length(col("resized")), col("resized"))
-      .as[(Int, Int, Int, Array[Byte])].collect()(0)
-    val (w, h, _) = Multimodal.FakeCodec.decodeDims(payload)
-    assert(out._1 <= 64 && out._2 <= 64)
-    // aspect preserved to integer truncation
-    assert(math.abs(out._1.toDouble / out._2 - w.toDouble / h) < 0.1)
-    // payload length proportional to area ratio
-    val expected = payload.length.toLong * (out._1.toLong * out._2) / (w.toLong * h)
-    assert(math.abs(out._3 - expected) <= 1)
-    val again = Multimodal.resizePayloads(df, "payload", 64, 64)
-      .select(col("resized")).as[Array[Byte]].collect()(0)
-    assert(java.util.Arrays.equals(again, out._4))
-    // a payload already inside the box is untouched dimensionally
+        col("resized_meta.gray_sum"), col("resized"))
+      .as[(Int, Int, Long, Array[Byte])].collect()(0)
+    // width binds: 100→64, 40*64/100=25
+    assert(out._1 == 64 && out._2 == 25)
+    // the resized payload is itself a decodable PNG whose sum matches meta
+    val redecoded = ImageCodec.decode(out._4).get
+    assert((redecoded.width, redecoded.height, redecoded.graySum) ==
+      ((out._1, out._2, out._3)))
+    // NN oracle: src pixel (x*w/ow, y*h/oh), pixel p = bytes[(sy*w+sx)%len]
+    val wantSum = (for (y <- 0 until 25; x <- 0 until 64) yield {
+      val sy = y * 40 / 25; val sx = x * 100 / 64
+      (bytes((sy * 100 + sx) % bytes.length) & 0xFF).toLong
+    }).sum
+    assert(out._3 == wantSum)
+    // a payload already inside the box keeps its dims and samples
+    val orig = ImageCodec.decode(png).get
     val small = Multimodal.resizePayloads(df, "payload", 4096, 4096)
-      .select(col("resized_meta.width"), col("resized_meta.height"))
-      .as[(Int, Int)].collect()(0)
-    assert(small == ((w, h)))
-    // empty and NULL payloads carry through instead of crashing the task
+      .select(col("resized_meta.width"), col("resized_meta.height"),
+        col("resized_meta.gray_sum")).as[(Int, Int, Long)].collect()(0)
+    assert(small == ((100, 40, orig.graySum)))
+    // empty, NULL, and undecodable payloads carry through, null meta
     val degenerate = Multimodal.resizePayloads(
-        Seq((2L, Array.empty[Byte]), (3L, null)).toDF("doc_id", "payload"),
+        Seq((2L, Array.empty[Byte]), (3L, null), (4L, "junk".getBytes))
+          .toDF("doc_id", "payload"),
         "payload", 64, 64)
-      .select(col("doc_id"), octet_length(col("resized")), col("resized_meta").isNull)
-      .as[(Long, Option[Int], Boolean)].collect().toSet
-    assert(degenerate == Set((2L, Some(0), true), (3L, None, true)))
-    val nullFrame = Multimodal.extractFeatures(
-        Seq((3L, null: Array[Byte])).toDF("doc_id", "payload"), "payload")
-      .select(col("frame").isNull).as[Boolean].collect()(0)
-    assert(nullFrame)
+      .select(col("doc_id"), col("resized_meta").isNull)
+      .as[(Long, Boolean)].collect().toSet
+    assert(degenerate == Set((2L, true), (3L, true), (4L, true)))
   }
 
   test("frame sampling indices") {
