@@ -788,12 +788,18 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
     "dedup_embedding_lsh" -> ((s, d) =>
-      // At this corpus's threshold (0.4, true pairs at cos 0.40-0.6) no
-      // hyperplane band config is selective (32×3-plane bands pass 98% of
-      // ALL pairs — measured), so the scale-correct form is the tiled
-      // exact block product with native-dot verify; the banded-LSH
-      // operator (embeddingNearDupLsh) is the right shape at high
-      // thresholds and stays spec-verified on clustered data.
+      // At this corpus's threshold (0.4, true pairs at cos 0.40-0.6) NOTHING
+      // prunes — measured both ways: hyperplane bands pass 98% of all pairs
+      // (32×3-plane config), and the IVF triangle-inequality probe bound
+      // passes 100.0% of query×cluster pairs for every k ∈ {8,16,32},
+      // iters ∈ {1,3} (probedPairs/allPairs = 1.0 at sf0.1) — so routing
+      // through ivfExactThreshold would run the SAME n² dots plus k-means
+      // overhead (+60% wall measured). The tiled exact block product with
+      // native-dot verify IS the minimal exact work here. The 100 TB recipe
+      // when data IS clusterable or the threshold is high: IVF-partition
+      // then block within clusters — ivfExactThreshold (proven output-equal
+      // for any centroids) and embeddingNearDupLsh are the drop-ins, both
+      // spec-verified on clustered data.
       Dedup.embeddingNearDupBlocked(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
     // ----- Similarity search -----

@@ -239,15 +239,25 @@ object Dedup {
       struct(lit(b).as("band_id"),
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_hash"))
     }
-    val exact = docs.select(col("id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("id"), col("band.band_id"), col("band.band_hash"))
-    val probes = exact.select(col("id"), col("band_id"),
+    val exact = docs.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+    val probes = exact.select(col("id"), col("sig"), col("band_id"),
       explode(array((col("band_hash") +: (0 until 16).map(bit =>
         col("band_hash").bitwiseXOR(lit(1L << bit)))): _*)).as("band_hash"))
-    val simhashCands = exact.select(col("band_id"), col("band_hash"), col("id").as("a_id"))
-      .join(probes.select(col("band_id"), col("band_hash"), col("id").as("b_id")),
+    val simhashCands = exact.select(col("band_id"), col("band_hash"),
+        col("id").as("a_id"), col("sig").as("a_sig"))
+      .join(probes.select(col("band_id"), col("band_hash"),
+          col("id").as("b_id"), col("sig").as("b_sig")),
         Seq("band_id", "band_hash"))
       .filter(col("a_id") =!= col("b_id"))
+      // Exactness-preserving prefilter: this generator only GUARANTEES
+      // collisions within Hamming ≤ 7 (1-flip probes over 4 bands); beyond
+      // that the minhash backstop is the designed catcher. Random 16-bit
+      // bucket collisions between unrelated docs sit at Hamming ~32, so two
+      // longs' worth of bit_count(xor) kills nearly all of them BEFORE the
+      // distinct + shingle-array verify joins — the multiprobe fan-out
+      // (17 variants × 4 bands) never reaches the expensive stage.
+      .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= 7)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
     // generator 2: minhash bands over the same shingle sets
