@@ -41,6 +41,17 @@ final class SchemaCatalog(val ownSchema: String) {
     "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+(?:column\\s+)?`?(\\w+)`?\\s+([^;]+)".r
   private val dropColRe =
     "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+(?:column\\s+)?`?(\\w+)`?".r
+  // MODIFY col type [...attrs] / CHANGE old new type [...attrs] — type change
+  // in place (MODIFY) or rename+retype (CHANGE), both with optional
+  // FIRST/AFTER repositioning. The reference replays these through a live
+  // MySQL and reads back INFORMATION_SCHEMA (ActiveSchemaManager.java:
+  // 202-231, ActiveSchemaHelpers.java:24-105); here the same transition is
+  // computed from the statement itself. Position matters: binlog row images
+  // are positional arrays, so the decoder must see columns in table order.
+  private val modifyColRe =
+    "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+modify\\s+(?:column\\s+)?`?(\\w+)`?\\s+([^;]+)".r
+  private val changeColRe =
+    "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+change\\s+(?:column\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s+([^;]+)".r
   private val renameRe = "(?i)rename\\s+table\\s+(.+)".r
   private val alterRenameRe = "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+rename\\s+(?:to\\s+)?`?([\\w.]+)`?".r
   private val dropTableRe = "(?i)drop\\s+table\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?".r
@@ -55,10 +66,17 @@ final class SchemaCatalog(val ownSchema: String) {
         install(name, ddl, tsMs, Some(TableSchemaV(ownSchema, norm(name), nextVersion(name), cols, Some(ddl), tsMs)))
       case addColRe(name, colName, colType) =>
         current(name).foreach { prev =>
-          val (default, collation) = columnExtras(colType)
-          val baseType = colType.split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).trim
-          val added = prev.columns :+
-            ColumnSpec(colName, baseType, nullable = true, "", default, collation)
+          val (attrs, atFirst, afterCol) = splitPosition(colType)
+          val (default, collation) = columnExtras(attrs)
+          val spec = ColumnSpec(colName, baseTypeOf(attrs), nullable = true, "",
+            default, collation)
+          val at =
+            if (atFirst) 0
+            else afterCol.map { a =>
+              val i = prev.columns.indexWhere(_.name.equalsIgnoreCase(a))
+              if (i >= 0) i + 1 else prev.columns.size
+            }.getOrElse(prev.columns.size)
+          val added = prev.columns.patch(at, Seq(spec), 0)
           install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name), columns = added, validFromMs = tsMs)))
         }
       case dropColRe(name, colName) =>
@@ -66,6 +84,8 @@ final class SchemaCatalog(val ownSchema: String) {
           val kept = prev.columns.filterNot(_.name.equalsIgnoreCase(colName))
           install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name), columns = kept, validFromMs = tsMs)))
         }
+      case modifyColRe(name, colName, tail) => retype(name, colName, colName, tail, ddl, tsMs)
+      case changeColRe(name, oldName, newName, tail) => retype(name, oldName, newName, tail, ddl, tsMs)
       case alterRenameRe(from, to) => rename(from, to, ddl, tsMs)
       case renameRe(pairs) if DdlClassifier.shouldReplayRename(ddl, ownSchema) =>
         pairs.split(",").foreach { pair =>
@@ -82,6 +102,53 @@ final class SchemaCatalog(val ownSchema: String) {
         history += SchemaTransition("", ddl, tsMs, None, None)
     }
   }
+
+  /** MODIFY (oldName == newName) or CHANGE (rename + retype) one column:
+    * new type/nullability/default/collation from the statement tail, PK
+    * membership carried over unless the tail declares PRIMARY KEY, position
+    * preserved unless FIRST/AFTER moves it. */
+  private def retype(table: String, oldName: String, newName: String, tail: String,
+                     ddl: String, tsMs: Long): Unit =
+    current(table).foreach { prev =>
+      val idx = prev.columns.indexWhere(_.name.equalsIgnoreCase(oldName))
+      if (idx >= 0) {
+        val old = prev.columns(idx)
+        val (attrs, atFirst, afterCol) = splitPosition(tail)
+        val notNull = attrs.matches("(?i).*not\\s+null.*")
+        val inlinePk = attrs.matches("(?i).*primary\\s+key.*")
+        val (default, collation) = columnExtras(attrs)
+        val spec = ColumnSpec(newName, baseTypeOf(attrs),
+          nullable = !notNull && !inlinePk,
+          key = if (inlinePk) "PRI" else old.key,
+          defaultValue = default, collation = collation)
+        val without = prev.columns.patch(idx, Nil, 1)
+        val at =
+          if (atFirst) 0
+          else afterCol.map { a =>
+            val i = without.indexWhere(_.name.equalsIgnoreCase(a))
+            if (i >= 0) i + 1 else idx
+          }.getOrElse(idx)
+        val cols = without.patch(at, Seq(spec), 0)
+        install(table, ddl, tsMs,
+          Some(prev.copy(version = nextVersion(table), columns = cols, validFromMs = tsMs)))
+      }
+    }
+
+  /** Strip a trailing FIRST / AFTER `col` placement off a column-definition
+    * tail; returns (attrs-without-placement, atFirst, afterColumn). */
+  private def splitPosition(tail: String): (String, Boolean, Option[String]) = {
+    val t = tail.trim
+    val after = "(?i)\\s+after\\s+`?(\\w+)`?\\s*$".r.findFirstMatchIn(t).map(_.group(1))
+    val atFirst = after.isEmpty && "(?i)\\s+first\\s*$".r.findFirstIn(t).isDefined
+    val attrs = t.replaceAll("(?i)\\s+after\\s+`?\\w+`?\\s*$", "")
+      .replaceAll("(?i)\\s+first\\s*$", "")
+    (attrs, atFirst, after)
+  }
+
+  /** The MySQL type token(s) of a column-definition tail: everything before
+    * the first attribute keyword. */
+  private def baseTypeOf(attrs: String): String =
+    attrs.split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).trim
 
   private def rename(from: String, to: String, ddl: String, tsMs: Long): Unit =
     current(from).foreach { prev =>
@@ -122,7 +189,7 @@ final class SchemaCatalog(val ownSchema: String) {
         // 202-231, MysqlTypeDeserializer.java:85-97; here it comes off the
         // DDL text: COLLATE wins, else CHARACTER SET/CHARSET names the family)
         val (default, collation) = columnExtras(rest)
-        Some(ColumnSpec(name, rest.split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).trim,
+        Some(ColumnSpec(name, baseTypeOf(rest),
           nullable = !notNull && !inlinePk,
           key = if (inlinePk || pkClause.contains(name.toLowerCase)) "PRI" else "",
           defaultValue = default, collation = collation))

@@ -126,6 +126,57 @@ class PureSpec extends AnyFunSuite {
     assert(lang.mysqlType.equalsIgnoreCase("char(2)"))
   }
 
+  test("catalog: ALTER MODIFY retypes in place; CHANGE renames + retypes (organisms flow)") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE organisms (id INT NOT NULL PRIMARY KEY, " +
+      "name VARCHAR(30), lifespan TINYINT UNSIGNED, bits BIT(8))", 1000L)
+
+    // MODIFY: type widens, name and position stay, PK membership carries
+    cat.applyDdl("ALTER TABLE organisms MODIFY COLUMN lifespan SMALLINT UNSIGNED NOT NULL", 2000L)
+    val v1 = cat.current("organisms").get
+    assert(v1.version == 1)
+    assert(v1.columns.map(_.name) == Seq("id", "name", "lifespan", "bits"))
+    val ls = v1.columns.find(_.name == "lifespan").get
+    assert(ls.mysqlType.equalsIgnoreCase("smallint unsigned") && !ls.nullable)
+    cat.applyDdl("ALTER TABLE organisms MODIFY id BIGINT NOT NULL", 2500L)
+    val idCol = cat.current("organisms").get.columns.find(_.name == "id").get
+    assert(idCol.mysqlType.equalsIgnoreCase("bigint") && idCol.key == "PRI")
+
+    // CHANGE: rename + retype, same position; defaults/collation parse
+    cat.applyDdl("ALTER TABLE organisms CHANGE name common_name VARCHAR(80) " +
+      "DEFAULT 'unknown' COLLATE utf8mb4_bin", 3000L)
+    val v3 = cat.current("organisms").get
+    assert(v3.columns.map(_.name) == Seq("id", "common_name", "lifespan", "bits"))
+    val cn = v3.columns.find(_.name == "common_name").get
+    assert(cn.mysqlType.equalsIgnoreCase("varchar(80)") &&
+      cn.defaultValue.contains("unknown") && cn.collation.contains("utf8mb4_bin"))
+
+    // FIRST / AFTER repositioning — row images are positional, order is law
+    cat.applyDdl("ALTER TABLE organisms MODIFY bits BIT(8) FIRST", 4000L)
+    assert(cat.current("organisms").get.columns.map(_.name) ==
+      Seq("bits", "id", "common_name", "lifespan"))
+    cat.applyDdl("ALTER TABLE organisms MODIFY bits BIT(8) AFTER common_name", 5000L)
+    assert(cat.current("organisms").get.columns.map(_.name) ==
+      Seq("id", "common_name", "bits", "lifespan"))
+    cat.applyDdl("ALTER TABLE organisms ADD COLUMN genus VARCHAR(40) AFTER id", 6000L)
+    assert(cat.current("organisms").get.columns.map(_.name) ==
+      Seq("id", "genus", "common_name", "bits", "lifespan"))
+
+    // every transition versioned and position-resolvable (mid-stream decode)
+    assert(cat.at("organisms", 1500L).get.columns.find(_.name == "lifespan").get
+      .mysqlType.equalsIgnoreCase("tinyint unsigned"))
+    assert(cat.at("organisms", 2200L).get.columns.find(_.name == "lifespan").get
+      .mysqlType.equalsIgnoreCase("smallint unsigned"))
+    assert(cat.at("organisms", 3500L).get.columns.map(_.name).contains("common_name"))
+    assert(cat.transitions.count(_.table == "organisms") == 7)
+
+    // MODIFY of a column that does not exist: catalog unchanged, no version
+    val before = cat.current("organisms").get.version
+    cat.applyDdl("ALTER TABLE organisms MODIFY ghost INT", 7000L)
+    assert(cat.current("organisms").get.version == before)
+    assert(cat.transitions.count(_.table == "organisms") == 7)
+  }
+
   test("catalog: table-swap RENAME flow (mysql.binlog.test.sql)") {
     val cat = new SchemaCatalog("mydb")
     cat.applyDdl("CREATE TABLE animal (id INT PRIMARY KEY, name VARCHAR(30))", 1L)

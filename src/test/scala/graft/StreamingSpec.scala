@@ -258,12 +258,26 @@ class StreamingSpec extends SparkTestBase {
       op("INSERT", "t1", 3, table = "organisms", after = Map("id" -> "1", "name" -> "cat")),
       op("COMMIT", "t1", 4),
       Op("DDL", "ddl2", 0, 5, 1500L, "organisms", "",
-        Map.empty, Map("ddl" -> "ALTER TABLE organisms ADD COLUMN lifespan INT"))
+        Map.empty, Map("ddl" -> "ALTER TABLE organisms ADD COLUMN lifespan INT")),
+      op("BEGIN", "t2", 6),
+      op("INSERT", "t2", 7, table = "organisms",
+        after = Map("id" -> "2", "name" -> "dog", "lifespan" -> "13")),
+      op("COMMIT", "t2", 8),
+      // a type change mid-stream: the decoder must see the new type from
+      // this barrier onward while positions stay law for the row images
+      Op("DDL", "ddl3", 0, 9, 2500L, "organisms", "",
+        Map.empty, Map("ddl" -> "ALTER TABLE organisms MODIFY lifespan SMALLINT UNSIGNED NOT NULL"))
     ).toDS()
     ReplicatorPipeline.runBatch(ops, cfg)
     assert(cat.current("organisms").get.columns.map(_.name) == Seq("id", "name", "lifespan"))
-    assert(cat.current("organisms").get.version == 1)
-    assert(spark.read.parquet(hist).count() == 2)
+    assert(cat.current("organisms").get.version == 2)
+    assert(cat.current("organisms").get.columns.find(_.name == "lifespan").get
+      .mysqlType.equalsIgnoreCase("smallint unsigned"))
+    // position-resolved: rows decoded between the barriers see INT,
+    // rows after the MODIFY barrier see SMALLINT UNSIGNED
+    assert(cat.at("organisms", 2000L).get.columns.find(_.name == "lifespan").get
+      .mysqlType.equalsIgnoreCase("int"))
+    assert(spark.read.parquet(hist).count() == 3)
     // DDL events did not become cells
     assert(spark.read.parquet(sink).filter(col("column") === "ddl").count() == 0)
     assert(TimeMachineSink.latestRows(spark, sink).count() == 1)
