@@ -24,6 +24,7 @@ object Bench {
     "dedup_resolve", "dedup_paragraph", "dedup_dup_ngrams", "dedup_incremental",
     "sample_mixture", "pipe_shard_assign", "text_unicode_nfc", "q_range_frame",
     "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "sim_pq_encode",
+    "sim_ann_ivfadc",
     "pipe_clean_corpus", "mm_media_meta"
   )
 

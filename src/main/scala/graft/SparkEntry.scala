@@ -819,6 +819,30 @@ object SparkEntry {
         .select("vec_id", "centroid_id")
     }),
 
+    "sim_ann_ivfadc" -> ((s, d) => {
+      // IVFADC end to end, ORACLE-GATED: the corpus embeddings sit at the
+      // cosine noise floor where no quantizer is rank-selective, so the
+      // flagship composition gets its hard gate on a deterministic
+      // clustered fixture synthesized identically in both engines — 200
+      // vectors, 8 one-hot clusters (i % 8) with 1/4-step jitter: every
+      // value is an exact binary fraction derived from integers, so Spark
+      // and DuckDB compute bit-identical cosines. Probes + shortlist are
+      // sized for full recall on this geometry (seed centroids = first 8
+      // ids = one per cluster), so the IVFADC output EQUALS the brute-force
+      // top-5 the oracle computes. Settings tight enough to exercise the
+      // pruning path: 4 of 8 lists probed, 40-wide ADC shortlist.
+      val vec = transform(sequence(lit(0), lit(7)), j =>
+        when(j.cast("long") === col("i") % 8, lit(8.0)).otherwise(lit(0.0)) +
+          ((col("i") * (j.cast("long") + 3)) % 5).cast("double") * lit(0.25))
+      val corpus = s.range(0, 200).select(col("id").as("i"))
+        .select(col("i").as("vec_id"), vec.as("embedding"))
+      val queries = corpus.filter(col("vec_id") < 20)
+      Pq.ivfAdcTopK(corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        kClusters = 8, iters = 1, m = 4, kCodes = 16,
+        nProbe = 4, shortlist = 40, finalK = 5)
+    }),
+
     "sim_ann_ivf_exact" -> ((s, d) => {
       // honest IVF: distributed Lloyd's centroids, inverted lists with a
       // per-cluster pruning radius, triangle-inequality probe plan, exact
@@ -1856,6 +1880,19 @@ object SparkEntry {
                     FROM subs JOIN cb USING (sub_id))
          SELECT vec_id, sub_id, code_id AS code FROM scored
          QUALIFY row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, code_id) = 1""",
+
+    "sim_ann_ivfadc" ->
+      """WITH v AS (SELECT i AS vec_id,
+           [CASE WHEN j = i % 8 THEN 8.0 ELSE 0.0 END
+              + ((i*(j+3)) % 5) * 0.25 for j in range(0, 8)] AS vec
+         FROM range(0, 200) t(i)),
+         q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 20),
+         s AS (SELECT query_id, vec_id,
+           round(list_dot_product(qv, vec)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vec, vec))), 6) AS cos_sim
+         FROM q, v WHERE vec_id <> query_id)
+         SELECT query_id, vec_id, cos_sim FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 5""",
 
     "sim_ann_ivf_exact" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
