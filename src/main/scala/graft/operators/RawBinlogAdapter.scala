@@ -206,7 +206,8 @@ object RawBinlogAdapter {
           var st = state.getOption.getOrElse(SupplierState(None, Map.empty))
           val out = List.newBuilder[Op]
           def txnId(e: RawEvent): String = st.gtid.getOrElse(s"pos:${e.position}")
-          incoming.toSeq.sortBy(ordinalOf).foreach { e =>
+          // ordered path is free: sort only on an observed order violation
+          graft.streaming.TransactionAssembler.nearSorted(incoming)(ordinalOf).foreach { e =>
             e.code match {
               case RT.GTID =>
                 st = st.copy(gtid = e.gtid)

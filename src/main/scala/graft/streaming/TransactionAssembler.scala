@@ -57,6 +57,25 @@ final case class TxnBuffer(ops: List[Op], chunksEmitted: Int)
   */
 object TransactionAssembler {
 
+  /** Order a group's micro-batch by `key` WITHOUT paying a sort on the
+    * (overwhelmingly common) already-ordered path: binlog readers deliver
+    * batches in stream order, so one monotonicity check over the single
+    * materialization pass replaces the unconditional toSeq+sortBy that
+    * bounded the per-group throughput — the sort runs only on an observed
+    * order violation (shuffle interleave across sources, replays). */
+  private[graft] def nearSorted[T](incoming: Iterator[T])(key: T => Long): collection.Seq[T] = {
+    val arr = scala.collection.mutable.ArrayBuffer.empty[T]
+    var prev = Long.MinValue
+    var ordered = true
+    incoming.foreach { t =>
+      val k = key(t)
+      if (k < prev) ordered = false
+      prev = k
+      arr += t
+    }
+    if (ordered) arr else arr.sortInPlaceBy(key)
+  }
+
   def assemble(ops: Dataset[Op], sizeLimit: Int = 1000,
                timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[StampedOp] = {
     implicit val opEnc = Encoders.product[Op]
@@ -75,7 +94,7 @@ object TransactionAssembler {
             var buf = state.getOption.getOrElse(TxnBuffer(Nil, 0))
             val out = List.newBuilder[StampedOp]
             // binlog order within a group = eventId order
-            incoming.toSeq.sortBy(_.eventId).foreach { op =>
+            nearSorted(incoming)(_.eventId).foreach { op =>
               op.kind match {
                 case "BEGIN" => // explicit begin: fresh buffer (keep chunk count)
                   buf = TxnBuffer(Nil, buf.chunksEmitted)

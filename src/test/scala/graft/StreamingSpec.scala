@@ -53,6 +53,28 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.size == 3) // 2 committed rows + DDL barrier; t2 dropped
   }
 
+  test("assembler: out-of-order group delivery assembles identically to ordered") {
+    // the fast path skips the sort when a group's batch is already ordered;
+    // this pins the slow path: a COMMIT delivered before its row events
+    // must still stamp them (ordinal order is restored before processing)
+    val ordered = Seq(
+      op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("UPDATE", "t1", 3, before = Map("a" -> "1"), after = Map("a" -> "2")),
+      op("COMMIT", "t1", 4, ts = 1704067205000L))
+    val shuffled = Seq(ordered(3), ordered(1), ordered(0), ordered(2))
+    def key(s: graft.streaming.StampedOp) = (s.txnUuid, s.eventId)
+    val a = TransactionAssembler.assemble(ordered.toDS()).collect().map(s => key(s) -> s).toMap
+    val b = TransactionAssembler.assemble(shuffled.toDS().coalesce(1)).collect()
+      .map(s => key(s) -> s).toMap
+    assert(a == b && a.size == 2)
+    // the helper itself: ordered input passes through, violations sort
+    import graft.streaming.TransactionAssembler.nearSorted
+    assert(nearSorted(Iterator(1L, 2L, 5L, 9L))(identity) == Seq(1L, 2L, 5L, 9L))
+    assert(nearSorted(Iterator(9L, 1L, 5L, 2L))(identity) == Seq(1L, 2L, 5L, 9L))
+    assert(nearSorted(Iterator.empty[Long])(identity).isEmpty)
+  }
+
   test("assembler: oversize transaction emits chunks instead of stalling") {
     val rows = (1 to 7).map(i => op("INSERT", "big", i.toLong, after = Map("i" -> i.toString)))
     val ops = (op("BEGIN", "big", 0) +: rows :+ op("COMMIT", "big", 99)).toDS()
