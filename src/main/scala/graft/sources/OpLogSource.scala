@@ -25,6 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    resume (replaces ZooKeeper checkpoint storage).
   *  - Line format: tab-separated with url-encoded map entries — trivially
   *    appendable by any producer.
+  *  - FAILOVER: `path` may be an ordered comma-separated replica list (the
+  *    reference supplier's host list — BinaryLogSupplier.java:142-256,
+  *    disconnect → next host, resume from checkpoint). Replicas serve the
+  *    same logical stream, so line offsets are portable: when the active
+  *    replica dies or rewinds below the committed position, the first
+  *    replica that has caught up takes over at the same offset — no loss,
+  *    no duplicates, mid-stream.
   *
   * Usage: `spark.readStream.format("graft-oplog").option("path", f).load()`
   * (schema = OpSource.opSchema). `Sinks`-side exactly-once comes from
@@ -35,11 +42,11 @@ class OpLogSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = OpSource.opSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new OpLogTable(properties.get("path"))
+    new OpLogTable(properties.get("path").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 }
 
-final class OpLogTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-oplog($path)"
+final class OpLogTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft-oplog(${paths.mkString(",")})"
   override def schema(): StructType = OpSource.opSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -48,7 +55,7 @@ final class OpLogTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = OpSource.opSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new OpLogMicroBatchStream(path)
+          new OpLogMicroBatchStream(paths, checkpointLocation)
       }
     }
 }
@@ -57,12 +64,15 @@ final case class OpLogOffset(line: Long) extends Offset {
   override def json(): String = line.toString
 }
 
-final class OpLogMicroBatchStream(path: String) extends MicroBatchStream {
+final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String)
+    extends MicroBatchStream {
+  require(paths.nonEmpty, "graft-oplog needs at least one path")
+
   /** Count only newline-TERMINATED lines: a producer may be mid-append, and
     * a torn final line must stay outside the offset so the next micro-batch
     * picks up the completed event instead of the reader consuming (and
     * permissively skipping) a half-written record. */
-  private def lineCount(): Long = {
+  private def lineCount(path: String): Long = {
     val f = new java.io.File(path)
     if (!f.exists()) 0L
     else {
@@ -81,16 +91,80 @@ final class OpLogMicroBatchStream(path: String) extends MicroBatchStream {
     }
   }
 
+  /** Highest offset this stream has ever announced — the failover floor: a
+    * replica is eligible only if it has caught up to it, so a dead or
+    * truncated primary silently falls out of rotation instead of rewinding
+    * the stream (the supplier's disconnect→next-host loop,
+    * BinaryLogSupplier.java:142-256).
+    *
+    * The floor is ALSO persisted beside the engine checkpoint
+    * (`graft-oplog-hw`), because the engine calls `latestOffset()` on a
+    * fresh instance BEFORE handing it any restored offset — measured: the
+    * restart sequence is latestOffset, then deserializeOffset — and
+    * Structured Streaming records whatever a source announces. If every
+    * replica were unreachable at that instant, announcing a regressed
+    * offset would enter the offset log and the next batch would replay the
+    * whole stream. The persisted floor makes the announcement monotone
+    * across restarts no matter when replicas come back. Advisory only —
+    * the engine offset log remains the durable truth; losing this file
+    * merely re-opens the (replica-outage × restart) window it closes. */
+  private val hwFile = new java.io.File(checkpointLocation, "graft-oplog-hw")
+  @volatile private var highWater: Long =
+    try {
+      if (hwFile.exists())
+        new String(java.nio.file.Files.readAllBytes(hwFile.toPath), "UTF-8").trim.toLong
+      else 0L
+    } catch { case _: Exception => 0L }
+
+  private def persistFloor(): Unit =
+    try {
+      hwFile.getParentFile.mkdirs()
+      val tmp = new java.io.File(hwFile.getParentFile, hwFile.getName + ".tmp")
+      java.nio.file.Files.write(tmp.toPath, highWater.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, hwFile.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () } // advisory; see highWater doc
+
+  /** First replica, in configured order, that EXISTS and has at least
+    * `atLeast` newline-terminated lines — a dead primary is never eligible,
+    * even for an empty stream. */
+  private def replicaWith(atLeast: Long): Option[String] =
+    paths.find(p => new java.io.File(p).exists() && lineCount(p) >= atLeast)
+
   override def initialOffset(): Offset = OpLogOffset(0L)
-  override def latestOffset(): Offset = OpLogOffset(lineCount())
-  override def deserializeOffset(json: String): Offset = OpLogOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    // active replica = first not behind the committed stream position; its
+    // count becomes the new frontier. With every replica behind (all dead /
+    // still catching up) the offset simply stalls — no data loss, and the
+    // stream resumes wherever a replica catches up.
+    val frontier = replicaWith(highWater).map(lineCount).getOrElse(highWater)
+    if (frontier > highWater) { highWater = frontier; persistFloor() }
+    OpLogOffset(highWater)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    // a restart resumes from the engine checkpoint: adopt it as the floor
+    val line = json.toLong
+    if (line > highWater) { highWater = line; persistFloor() }
+    OpLogOffset(line)
+  }
   override def commit(end: Offset): Unit = () // engine offset log is the truth
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[OpLogOffset].line
     val e = end.asInstanceOf[OpLogOffset].line
-    if (e <= s) Array.empty else Array(OpLogPartition(path, s, e))
+    if (e <= s) Array.empty
+    else {
+      // read the committed range from whichever replica can serve it ALL —
+      // exhausting the list mid-range is the unrecoverable analog of the
+      // reference running out of hosts
+      val p = replicaWith(e).getOrElse(throw new java.io.IOException(
+        s"graft-oplog: no replica of ${paths.mkString(",")} has lines [$s, $e)"))
+      Array(OpLogPartition(p, s, e))
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -60,6 +60,60 @@ class OpLogSourceSpec extends SparkTestBase {
     assert(TimeMachineSink.latestRows(spark, sink).count() == 0)
   }
 
+  test("replica failover: primary killed mid-stream, next path continues from the checkpoint") {
+    val dir = Files.createTempDirectory("oplog-fo")
+    val a = dir.resolve("binlog.a").toString
+    val b = dir.resolve("binlog.b").toString
+    val sink = Files.createTempDirectory("sink-fo").toString
+    val ckpt = Files.createTempDirectory("ckpt-fo").toString
+    def txn(id: String, xxid: Long, base: Long, kind: String,
+            before: Map[String, String], after: Map[String, String]) = Seq(
+      OpLogCodec.encode("BEGIN", id, xxid, base, base * 1000, "t", "k", Map.empty, Map.empty),
+      OpLogCodec.encode(kind, id, xxid, base + 1, base * 1000, "t", "k", before, after),
+      OpLogCodec.encode("COMMIT", id, xxid, base + 2, base * 1000 + 500, "t", "k", Map.empty, Map.empty))
+
+    // replicas serve the same logical stream
+    val t1 = txn("t1", 1, 1, "INSERT", Map.empty, Map("a" -> "1"))
+    appendLines(a, t1); appendLines(b, t1)
+
+    val ops = spark.readStream.format("graft-oplog").option("path", s"$a,$b").load().as[Op]
+    val cfg = PipelineConfig(sink, ckpt, partitions = 2)
+    val q1 = ReplicatorPipeline.start(ops, cfg)
+    q1.processAllAvailable()
+
+    val t2 = txn("t2", 2, 4, "UPDATE", Map("a" -> "1"), Map("a" -> "2"))
+    appendLines(a, t2); appendLines(b, t2)
+    q1.processAllAvailable()
+
+    // PRIMARY DIES at line 6; the replica keeps receiving the stream
+    Files.delete(Paths.get(a))
+    appendLines(b, txn("t3", 3, 7, "UPDATE", Map("a" -> "2"), Map("a" -> "3")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the engine checkpoint with the primary still dead
+    val q2 = ReplicatorPipeline.start(
+      spark.readStream.format("graft-oplog").option("path", s"$a,$b").load().as[Op], cfg)
+    appendLines(b, txn("t4", 4, 10, "DELETE", Map("a" -> "3"), Map.empty))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // no loss, no duplicates across the failover or the restart
+    val cells = spark.read.parquet(sink)
+    assert(cells.filter(col("column") === "a").count() == 3) // INSERT + 2 UPDATEs
+    assert(cells.filter(col("column") === "a").select("value").as[String]
+      .collect().toSet == Set("1", "2", "3"))
+    assert(cells.filter(col("column") === "row_status" && col("value") === "D").count() == 1)
+    assert(TimeMachineSink.latestRows(spark, sink).count() == 0) // deleted at tip
+    // a stale resurrected primary (behind the checkpoint) must NOT rewind
+    appendLines(a, t1) // 3 lines only — far behind highWater
+    val q3 = ReplicatorPipeline.start(
+      spark.readStream.format("graft-oplog").option("path", s"$a,$b").load().as[Op], cfg)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(sink).filter(col("column") === "a").count() == 3) // unchanged
+  }
+
   test("corrupt lines are skipped without wedging the stream") {
     val log = Files.createTempDirectory("oplog2").resolve("binlog.0001").toString
     appendLines(log, Seq(
