@@ -1015,6 +1015,28 @@ object SparkEntry {
           element_at(col("sums"), col("frame_idx") + 1).as("frame_sum"))
     }),
 
+    "mm_jpeg_meta" -> ((s, d) => {
+      // the LOSSY arm: encode each doc as a real JPEG (JDK encoder), sniff
+      // the FFD8 magic with the metadata operator, decode with the JDK
+      // decoder — dimensions survive lossy compression exactly, so they
+      // (plus the sniffed type) are the oracle surface; pixel sums are
+      // deliberately NOT emitted (they would be encoder-dependent)
+      import s.implicits._
+      val jpegs = t(s, d, "documents")
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = text.getBytes("US-ASCII")
+          val w = bytes.length / 4
+          (id, Multimodal.ImageCodec.buildJpeg(w, 4,
+            java.util.Arrays.copyOf(bytes, w * 4)))
+        }.toDF("doc_id", "payload")
+      Multimodal.extractFeatures(
+          Multimodal.withMediaMeta(jpegs, col("payload")), "payload")
+        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
+          col("img.width").as("width"), col("img.height").as("height"))
+    }),
+
     "mm_resize" -> ((s, d) => {
       // REAL resize: build a w×h grayscale PNG (dims from doc_id, pixels
       // cycled from the doc bytes), ImageIO-decode it, nearest-neighbor
@@ -1933,6 +1955,11 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE b // 32 = 2) AS BIGINT) AS h2,
            CAST(count(*) FILTER (WHERE b // 32 = 3) AS BIGINT) AS h3
          FROM px GROUP BY doc_id, w""",
+
+    "mm_jpeg_meta" ->
+      """SELECT doc_id, 'image/jpeg' AS media_type,
+           CAST(length(text) // 4 AS INT) AS width, 4 AS height
+         FROM documents WHERE length(text) >= 4""",
 
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n,

@@ -72,7 +72,16 @@ object Multimodal {
       * pixel (x, y) = `bytes[(y*w + x) % bytes.length]`. PNG is lossless and
       * 8-bit gray samples carry no color-profile ambiguity, so samples
       * round-trip exactly through any conformant decoder. */
-    def buildPng(w: Int, h: Int, bytes: Array[Byte]): Array[Byte] = {
+    def buildPng(w: Int, h: Int, bytes: Array[Byte]): Array[Byte] =
+      build(w, h, bytes, "png")
+
+    /** JPEG twin of [[buildPng]] — LOSSY, so only container-level facts
+      * (magic, dimensions) survive the round trip; sums do not. Exercises
+      * the JDK's JPEG encoder+decoder in the same distributed slots. */
+    def buildJpeg(w: Int, h: Int, bytes: Array[Byte]): Array[Byte] =
+      build(w, h, bytes, "jpg")
+
+    private def build(w: Int, h: Int, bytes: Array[Byte], fmt: String): Array[Byte] = {
       require(w > 0 && h > 0 && bytes.nonEmpty, "empty image")
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
@@ -82,7 +91,7 @@ object Multimodal {
         p += 1
       }
       val out = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", out)
+      ImageIO.write(img, fmt, out)
       out.toByteArray
     }
 

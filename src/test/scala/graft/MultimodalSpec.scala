@@ -169,6 +169,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(degenerate == Set((2L, true), (3L, true), (4L, true)))
   }
 
+  test("property: PNG build/decode/resize round-trips exactly for random geometry") {
+    import Multimodal.ImageCodec
+    val rnd = new scala.util.Random(7)
+    (1 to 60).foreach { _ =>
+      val w = 1 + rnd.nextInt(80)
+      val h = 1 + rnd.nextInt(60)
+      val bytes = Array.fill(1 + rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      def pix(p: Int): Long = (bytes(p % bytes.length) & 0xFF).toLong
+      val img = ImageCodec.decode(ImageCodec.buildPng(w, h, bytes)).get
+      assert(img.width == w && img.height == h)
+      assert(img.graySum == (0 until w * h).map(pix).sum)
+      assert(img.hist.sum == w.toLong * h)
+      // aspect fit never exceeds the box; NN sampling matches the formula
+      val (bw, bh) = (1 + rnd.nextInt(64), 1 + rnd.nextInt(64))
+      val (png2, r) = ImageCodec.resize(ImageCodec.buildPng(w, h, bytes), bw, bh).get
+      val (ow, oh) = ImageCodec.fitBox(w, h, bw, bh)
+      assert(r.width == ow && r.height == oh && ow <= math.max(1, bw) && oh <= math.max(1, bh))
+      val wantSum = (for (y <- 0 until oh; x <- 0 until ow) yield
+        pix((y.toLong * h / oh).toInt * w + (x.toLong * w / ow).toInt)).sum
+      assert(r.graySum == wantSum)
+      // and the resized payload is itself a faithful PNG
+      assert(ImageCodec.decode(png2).get.graySum == wantSum)
+    }
+  }
+
   test("frame sampling indices") {
     val idx = Seq(10).toDF("n")
       .select(Multimodal.sampleFrameIndices(col("n"), 3)).as[Seq[Int]].collect()(0)

@@ -36,6 +36,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("simhash candidates: Hamming prefilter sits on the band join, before verify") {
+    // the bit_count(xor(a_sig, b_sig)) <= 7 prune is what keeps the
+    // 17-variant multiprobe fan-out away from the shingle-verify joins;
+    // dropping it would still pass the oracle (exactness is backstopped)
+    // while silently re-inflating the candidate set — guard the plan
+    val p = plan("dedup_simhash")
+    assert(p.contains("bit_count") && p.contains("<= 7"),
+      s"Hamming prefilter missing from candidate path:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("cdc_time_machine: op synthesis scans the source exactly once") {
     val p = plan("cdc_time_machine")
     assert("Scan parquet".r.findAllIn(p).size == 1)
