@@ -108,7 +108,18 @@ final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String
     * across restarts no matter when replicas come back. Advisory only —
     * the engine offset log remains the durable truth; losing this file
     * merely re-opens the (replica-outage × restart) window it closes. */
-  private val hwFile = new java.io.File(checkpointLocation, "graft-oplog-hw")
+  // the engine hands a URI string ("file:/…/sources/0"), not a bare path —
+  // resolve it properly or the floor silently lands in a literal "file:"
+  // directory under the working dir (observed)
+  private val hwFile = {
+    val base =
+      try {
+        val uri = new java.net.URI(checkpointLocation)
+        if (uri.getScheme == null) new java.io.File(checkpointLocation)
+        else new java.io.File(uri)
+      } catch { case _: Exception => new java.io.File(checkpointLocation) }
+    new java.io.File(base, "graft-oplog-hw")
+  }
   @volatile private var highWater: Long =
     try {
       if (hwFile.exists())

@@ -105,6 +105,14 @@ class OpLogSourceSpec extends SparkTestBase {
       .collect().toSet == Set("1", "2", "3"))
     assert(cells.filter(col("column") === "row_status" && col("value") === "D").count() == 1)
     assert(TimeMachineSink.latestRows(spark, sink).count() == 0) // deleted at tip
+    // the announce-floor persists INSIDE the engine checkpoint (a file: URI
+    // — a mis-resolved path would silently land in a literal "file:" dir)
+    val floors = java.nio.file.Files.walk(Paths.get(ckpt)).iterator()
+    val floorFiles = Iterator.continually(floors).takeWhile(_.hasNext)
+      .map(_.next()).filter(_.getFileName.toString == "graft-oplog-hw").toSeq
+    assert(floorFiles.nonEmpty, s"announce-floor file missing under $ckpt")
+    assert(new String(java.nio.file.Files.readAllBytes(floorFiles.head)).trim.toLong >= 12L)
+
     // a stale resurrected primary (behind the checkpoint) must NOT rewind
     appendLines(a, t1) // 3 lines only — far behind highWater
     val q3 = ReplicatorPipeline.start(
