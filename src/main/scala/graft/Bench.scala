@@ -55,7 +55,7 @@ object Bench {
     // transient sandbox load (r2→r3 showed a 2-4× swing on byte-identical
     // code) — give them an extra timed run so the min is a stabler floor
     val extraRun = Set("dedup_simhash", "dedup_minhash_lsh", "dedup_embedding_lsh",
-      "dedup_resolve", "sim_ann_ivf_exact", "sim_pq_encode")
+      "dedup_resolve", "sim_ann_ivf_exact", "sim_pq_encode", "sim_ann_ivfadc")
     def loadavg: Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }

@@ -111,7 +111,11 @@ final class SchemaCatalog(val ownSchema: String) {
                      ddl: String, tsMs: Long): Unit =
     current(table).foreach { prev =>
       val idx = prev.columns.indexWhere(_.name.equalsIgnoreCase(oldName))
-      if (idx >= 0) {
+      // CHANGE to a name another column already holds would corrupt the
+      // positional schema (MySQL rejects the DDL) — leave the catalog as-is
+      val collides = !oldName.equalsIgnoreCase(newName) &&
+        prev.columns.exists(_.name.equalsIgnoreCase(newName))
+      if (idx >= 0 && !collides) {
         val old = prev.columns(idx)
         val (attrs, atFirst, afterCol) = splitPosition(tail)
         val notNull = attrs.matches("(?i).*not\\s+null.*")

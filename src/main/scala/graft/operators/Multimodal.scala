@@ -83,6 +83,7 @@ object Multimodal {
 
     private def build(w: Int, h: Int, bytes: Array[Byte], fmt: String): Array[Byte] = {
       require(w > 0 && h > 0 && bytes.nonEmpty, "empty image")
+      require(w.toLong * h <= Int.MaxValue, s"image too large: ${w}x$h")
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
       var p = 0
@@ -101,10 +102,19 @@ object Multimodal {
         try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
         catch { case _: java.io.IOException => None }
 
-    /** Decode + feature-extract: dims, gray sum, 8-bucket histogram
-      * (bucket = sample >> 5). Color inputs fold to luminance via the
-      * raster's first band — our fixtures are gray, so band 0 IS the
-      * sample. */
+    /** One pixel as 8-bit luminance: single-band rasters read the sample
+      * directly; color rasters fold to integer ITU-601 luma
+      * ((299·R + 587·G + 114·B) / 1000 — deterministic, no floats), so a
+      * real RGB payload gets honest luminance stats everywhere, never the
+      * red channel mislabeled as gray. */
+    private def luma(raster: java.awt.image.Raster, x: Int, y: Int): Int =
+      if (raster.getNumBands >= 3)
+        (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1)
+          + 114 * raster.getSample(x, y, 2)) / 1000
+      else raster.getSample(x, y, 0)
+
+    /** Decode + feature-extract: dims, gray (luma) sum, 8-bucket histogram
+      * (bucket = sample >> 5, clamped for >8-bit sources). */
     def decode(bytes: Array[Byte]): Option[Img] = readImage(bytes).map { img =>
       val raster = img.getRaster
       val (w, h) = (img.getWidth, img.getHeight)
@@ -114,8 +124,8 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val v = raster.getSample(x, y, 0)
-          sum += v; hist(v >> 5) += 1
+          val v = luma(raster, x, y)
+          sum += v; hist(math.min(7, v >> 5)) += 1
           x += 1
         }
         y += 1
@@ -138,7 +148,7 @@ object Multimodal {
           var y = f * frameH
           while (y < (f + 1) * frameH) {
             var x = 0
-            while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+            while (x < w) { s += luma(raster, x, y); x += 1 }
             y += 1
           }
           sums(f) = s
@@ -172,7 +182,7 @@ object Multimodal {
           var x = 0
           while (x < ow) {
             dst.setSample(x, y, 0,
-              src.getSample((x.toLong * w / ow).toInt, (y.toLong * h / oh).toInt, 0))
+              math.min(255, luma(src, (x.toLong * w / ow).toInt, (y.toLong * h / oh).toInt)))
             x += 1
           }
           y += 1

@@ -93,6 +93,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageCodec.decode(null).isEmpty)
     assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
     assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
+    // a COLOR payload folds to integer ITU-601 luma, not the red channel
+    val rgb = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xFF0000) // pure red  -> luma 299*255/1000 = 76
+    rgb.setRGB(1, 0, 0x00FF00) // pure green -> luma 587*255/1000 = 149
+    val rgbOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", rgbOut)
+    val rgbImg = ImageCodec.decode(rgbOut.toByteArray).get
+    assert(rgbImg.graySum == 76L + 149L)
   }
 
   test("extractFeatures runs ImageIO per partition with stable schema") {

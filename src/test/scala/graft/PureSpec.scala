@@ -175,6 +175,10 @@ class PureSpec extends AnyFunSuite {
     cat.applyDdl("ALTER TABLE organisms MODIFY ghost INT", 7000L)
     assert(cat.current("organisms").get.version == before)
     assert(cat.transitions.count(_.table == "organisms") == 7)
+    // CHANGE onto an existing column name (MySQL rejects it): catalog as-is
+    cat.applyDdl("ALTER TABLE organisms CHANGE genus common_name VARCHAR(40)", 8000L)
+    assert(cat.current("organisms").get.version == before)
+    assert(cat.current("organisms").get.columns.count(_.name == "common_name") == 1)
   }
 
   test("catalog: table-swap RENAME flow (mysql.binlog.test.sql)") {
