@@ -763,6 +763,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), col("text"), n = 5)
     }),
 
+    "dedup_span_removal" -> ((s, d) => {
+      // the surgery step after span counting: cut every token position
+      // covered by a 5-gram shared with the eval split, reassemble the
+      // survivors in order — keeps the doc, removes the quoted eval text
+      val docs = t(s, d, "documents")
+      Dedup.removeContaminatedSpans(
+        docs.filter(col("doc_id") % 2 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 2 === 0), col("text"), n = 5)
+    }),
+
     "dedup_keep_best" -> ((s, d) => {
       // keep-BEST representative per near-dup cluster (token count as the
       // quality score, ties to the smaller id) — the selection real
@@ -1710,6 +1720,30 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE span IN (SELECT span FROM ev)) AS BIGINT) AS n_contaminated,
            CAST(floor(count(*) FILTER (WHERE span IN (SELECT span FROM ev)) * 1000000.0 / count(*)) AS BIGINT) AS contam_ppm
          FROM tr GROUP BY doc_id""",
+
+    "dedup_span_removal" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         tr AS (SELECT doc_id, w FROM docs WHERE doc_id % 2 <> 0),
+         ev AS (SELECT DISTINCT
+           unnest([array_to_string(w[i:i+4], ' ') for i in range(1, greatest(len(w)-5, 0)+2)]) AS span
+         FROM docs WHERE doc_id % 2 = 0),
+         sp AS (SELECT doc_id,
+           unnest([{'s': i, 'g': array_to_string(w[i:i+4], ' ')}
+             for i in range(1, greatest(len(w)-5, 0)+2)], recursive := true)
+         FROM tr),
+         dirty AS (SELECT doc_id, list(s) AS starts FROM sp
+           WHERE g IN (SELECT span FROM ev) GROUP BY doc_id),
+         cut AS (SELECT t.doc_id, t.w,
+           [t.w[p] for p in range(1, len(t.w)+1)
+              if len(list_filter(coalesce(d.starts, []), s -> p >= s AND p < s + 5)) = 0] AS kept
+         FROM tr t LEFT JOIN dirty d USING (doc_id))
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+           -- array_to_string([]) is NULL in DuckDB; a fully-cut doc is ''
+           coalesce(array_to_string(kept, ' '), '') AS clean_text
+         FROM cut""",
 
     "dedup_keep_best" ->
       """WITH RECURSIVE docs AS (SELECT doc_id,

@@ -535,6 +535,42 @@ object Dedup {
           count(lit(1))).cast("long").as("contam_ppm"))
   }
 
+  /** Span SURGERY — the removal step pipelines run after
+    * [[spanContamination]] counts: every token position covered by ANY
+    * n-gram the doc shares with the eval set is cut, and the surviving
+    * tokens reassemble in order (the doc is kept, minus the quoted eval
+    * material). Returns per-train-doc (n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: identical to the counter — eval collapses to a broadcast
+    * distinct span-hash set; the train side pays one positional-span
+    * semi-join and one doc hash-agg of dirty starts (tiny: only HITS
+    * aggregate), then the cut is a per-row lambda over the token array.
+    * The start list rides a broadcast-sized column per doc; no token ever
+    * shuffles. */
+  def removeContaminatedSpans(train: DataFrame, trainId: Column, trainText: Column,
+                              eval: DataFrame, evalText: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toks = col("__toks")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    val spanArr = transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))
+    val trainSpans = tokenized(train, trainId, trainText)
+      .select(col("id").as("doc_id"), posexplode(spanArr).as(Seq("start", "span_h")))
+    val evalSpans = tokenized(eval, lit(0L), evalText)
+      .select(explode(spanArr).as("span_h")).distinct()
+    val dirty = trainSpans
+      .join(broadcast(evalSpans), Seq("span_h"))
+      .groupBy(col("doc_id")).agg(collect_set(col("start")).as("__dirty"))
+    val starts = coalesce(col("__dirty"), array().cast("array<int>"))
+    val kept = filter(toks, (t, p) =>
+      !exists(starts, s => p >= s && p < s + n))
+    tokenized(train, trainId, trainText)
+      .join(dirty, col("id") === dirty("doc_id"), "left")
+      .select(col("id").as("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+  }
+
   /** Cluster-representative selection: keep the BEST member of each
     * duplicate cluster by an explicit quality score (keep-first — min id —
     * throws away the highest-quality copy whenever crawl order and quality

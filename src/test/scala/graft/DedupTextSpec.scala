@@ -80,6 +80,33 @@ class DedupTextSpec extends SparkTestBase {
     assert(out(3L) == ((3L, 4L, 0L, 0L)))
   }
 
+  test("span removal cuts covered positions only, reassembles survivors in order") {
+    val train = Seq(
+      (1L, "the exact eval question text plus more words here"), // quotes eval doc
+      (3L, "totally original training content nothing shared at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the exact eval question text")).toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(train, col("doc_id"), col("text"),
+        eval, col("text"), n = 5)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1: the shared 5-gram starts at position 0 and covers tokens 0-4;
+    // tokens 5-8 ("plus more words here") survive in order
+    assert(out(1L) == ((1L, 9L, 5L, "plus more words here")))
+    // untouched doc: zero removed, text round-trips (normalized form)
+    assert(out(3L) == ((3L, 8L, 0L,
+      "totally original training content nothing shared at all")))
+    // overlapping dirty spans: eval shares 5-grams at starts 0 AND 2 -> the
+    // union [0,4] ∪ [2,6] = tokens 0-6 is cut, not double-counted
+    val t2 = Seq((5L, "a b c d e f g tail1 tail2")).toDF("doc_id", "text")
+    val e2 = Seq((200L, "a b c d e"), (201L, "c d e f g")).toDF("doc_id", "text")
+    val got = Dedup.removeContaminatedSpans(t2, col("doc_id"), col("text"),
+        e2, col("text"), n = 5)
+      .select("n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect()(0)
+    assert(got == ((9L, 7L, "tail1 tail2")))
+  }
+
   test("keepBest picks the highest-scored cluster member, ties to the smaller id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "canonical_id")
