@@ -829,6 +829,32 @@ object SparkEntry {
         .select("vec_id", "centroid_id")
     }),
 
+    "sim_recall_eval" -> ((s, d) => {
+      // the ann-benchmarks measurement as a first-class operator: recall@10
+      // of the shortlist-limited PQ/ADC search against the brute-force
+      // ground truth, per query — the number that decides whether an ANN
+      // config is usable. Deterministic end to end (seed codebook, ordered
+      // ADC sums, id tie-breaks), so DuckDB reproduces the SAME approximate
+      // search and the recall itself is hash-gated. shortlist=20 is
+      // deliberately tight: recall must be measurable, not saturated at 1
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 30)
+      val approx = Pq.adcTopK(emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        m = 8, k = 16, shortlist = 20, finalK = 10)
+      val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), 10)
+      val hits = approx.select("query_id", "vec_id")
+        .join(brute.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("__hits"), lit(0L)).as("n_hits"),
+          floor(coalesce(col("__hits"), lit(0L)).cast("double") * lit(1000000.0d) / 10)
+            .cast("long").as("recall_ppm"))
+    }),
+
     "sim_ann_ivfadc" -> ((s, d) => {
       // IVFADC end to end, ORACLE-GATED: the corpus embeddings sit at the
       // cosine noise floor where no quantizer is rank-selective, so the
@@ -1936,6 +1962,60 @@ object SparkEntry {
                     FROM subs JOIN cb USING (sub_id))
          SELECT vec_id, sub_id, code_id AS code FROM scored
          QUALIFY row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, code_id) = 1""",
+
+    "sim_recall_eval" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM v),
+         u AS (SELECT vec_id,
+                 CASE WHEN nn > 0 THEN list_transform(v, x -> x / nn) ELSE v END AS vn
+               FROM n),
+         seeds AS (SELECT vec_id, vn,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code_id
+                   FROM u QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+         subids AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub_id),
+         cb AS (SELECT s.sub_id, seeds.code_id,
+                  seeds.vn[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS cw
+                FROM seeds, subids s),
+         subs AS (SELECT u.vec_id, s.sub_id,
+                    u.vn[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sv
+                  FROM u, subids s),
+         scored AS (SELECT vec_id, sub_id, code_id,
+                      list_dot_product(sv, sv) - 2 * list_dot_product(sv, cw)
+                        + list_dot_product(cw, cw) AS d2
+                    FROM subs JOIN cb USING (sub_id)),
+         codes AS (SELECT vec_id, sub_id, code_id AS code FROM scored
+                   QUALIFY row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d2, code_id) = 1),
+         q AS (SELECT vec_id AS query_id, vn AS qvn FROM u WHERE vec_id < 30),
+         qsubs AS (SELECT query_id, s.sub_id,
+                     qvn[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS qs
+                   FROM q, subids s),
+         qt AS (SELECT query_id, sub_id, code_id, list_dot_product(qs, cw) AS e
+                FROM qsubs JOIN cb USING (sub_id)),
+         adc AS (SELECT t.query_id, c.vec_id,
+                   list_sum(list(t.e ORDER BY t.sub_id)) AS adc
+                 FROM codes c JOIN qt t ON t.sub_id = c.sub_id AND t.code_id = c.code
+                 WHERE c.vec_id <> t.query_id
+                 GROUP BY t.query_id, c.vec_id),
+         short AS (SELECT query_id, vec_id FROM adc
+                   QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) <= 20),
+         rerank AS (SELECT s.query_id, s.vec_id,
+                      round(list_dot_product(cv.v, qv.v)
+                        / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos_sim
+                    FROM short s JOIN v cv ON cv.vec_id = s.vec_id
+                                 JOIN v qv ON qv.vec_id = s.query_id),
+         approx AS (SELECT query_id, vec_id FROM rerank
+                    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10),
+         brute AS (SELECT qv.vec_id AS query_id, cv.vec_id,
+                     round(list_dot_product(cv.v, qv.v)
+                       / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos_sim
+                   FROM v cv, v qv WHERE qv.vec_id < 30 AND cv.vec_id <> qv.vec_id
+                   QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cv.vec_id) <= 10),
+         hits AS (SELECT a.query_id, count(*) AS h
+                  FROM approx a JOIN brute b USING (query_id, vec_id)
+                  GROUP BY a.query_id)
+         SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS n_hits,
+           CAST(floor(coalesce(h, 0) * 1000000.0 / 10) AS BIGINT) AS recall_ppm
+         FROM q LEFT JOIN hits USING (query_id)""",
 
     "sim_ann_ivfadc" ->
       """WITH v AS (SELECT i AS vec_id,
