@@ -173,6 +173,20 @@ object SparkEntry {
           Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.5, "src3" -> 0.25))
         .select(col("doc_id"), col("source"), col("epoch_idx"))),
 
+    "sample_token_budget" -> ((s, d) => {
+      // per-source TOKEN budget cap (the "cap source X at N tokens" recipe
+      // knob — by volume, not doc count): docs taken in md5-of-id order per
+      // source until the budget line is crossed (crossing doc kept), then
+      // summarized per source
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(split(Text.normalized(col("text")), " ")).cast("long"))
+      graft.operators.Sampling.tokenBudgetQuota(docs, col("doc_id"),
+          col("source"), col("n_tokens"), budget = 3000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+    }),
+
     "pipe_shard_assign" -> ((s, d) =>
       // LPT round-robin training-shard assignment: global size rank without
       // a single-partition sort (range-partition + local rank + offsets)
@@ -1138,6 +1152,18 @@ object SparkEntry {
              ELSE 0 END AS reps
          FROM documents)
          SELECT doc_id, source, CAST(unnest([i for i in range(1, reps+1)]) AS INT) AS epoch_idx FROM r""",
+
+    "sample_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM c WHERE cum - n_tokens < 3000 GROUP BY source""",
 
     "pipe_shard_assign" ->
       """WITH d AS (SELECT doc_id,

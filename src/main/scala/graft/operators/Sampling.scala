@@ -91,6 +91,28 @@ object Sampling {
       .drop("__reps")
   }
 
+  /** Per-source TOKEN budget cap — the "GitHub is capped at N tokens"
+    * knob of corpus recipes, where the cut is by volume, not document
+    * count: within each source, documents are taken in md5-of-id order
+    * (deterministic, crawl-order-free) until the source's cumulative
+    * token total exceeds `budget`; the document that crosses the line is
+    * kept (budgets are truncation points for the loader, same convention
+    * as [[packSequences]]), everything after it drops.
+    *
+    * Scale shape: one window per source ordered by the md5 rank — with
+    * many sources the sort is shuffle-partition-local, and the window
+    * carries only (source, rank-key, tokens). */
+  def tokenBudgetQuota(df: DataFrame, idCol: Column, sourceCol: Column,
+                       tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(md5(idCol.cast("string")), idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(tokensCol).over(w))
+      .filter(col("__cum") - tokensCol < budget) // doc crossing the line kept
+      .drop("__cum")
+  }
+
   /** Balanced shard assignment: rank all rows by descending size (token
     * count, unique-ized by id) and deal them round-robin across `numShards`
     * — the longest-processing-time heuristic that keeps shard token totals

@@ -92,6 +92,27 @@ class SamplingSpec extends SparkTestBase {
     assert(!up.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("token budget quota: crossing doc kept, md5 order, per-source independence") {
+    val df = Seq(
+      (1L, "a", 40L), (2L, "a", 40L), (3L, "a", 40L), (4L, "a", 40L),
+      (10L, "b", 5L), (11L, "b", 5L)
+    ).toDF("id", "src", "tok")
+    val kept = Sampling.tokenBudgetQuota(df, col("id"), col("src"), col("tok"), budget = 100L)
+      .select("id", "src").as[(Long, String)].collect().toSet
+    // source a: md5 order of ids 1-4; cumulative 40/80/120 -> the third doc
+    // CROSSES 100 and is kept, the fourth (cum-tok = 120 >= 100) drops
+    val aOrder = Seq(1L, 2L, 3L, 4L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString, i))
+    assert(kept.filter(_._2 == "a").map(_._1) == aOrder.take(3).toSet)
+    // source b: total 10 < budget -> everything kept, independent of a
+    assert(kept.filter(_._2 == "b").map(_._1) == Set(10L, 11L))
+    // determinism: same output on a different layout
+    val again = Sampling.tokenBudgetQuota(df.repartition(5), col("id"), col("src"), col("tok"), 100L)
+      .select("id", "src").as[(Long, String)].collect().toSet
+    assert(again == kept)
+  }
+
   test("shard assign: distributed rank equals the global sort rank; shards balanced") {
     val df = (1L to 997L).map(i => (i, (i * 7919L) % 400 + 10)).toDF("id", "n_tokens")
     val got = Sampling.shardAssign(df, col("id"), col("n_tokens"), numShards = 8)
