@@ -242,22 +242,31 @@ object Dedup {
     val exact = docs.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("band"))
       .select(col("id"), col("sig"), col("band.band_id"), col("band.band_hash"))
     val probes = exact.select(col("id"), col("sig"), col("band_id"),
-      explode(array((col("band_hash") +: (0 until 16).map(bit =>
-        col("band_hash").bitwiseXOR(lit(1L << bit)))): _*)).as("band_hash"))
+      explode(array((struct(col("band_hash").as("h"), lit(false).as("flipped")) +:
+        (0 until 16).map(bit =>
+          struct(col("band_hash").bitwiseXOR(lit(1L << bit)).as("h"),
+            lit(true).as("flipped")))): _*)).as("p"))
+      .select(col("id"), col("sig"), col("band_id"),
+        col("p.h").as("band_hash"), col("p.flipped").as("flipped"))
     val simhashCands = exact.select(col("band_id"), col("band_hash"),
         col("id").as("a_id"), col("sig").as("a_sig"))
-      .join(probes.select(col("band_id"), col("band_hash"),
+      .join(probes.select(col("band_id"), col("band_hash"), col("flipped"),
           col("id").as("b_id"), col("sig").as("b_sig")),
         Seq("band_id", "band_hash"))
       .filter(col("a_id") =!= col("b_id"))
-      // Exactness-preserving prefilter: this generator only GUARANTEES
-      // collisions within Hamming ≤ 7 (1-flip probes over 4 bands); beyond
-      // that the minhash backstop is the designed catcher. Random 16-bit
-      // bucket collisions between unrelated docs sit at Hamming ~32, so two
-      // longs' worth of bit_count(xor) kills nearly all of them BEFORE the
-      // distinct + shingle-array verify joins — the multiprobe fan-out
-      // (17 variants × 4 bands) never reaches the expensive stage.
-      .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= 7)
+      // Exactness-preserving prefilter, applied ONLY to probe-generated
+      // (1-bit-flipped) candidates: the flip fan-out only exists to cover
+      // Hamming ≤ 7 (pigeonhole over 4 bands), so flipped collisions beyond
+      // 7 are noise by construction — and random 16-bit collisions between
+      // unrelated docs sit at Hamming ~32, so two longs' worth of
+      // bit_count(xor) kills the 17×4 multiprobe fan-out BEFORE the
+      // distinct + shingle-array verify joins. EXACT (0-flip) band
+      // collisions are exempt: they are this generator's original
+      // deterministic guarantee, and cutting them would leave a true pair
+      // at sig-Hamming ≥ 8 hanging on the probabilistic minhash backstop
+      // alone — the oracle equality must not rest on 2e-4 odds.
+      .filter(!col("flipped") ||
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= 7)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
     // generator 2: minhash bands over the same shingle sets
@@ -314,14 +323,19 @@ object Dedup {
     * per-doc (n_spans, n_dup_spans, dup_ppm) — the memorization-risk score
     * used to rank documents for removal or span-level surgery.
     *
-    * Scale shape: the global count is a window count over the 64-BIT HASH
-    * of the span — ONE shuffle (the suffix-array corpus sort, re-expressed
-    * relationally) that ships and sorts fixed-width longs instead of
-    * n-token strings (distinct spans → distinct hashes at ~1e-13/pair
-    * collision odds, the same contract [[jaccardVerify]]'s hashed
-    * intersects ride), then a hash-agg back to the doc. Join-free: the
-    * naive groupBy-count + join-back formulation pays the span shuffle
-    * twice. */
+    * Scale shape: global counts run over the 64-BIT HASH of the span
+    * (ships fixed-width longs, not n-token strings; distinct spans →
+    * distinct hashes at ~1e-13/pair collision odds, the same contract
+    * [[jaccardVerify]]'s hashed intersects ride) as a
+    * `groupBy(span_h).count()` — NOT a span-partitioned window: span
+    * n-grams are Zipf-distributed, and a window count has no map-side
+    * combine, so a boilerplate span occurring in 10% of documents lands
+    * every occurrence on ONE task. The hash-aggregate's partial (map-side)
+    * combine bounds per-task input regardless of span skew; the dup set
+    * (count ≥ 2, typically a sliver of distinct spans) left-joins back —
+    * that join pays the span shuffle a second time, but it carries
+    * combined counts on one side and is AQE-skew-splittable, where a
+    * skewed window partition is not. */
   def dupSpanStats(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
     val toks = col("__toks") // materialized attribute — see shingles() trap note
@@ -329,13 +343,16 @@ object Dedup {
     val spanArr = transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))
     val spans = tokenized(df, idCol, textCol)
       .select(col("id").as("doc_id"), explode(spanArr).as("span_h"))
-    val globalCount = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("span_h")))
-    spans.withColumn("__gc", globalCount)
+    // spans is consumed twice (count side + join side) — recomputing the
+    // narrow scan+explode beats persisting the exploded multiset, which at
+    // 100 TB is ~n× the corpus and would spill its entirety to disk
+    val dupSpans = spans.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("__gc")).filter(col("__gc") >= 2)
+    spans.join(dupSpans, Seq("span_h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("__gc") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
-        floor(sum(when(col("__gc") >= 2, 1L).otherwise(0L)).cast("double") * lit(1000000.0d) /
+        sum(when(col("__gc").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"),
+        floor(sum(when(col("__gc").isNotNull, 1L).otherwise(0L)).cast("double") * lit(1000000.0d) /
           count(lit(1))).cast("long").as("dup_ppm"))
   }
 

@@ -47,6 +47,27 @@ class PlanShapeSpec extends SparkTestBase {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("dup-span stats: span counts partial-aggregate; no span-partitioned window") {
+    // a window count over span_h has no map-side combine — one Zipf-heavy
+    // boilerplate span lands every occurrence on a single task; the
+    // groupBy(span_h) form partial-aggregates before the shuffle
+    val p = plan("dedup_dup_ngrams")
+    assert("HashAggregate\\(keys=\\[span_h".r.findFirstIn(p).isDefined,
+      s"span counts must hash-aggregate on span_h:\n$p")
+    assert(!p.contains("Window"),
+      s"dup-span stats must not plan a span-partitioned window:\n$p")
+  }
+
+  test("token budget: window bounded by md5 bucket, offsets broadcast back") {
+    // the per-source cumsum must partition by (source, bucket) — a plain
+    // per-source window sorts a whole capped source on one task
+    val p = plan("sample_token_budget")
+    assert(p.contains("__tb_bkt"),
+      s"token-budget window must partition by the md5 bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back, not shuffle:\n$p")
+  }
+
   test("cdc_time_machine: op synthesis scans the source exactly once") {
     val p = plan("cdc_time_machine")
     assert("Scan parquet".r.findAllIn(p).size == 1)
