@@ -158,6 +158,85 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, planeOffset: Int)
     copy(child = newChild)
 }
 
+/** Scan-local PQ encode — wraps [[VecAlgos.pqEncode]]. `left` is the
+  * unit-normalized vector, `right` the flattened (subspace-major) codebook,
+  * in practice a [[org.apache.spark.sql.catalyst.expressions.Literal]]:
+  * the codebook is driver-tiny by construction (m·k codewords), so encoding
+  * becomes a pure projection — the former subspace-explode + broadcast-join
+  * + double-groupBy plan paid two corpus-scale shuffles for the same codes.
+  * Codes are bit-identical to that plan (same d2 float-op order, same
+  * smaller-id tie-break); a short/mismatched vector yields NULL. */
+case class PqEncodeExpr(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  require(m > 0 && k > 0, "m and k must be positive")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any, cw: Any): Any =
+    VecAlgos.pqEncode(v.asInstanceOf[ArrayData], cw.asInstanceOf[ArrayData], m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cw) => s"""
+      ${ev.value} = graft.functions.VecAlgos.pqEncode($v, $cw, $m, $k);
+      if (${ev.value} == null) {
+        ${ev.isNull} = true;
+      }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scan-local per-query ADC lookup table — wraps [[VecAlgos.pqQueryTable]];
+  * same codebook-literal convention as [[PqEncodeExpr]]. Replaces a
+  * subspace-explode + broadcast-join + collect_list groupBy per query set
+  * with a projection whose output feeds [[AdcScoreExpr]] directly. */
+case class PqQueryTableExpr(left: Expression, right: Expression, m: Int, k: Int)
+    extends BinaryExpression {
+  require(m > 0 && k > 0, "m and k must be positive")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_query_table"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any, cw: Any): Any =
+    VecAlgos.pqQueryTable(v.asInstanceOf[ArrayData], cw.asInstanceOf[ArrayData], m, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cw) => s"""
+      ${ev.value} = graft.functions.VecAlgos.pqQueryTable($v, $cw, $m, $k);
+      if (${ev.value} == null) {
+        ${ev.isNull} = true;
+      }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqQueryTableExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MySQL binary-JSON → JSON string — wraps [[JsonBinaryAlgos.parseAsString]]
   * (reference: MysqlTypeDeserializer.java:99-109 JSON cell decode). */
 case class MysqlJsonBinaryExpr(child: Expression) extends UnaryExpression {

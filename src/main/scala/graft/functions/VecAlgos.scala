@@ -52,6 +52,80 @@ object VecAlgos {
     s
   }
 
+  /** PQ-encode a unit-normalized vector against a flattened codebook
+    * (subspace-major: entry [s][c][j] at ((s·k)+c)·sublen + j, sublen =
+    * cwFlat.length / (m·k)): per subspace the L2-argmin codeword id, ties
+    * to the smaller id. Distance is computed in the EXACT float-op order of
+    * the relational formulation this replaces (and of the DuckDB oracle):
+    * d2 = dot(sv,sv) − 2·dot(sv,cw) + dot(cw,cw), each dot a sequential
+    * left-to-right sum — so codes are bit-identical to the former
+    * join+groupBy plan. Returns null if the vector is shorter than the
+    * codebook's m·sublen span (corrupt/mismatched embedding — must not
+    * encode). Zero shuffles: this turns corpus encoding into a pure
+    * scan-local projection. */
+  def pqEncode(vec: ArrayData, cwFlat: ArrayData, m: Int, k: Int): ArrayData = {
+    val sublen = cwFlat.numElements() / (m * k)
+    if (vec.numElements() < m * sublen) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val vOff = s * sublen
+      // dot(sv, sv) once per subspace
+      var ss = 0.0d
+      var j = 0
+      while (j < sublen) { val x = vec.getDouble(vOff + j); ss += x * x; j += 1 }
+      var bestD2 = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < k) {
+        val cwOff = (s * k + c) * sublen
+        var sc = 0.0d
+        var cc = 0.0d
+        j = 0
+        while (j < sublen) {
+          val x = vec.getDouble(vOff + j)
+          val w = cwFlat.getDouble(cwOff + j)
+          sc += x * w
+          j += 1
+        }
+        j = 0
+        while (j < sublen) { val w = cwFlat.getDouble(cwOff + j); cc += w * w; j += 1 }
+        val d2 = ss - 2.0d * sc + cc
+        if (d2 < bestD2) { bestD2 = d2; bestC = c } // strict <: ties keep smaller c
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  /** Per-query flattened ADC lookup table against the same flattened
+    * codebook layout as [[pqEncode]]: entry s·k + c = dot(q_s, cw[s][c])
+    * (sequential sum — bit-identical to the former join+collect_list plan).
+    * Returns null on a short query vector. Scan-local: replaces a
+    * subspace-explode + broadcast-join + groupBy per query set. */
+  def pqQueryTable(vec: ArrayData, cwFlat: ArrayData, m: Int, k: Int): ArrayData = {
+    val sublen = cwFlat.numElements() / (m * k)
+    if (vec.numElements() < m * sublen) return null
+    val table = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      val vOff = s * sublen
+      var c = 0
+      while (c < k) {
+        val cwOff = (s * k + c) * sublen
+        var e = 0.0d
+        var j = 0
+        while (j < sublen) { e += vec.getDouble(vOff + j) * cwFlat.getDouble(cwOff + j); j += 1 }
+        table(s * k + c) = e
+        c += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(table)
+  }
+
   /** Random-hyperplane sign signature over `planes` pseudo-random planes.
     * Plane component (i, j) = (hash64(i + offset, j) % 1000) / 1000.0 via
     * XXH64.hashLong chains (seed 42) — deterministic, driver-state-free,

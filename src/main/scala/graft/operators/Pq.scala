@@ -30,6 +30,17 @@ object Pq {
       GraftBridge.toExpr(codes), GraftBridge.toExpr(table), k))
   }
 
+  /** Bounded partial top-k ([[graft.functions.TopKByScoreAgg]]) — the
+    * shortlist/re-rank selector. Unlike a per-query `row_number()` window
+    * (which ships and fully sorts a query's whole candidate set on one
+    * task), the aggregate's map-side phase caps each partition's
+    * contribution at k entries per query before the shuffle. */
+  private def topKPairs(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.TopKByScoreAgg(
+      GraftBridge.toExpr(score), GraftBridge.toExpr(id), k).toAggregateExpression())
+  }
+
   /** Unit-normalized copy of a double-array column; the norm is materialized
     * first so the per-element lambda reads an attribute, not a re-derived
     * O(d) dot. Rows with zero norm keep their zeros (0/0 would poison ADC). */
@@ -65,37 +76,64 @@ object Pq {
     local.toDF("sub_id", "code_id", "cw")
   }
 
+  /** Codebook localized and flattened subspace-major ([s][c][j] at
+    * ((s·k)+c)·sublen + j) into ONE literal array<double> column, plus the
+    * inferred k. The codebook is m·k rows — driver-tiny at any corpus scale
+    * (the same bounded-collect contract as [[seedCodebook]]) — so shipping
+    * it as a plan literal lets encode/query-table become scan-local
+    * projections instead of explode+join+groupBy subplans. */
+  private def flatCodebook(codebook: DataFrame, m: Int): (Column, Int) = {
+    val rows = codebook.select(col("sub_id"), col("code_id"), col("cw")).collect()
+    require(rows.nonEmpty, "codebook is empty")
+    val k = rows.map(_.getInt(1)).max + 1
+    val sublen = rows.head.getSeq[Double](2).length
+    val flat = new Array[Double](m * k * sublen)
+    rows.foreach { r =>
+      val off = (r.getInt(0) * k + r.getInt(1)) * sublen
+      val cw = r.getSeq[Double](2)
+      var j = 0
+      while (j < sublen) { flat(off + j) = cw(j); j += 1 }
+    }
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    (GraftBridge.toCol(Literal.create(flat, ArrayType(DoubleType, containsNull = false))), k)
+  }
+
+  /** Native scan-local encode column ([[graft.functions.PqEncodeExpr]]). */
+  private def encodeCol(vn: Column, cbFlat: Column, m: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.PqEncodeExpr(
+      GraftBridge.toExpr(vn), GraftBridge.toExpr(cbFlat), m, k))
+  }
+
   /** Encode the corpus: per (vector, subspace) the L2-argmin codeword id,
-    * ties broken by code id (lexicographic struct min — deterministic),
-    * assembled subspace-major into an array<int> of length m. One broadcast
-    * join against the m·k codebook; no vector ever shuffles. */
+    * ties broken by code id, assembled subspace-major into an array<int> of
+    * length m. A PURE PROJECTION: the codebook rides the plan as a literal
+    * and [[graft.functions.PqEncodeExpr]] computes all m argmins in one
+    * codegen'd pass — zero shuffles, zero joins (the former
+    * explode+join+double-groupBy plan paid two corpus-scale shuffles for
+    * bit-identical codes: same d2 float-op order, same smaller-id
+    * tie-break). */
   def encode(corpus: DataFrame, idCol: Column, vecCol: Column,
              codebook: DataFrame, m: Int): DataFrame = {
+    val (cbFlat, k) = flatCodebook(codebook, m)
     val v = withUnit(corpus.select(idCol.as("vec_id"), asDouble(vecCol).as("v")), "v", "vn")
-    val scored = subspaces(v, Seq("vec_id"), "vn", m)
-      .join(broadcast(codebook), "sub_id")
-      .withColumn("d2", dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw"))
-        + dot(col("cw"), col("cw")))
-    scored.groupBy("vec_id", "sub_id")
-      .agg(min(struct(col("d2"), col("code_id"))).getField("code_id").as("code"))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    v.select(col("vec_id"), encodeCol(col("vn"), cbFlat, m, k).as("codes"))
   }
 
   /** Per-query flattened ADC lookup table: entry (s, c) = dot(q_s, cw_{s,c})
     * over the unit-normalized query, subspace-major array<double> of m·k —
-    * so ADC approximates the cosine of the normalized pair. */
+    * so ADC approximates the cosine of the normalized pair. Scan-local for
+    * the same reason as [[encode]] ([[graft.functions.PqQueryTableExpr]]). */
   def queryTables(codebook: DataFrame, queries: DataFrame,
                   queryId: Column, queryVec: Column, m: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val (cbFlat, k) = flatCodebook(codebook, m)
     val q = withUnit(queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv")),
       "qv", "qvn")
-    subspaces(q, Seq("query_id"), "qvn", m)
-      .join(broadcast(codebook), "sub_id")
-      .withColumn("e", dot(col("sv"), col("cw")))
-      .groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub_id"), col("code_id"), col("e")))),
-        s => s.getField("e")).as("qtable"))
+    q.select(col("query_id"), GraftBridge.toCol(graft.functions.PqQueryTableExpr(
+      GraftBridge.toExpr(col("qvn")), GraftBridge.toExpr(cbFlat), m, k)).as("qtable"))
   }
 
   /** IVFADC (Jégou et al. §V: coarse quantizer + product-quantized
@@ -119,8 +157,13 @@ object Pq {
     val cts = Similarity.kmeansCentroids(corpus, corpusId, corpusVec, kClusters, iters)
     val assigned = Similarity.ivfAssign(corpus, corpusId, corpusVec, cts)
     val cb = seedCodebook(corpus, corpusId, corpusVec, m, kCodes)
-    val lists = assigned.select("vec_id", "centroid_id")
-      .join(encode(corpus, corpusId, corpusVec, cb, m), "vec_id")
+    // encode FUSED onto the assignment scan (both are projections over the
+    // same vector column) — the former plan joined two corpus-scale
+    // subplans on vec_id just to put codes next to centroid ids
+    val (cbFlat, _) = flatCodebook(cb, m)
+    val lists = withUnit(assigned, "v", "vn")
+      .select(col("vec_id"), col("centroid_id"),
+        encodeCol(col("vn"), cbFlat, m, kCodes).as("codes"))
     // query-side probe plan: nProbe nearest centroids by cosine, via the
     // same struct-min argmax trick k times -> a rank over k rows per query
     // (centroids are driver-tiny, so this window input is |q|·k rows)
@@ -132,20 +175,30 @@ object Pq {
       .filter(col("__rn") <= nProbe)
       .select("query_id", "centroid_id")
     val qt = queryTables(cb, queries, queryId, queryVec, m)
-    val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
-    val cand = probed.join(lists, "centroid_id")
+    // both selection stages are bounded partial top-k aggregates, not
+    // per-query windows: the ADC candidate set (nProbe lists × |q|) never
+    // sorts whole per-query partitions on single tasks — each map task
+    // reduces to ≤ shortlist entries per query before the shuffle. The
+    // probe plan (|q|·nProbe rows) and per-query tables broadcast, so the
+    // compressed scan of the lists side stays shuffle-free.
+    val cand = lists.join(broadcast(probed), "centroid_id")
       .join(broadcast(qt), "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc(col("codes"), col("qtable"), kCodes))
-      .withColumn("__rn", row_number().over(wA)).filter(col("__rn") <= shortlist)
-      .select("query_id", "vec_id")
+      .groupBy("query_id")
+      .agg(topKPairs(col("adc"), col("vec_id"), shortlist).as("__tk"))
+      .select(col("query_id"), explode(col("__tk").getField("id")).as("vec_id"))
     val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
     val qv = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
-    val wB = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    cand.join(c, "vec_id").join(broadcast(qv), "query_id")
+    // the shortlist is |q|·shortlist rows by construction (the operator's
+    // bounded-re-rank contract) — broadcast it so the exact re-rank is one
+    // more scan-local pass over the corpus
+    c.join(broadcast(cand), "vec_id").join(broadcast(qv), "query_id")
       .withColumn("cos_sim", round(Similarity.cosine(col("cv"), col("qv")), 6))
-      .withColumn("__rn", row_number().over(wB)).filter(col("__rn") <= finalK)
-      .select("query_id", "vec_id", "cos_sim")
+      .groupBy("query_id")
+      .agg(topKPairs(col("cos_sim"), col("vec_id"), finalK).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 
   /** PQ top-k: compressed-domain ADC scan → per-query shortlist → exact
@@ -159,18 +212,21 @@ object Pq {
     val cb = seedCodebook(corpus, corpusId, corpusVec, m, k)
     val codes = encode(corpus, corpusId, corpusVec, cb, m)
     val qt = queryTables(cb, queries, queryId, queryVec, m)
-    val wA = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    // bounded partial top-k in both stages — see [[topKPairs]]; the
+    // compressed-domain scan reduces map-side to ≤ shortlist rows per query
     val cand = codes.crossJoin(broadcast(qt))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc(col("codes"), col("qtable"), k))
-      .withColumn("__rn", row_number().over(wA)).filter(col("__rn") <= shortlist)
-      .select("query_id", "vec_id")
+      .groupBy("query_id")
+      .agg(topKPairs(col("adc"), col("vec_id"), shortlist).as("__tk"))
+      .select(col("query_id"), explode(col("__tk").getField("id")).as("vec_id"))
     val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
     val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
-    val wB = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    cand.join(c, "vec_id").join(broadcast(q), "query_id")
+    c.join(broadcast(cand), "vec_id").join(broadcast(q), "query_id")
       .withColumn("cos_sim", round(Similarity.cosine(col("cv"), col("qv")), 6))
-      .withColumn("__rn", row_number().over(wB)).filter(col("__rn") <= finalK)
-      .select("query_id", "vec_id", "cos_sim")
+      .groupBy("query_id")
+      .agg(topKPairs(col("cos_sim"), col("vec_id"), finalK).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 }

@@ -122,21 +122,31 @@ object Similarity {
     * oracle-comparable form) or from [[kmeansCentroids]]. */
   def ivfAssign(df: DataFrame, idCol: Column, vecCol: Column, centroids: DataFrame): DataFrame = {
     val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
-    val cts = centroids.select(col("centroid_id"), col("cvec"))
-    val scored = v.join(broadcast(cts))
-      .withColumn("sim", round(cosine(col("v"), col("cvec")), 6))
-    // argmax as a struct-min hash-agg, NOT a rank window: the broadcast
-    // join keeps every centroid row of a vector in its scan partition, so
-    // map-side partial aggregation collapses k rows to one BEFORE the
-    // shuffle — the window form ships all k copies of each (vector,
-    // centroid-vector) array pair through the exchange just to rank them.
-    // min(-sim, cid) = highest sim, ties to the smallest centroid id
-    // (identical to the former window's (sim desc, cid) order).
-    scored.groupBy(col("vec_id"))
-      .agg(min(struct((-col("sim")).as("ns"), col("centroid_id").as("cid")))
+    // The centroid table is k·dim — driver-tiny at ANY corpus scale — so it
+    // localizes into ONE literal array of (cid, cvec) structs and the
+    // argmax runs per row: array_min over struct(-sim, cid) — highest sim,
+    // ties to the smallest centroid id, the exact total order the former
+    // broadcast-join + struct-min groupBy used. Assignment is now a pure
+    // scan-local projection: ZERO shuffles, where the groupBy form shipped
+    // every (vec_id, vector) pair through a corpus-scale exchange just to
+    // collapse the k broadcast-join copies it had itself produced.
+    val local = centroids.select(col("centroid_id"), col("cvec")).collect()
+    require(local.nonEmpty, "ivfAssign requires at least one centroid")
+    val ctsArr = array(local.map { r =>
+      val cid = r.get(0) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"centroid_id must be integral, got $other")
+      }
+      struct(lit(cid).as("cid"), typedLit(r.getSeq[Double](1)).as("cvec"))
+    }.toIndexedSeq: _*)
+    v.select(col("vec_id"),
+      array_min(transform(ctsArr, c =>
+        struct((-round(cosine(col("v"), c.getField("cvec")), 6)).as("ns"),
+          c.getField("cid").as("cid"))))
         .getField("cid").as("centroid_id"),
-        first(col("v")).as("v"))
-      .select(col("vec_id"), col("centroid_id"), col("v"))
+      col("v"))
   }
 
   /** IVF inverted-list index: members assigned to their nearest centroid

@@ -73,10 +73,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert("Scan parquet".r.findAllIn(p).size == 1)
   }
 
-  test("ivf assignment broadcasts the centroids, never shuffles vectors to them") {
+  test("ivf assignment is a pure scan-local projection: no join, no exchange") {
+    // the centroid table localizes into a plan literal, so assignment has
+    // ZERO data movement — a regression to any join or shuffle fails here
     val p = plan("sim_ann_ivf")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
-    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Join"), s"assignment must not plan a join:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n${p.take(2000)}")
   }
 
   test("round-3 dedup/sampling paths: no cross products, mixture stays scan-local") {
