@@ -32,6 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    replica dies or rewinds below the committed position, the first
   *    replica that has caught up takes over at the same offset — no loss,
   *    no duplicates, mid-stream.
+  *  - RETENTION: a producer may rotate a log's head away, recording the
+  *    purged line count in a `<path>.purged` sidecar (the binlog-retention
+  *    analog: offsets stay ABSOLUTE — sidecar + physical lines). A restart
+  *    whose checkpoint predates every replica's oldest retained line fails
+  *    loudly by default; `option("fallback.purged", "true")` instead
+  *    resumes from the earliest retained line and surfaces the gap — the
+  *    reference's `supplier.binlog.fallback.gtid.purged` switch
+  *    (BinaryLogSupplier.java:43,204,230).
   *
   * Usage: `spark.readStream.format("graft-oplog").option("path", f).load()`
   * (schema = OpSource.opSchema). `Sinks`-side exactly-once comes from
@@ -41,11 +49,17 @@ class OpLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-oplog"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = OpSource.opSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new OpLogTable(properties.get("path").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                        properties: util.Map[String, String]): Table = {
+    val raw = properties.get("path")
+    if (raw == null || raw.trim.isEmpty || !raw.split(",").exists(_.trim.nonEmpty))
+      throw new IllegalArgumentException(
+        "graft-oplog requires a 'path' option: an ordered, comma-separated replica list")
+    new OpLogTable(raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      java.lang.Boolean.parseBoolean(properties.getOrDefault("fallback.purged", "false")))
+  }
 }
 
-final class OpLogTable(paths: Seq[String]) extends Table with SupportsRead {
+final class OpLogTable(paths: Seq[String], fallbackPurged: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graft-oplog(${paths.mkString(",")})"
   override def schema(): StructType = OpSource.opSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -55,7 +69,7 @@ final class OpLogTable(paths: Seq[String]) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = OpSource.opSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new OpLogMicroBatchStream(paths, checkpointLocation)
+          new OpLogMicroBatchStream(paths, checkpointLocation, fallbackPurged)
       }
     }
 }
@@ -64,18 +78,29 @@ final case class OpLogOffset(line: Long) extends Offset {
   override def json(): String = line.toString
 }
 
-final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String)
+final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String,
+                                  fallbackPurged: Boolean)
     extends MicroBatchStream {
   require(paths.nonEmpty, "graft-oplog needs at least one path")
 
-  /** Count only newline-TERMINATED lines: a producer may be mid-append, and
-    * a torn final line must stay outside the offset so the next micro-batch
-    * picks up the completed event instead of the reader consuming (and
-    * permissively skipping) a half-written record. */
+  /** Lines rotated away from the head of `path`, per its `<path>.purged`
+    * sidecar (absent/garbled = 0) — the oldest retained ABSOLUTE line. */
+  private def purgedCount(path: String): Long =
+    try {
+      val f = new java.io.File(path + ".purged")
+      if (!f.exists()) 0L
+      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+    } catch { case _: Exception => 0L }
+
+  /** ABSOLUTE end offset of `path`: purged head + newline-TERMINATED
+    * physical lines. Terminated only, because a producer may be mid-append
+    * and a torn final line must stay outside the offset so the next
+    * micro-batch picks up the completed event instead of the reader
+    * consuming (and permissively skipping) a half-written record. */
   private def lineCount(path: String): Long = {
     val f = new java.io.File(path)
     if (!f.exists()) 0L
-    else {
+    else purgedCount(path) + {
       val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
       try {
         val buf = new Array[Byte](1 << 16)
@@ -110,32 +135,47 @@ final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String
     * merely re-opens the (replica-outage × restart) window it closes. */
   // the engine hands a URI string ("file:/…/sources/0"), not a bare path —
   // resolve it properly or the floor silently lands in a literal "file:"
-  // directory under the working dir (observed)
-  private val hwFile = {
-    val base =
-      try {
-        val uri = new java.net.URI(checkpointLocation)
-        if (uri.getScheme == null) new java.io.File(checkpointLocation)
-        else new java.io.File(uri)
-      } catch { case _: Exception => new java.io.File(checkpointLocation) }
-    new java.io.File(base, "graft-oplog-hw")
-  }
+  // directory under the working dir (observed). A NON-local checkpoint
+  // scheme (hdfs:/s3a:) cannot back a java.io.File at all: rather than
+  // silently writing a junk local './hdfs:…' path (voiding the guard where
+  // restarts are least predictable), the floor file is DISABLED with a
+  // warning — it is advisory by design; the engine offset log remains the
+  // durable truth and in-memory monotonicity still holds for the session.
+  private val hwFile: Option[java.io.File] =
+    try {
+      val uri = new java.net.URI(checkpointLocation)
+      uri.getScheme match {
+        case null => Some(new java.io.File(new java.io.File(checkpointLocation), "graft-oplog-hw"))
+        case "file" => Some(new java.io.File(new java.io.File(uri), "graft-oplog-hw"))
+        case scheme =>
+          System.err.println(s"[graft-oplog] checkpoint scheme '$scheme' is not local; " +
+            "the advisory announce-floor file is disabled (in-memory floor only — " +
+            "the engine offset log remains the durable truth)")
+          None
+      }
+    } catch { case _: Exception =>
+      Some(new java.io.File(new java.io.File(checkpointLocation), "graft-oplog-hw"))
+    }
   @volatile private var highWater: Long =
     try {
-      if (hwFile.exists())
-        new String(java.nio.file.Files.readAllBytes(hwFile.toPath), "UTF-8").trim.toLong
-      else 0L
+      hwFile match {
+        case Some(f) if f.exists() =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+        case _ => 0L
+      }
     } catch { case _: Exception => 0L }
 
   private def persistFloor(): Unit =
-    try {
-      hwFile.getParentFile.mkdirs()
-      val tmp = new java.io.File(hwFile.getParentFile, hwFile.getName + ".tmp")
-      java.nio.file.Files.write(tmp.toPath, highWater.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, hwFile.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: Exception => () } // advisory; see highWater doc
+    hwFile.foreach { f =>
+      try {
+        f.getParentFile.mkdirs()
+        val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+        java.nio.file.Files.write(tmp.toPath, highWater.toString.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Exception => () } // advisory; see highWater doc
+    }
 
   /** First replica, in configured order, that EXISTS and has at least
     * `atLeast` newline-terminated lines — a dead primary is never eligible,
@@ -172,28 +212,51 @@ final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String
       // read the committed range from whichever replica can serve it ALL —
       // exhausting the list mid-range is the unrecoverable analog of the
       // reference running out of hosts
-      val p = replicaWith(e).getOrElse(throw new java.io.IOException(
-        s"graft-oplog: no replica of ${paths.mkString(",")} has lines [$s, $e)"))
-      Array(OpLogPartition(p, s, e))
+      val caughtUp = paths.filter(p => new java.io.File(p).exists() && lineCount(p) >= e)
+      if (caughtUp.isEmpty) throw new java.io.IOException(
+        s"graft-oplog: no replica of ${paths.mkString(",")} has lines [$s, $e)")
+      // RETENTION: prefer a replica whose oldest retained line covers the
+      // checkpoint; when the requested range predates retention everywhere
+      // (log rotated during downtime), fail loudly — or, with the opt-in
+      // flag, resume from the earliest retained line and surface the gap
+      // (the reference's purged-GTID fallback semantics)
+      caughtUp.find(purgedCount(_) <= s) match {
+        case Some(p) => Array(OpLogPartition(p, s, e, purgedCount(p)))
+        case None =>
+          val best = caughtUp.minBy(purgedCount)
+          val earliest = purgedCount(best)
+          if (!fallbackPurged) throw new java.io.IOException(
+            s"graft-oplog: checkpoint line $s predates the oldest retained line " +
+              s"$earliest of every caught-up replica (log rotated/truncated during " +
+              "downtime); restore a replica with full history, or set option " +
+              "'fallback.purged' to 'true' to resume from the earliest retained line " +
+              s"(skipping ${earliest - s} purged lines)")
+          System.err.println(s"[graft-oplog] PURGED-RETENTION FALLBACK: checkpoint " +
+            s"line $s predates retention; resuming from line $earliest of $best — " +
+            s"${earliest - s} lines are unrecoverable and skipped")
+          Array(OpLogPartition(best, earliest, e, earliest))
+      }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[OpLogPartition]
-      new OpLogPartitionReader(p.path, p.from, p.until)
+      new OpLogPartitionReader(p.path, p.from, p.until, p.purged)
     }
 }
 
-final case class OpLogPartition(path: String, from: Long, until: Long) extends InputPartition
+final case class OpLogPartition(path: String, from: Long, until: Long, purged: Long)
+    extends InputPartition
 
-/** Reads lines [from, until) of the log and decodes them to Op rows. */
-final class OpLogPartitionReader(path: String, from: Long, until: Long)
+/** Reads ABSOLUTE lines [from, until) of the log — physical line i holds
+  * absolute line purged + i — and decodes them to Op rows. */
+final class OpLogPartitionReader(path: String, from: Long, until: Long, purged: Long)
     extends PartitionReader[InternalRow] {
 
   private val src = scala.io.Source.fromFile(path, "UTF-8")
   private val it = src.getLines().zipWithIndex
-    .filter { case (_, i) => i >= from && i < until }.map(_._1)
+    .filter { case (_, i) => i + purged >= from && i + purged < until }.map(_._1)
   private var current: InternalRow = _
 
   /** Permissive decode: a corrupt line is logged and skipped rather than

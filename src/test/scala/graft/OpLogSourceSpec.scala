@@ -122,6 +122,92 @@ class OpLogSourceSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).filter(col("column") === "a").count() == 3) // unchanged
   }
 
+  test("rotated log (purged sidecar) serves absolute offsets with no loss or replay") {
+    val dir = Files.createTempDirectory("oplog-rot")
+    val log = dir.resolve("binlog.0001").toString
+    val ckpt = Files.createTempDirectory("ckpt-rot").toString
+    def lines(id: String, base: Long) = Seq(
+      OpLogCodec.encode("BEGIN", id, base, base, base * 1000, "t", "k", Map.empty, Map.empty),
+      OpLogCodec.encode("INSERT", id, base, base + 1, base * 1000, "t", "k", Map.empty, Map("a" -> id)),
+      OpLogCodec.encode("COMMIT", id, base, base + 2, base * 1000, "t", "k", Map.empty, Map.empty))
+
+    val out = Files.createTempDirectory("oplog-rot-out").toString
+    def start() = spark.readStream.format("graft-oplog").option("path", log).load().as[Op]
+      .writeStream.format("parquet").option("path", out).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+
+    appendLines(log, lines("t1", 1))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // producer rotates the consumed head away: physical file restarts empty,
+    // sidecar records 3 purged lines, new lines are ABSOLUTE 3..5
+    Files.write(Paths.get(log), Array.empty[Byte])
+    Files.write(Paths.get(log + ".purged"), "3".getBytes("UTF-8"))
+    appendLines(log, lines("t2", 4))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // exactly the post-rotation transaction appended: no replay, no loss
+    assert(spark.read.parquet(out).count() == 6)
+    assert(spark.read.parquet(out).where(col("txnId") === "t2").count() == 3)
+  }
+
+  test("checkpoint predating retention fails loudly by default, resumes with fallback.purged") {
+    val dir = Files.createTempDirectory("oplog-purge")
+    val log = dir.resolve("binlog.0001").toString
+    val ckpt = Files.createTempDirectory("ckpt-purge").toString
+    def row(id: String, base: Long) =
+      Seq(OpLogCodec.encode("INSERT", id, base, base, base * 1000, "t", "k", Map.empty, Map("a" -> id)))
+
+    val out = Files.createTempDirectory("oplog-purge-out").toString
+    def start(fallback: Boolean) = {
+      val rd = spark.readStream.format("graft-oplog").option("path", log)
+      (if (fallback) rd.option("fallback.purged", "true") else rd).load().as[Op]
+        .writeStream.format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    appendLines(log, row("t1", 1) ++ row("t2", 2) ++ row("t3", 3))
+    val q1 = start(fallback = false)
+    q1.processAllAvailable(); q1.stop() // checkpoint at line 3
+    assert(spark.read.parquet(out).count() == 3)
+
+    // during downtime the producer purges SIX lines (the 3 consumed + 3 the
+    // engine never saw) — the checkpoint now predates retention
+    Files.write(Paths.get(log), Array.empty[Byte])
+    Files.write(Paths.get(log + ".purged"), "6".getBytes("UTF-8"))
+    appendLines(log, row("t7", 7) ++ row("t8", 8)) // absolute lines 6, 7
+
+    // default: the restart fails loudly instead of silently skipping data
+    val q2 = start(fallback = false)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(rootChain(err).exists(_.contains("predates the oldest retained line")),
+      s"unexpected failure chain: ${rootChain(err)}")
+
+    // opt-in fallback: resume from the earliest retained line, gap skipped
+    val q3 = start(fallback = true)
+    q3.processAllAvailable(); q3.stop()
+    val txns = spark.read.parquet(out).select("txnId").as[String].collect().toSet
+    assert(txns == Set("t1", "t2", "t3", "t7", "t8"), s"got $txns")
+  }
+
+  test("missing path option fails with a clear error, not an NPE") {
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-oplog").load()
+        .writeStream.format("memory").queryName("nopath").start()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("requires a 'path' option"))),
+      s"unexpected: $e")
+  }
+
   test("corrupt lines are skipped without wedging the stream") {
     val log = Files.createTempDirectory("oplog2").resolve("binlog.0001").toString
     appendLines(log, Seq(
