@@ -16,6 +16,8 @@ object DdlClassifier {
   sealed trait QueryType { def name: String }
   case object Begin extends QueryType { val name = "BEGIN" }
   case object Commit extends QueryType { val name = "COMMIT" }
+  case object XaCommit extends QueryType { val name = "XA_COMMIT" }
+  case object XaRollback extends QueryType { val name = "XA_ROLLBACK" }
   case object DdlDefiner extends QueryType { val name = "DDL_DEFINER" }
   case object DdlTemporaryTable extends QueryType { val name = "DDL_TEMPORARY_TABLE" }
   case object DdlView extends QueryType { val name = "DDL_VIEW" }
@@ -26,6 +28,10 @@ object DdlClassifier {
   private val lead = "^\\s*(?:/\\*.*?\\*/\\s*)?"
   val beginRe = (lead + "(?i:begin|start\\s+transaction)").r
   val commitRe = (lead + "(?i:commit)").r
+  // XA decisions arrive as QUERY events in their OWN transaction, linked to
+  // the prepared branch by xid text — they must not classify as DDL/OTHER
+  val xaCommitRe = (lead + "(?i:xa\\s+commit)").r
+  val xaRollbackRe = (lead + "(?i:xa\\s+rollback)").r
   val definerRe = (lead + "(?i:(?:create|alter|drop)\\s+(?:definer\\s*=\\s*\\S+\\s+)?(?:trigger|function|procedure|event))").r
   val tempTableRe = (lead + "(?i:(?:create|drop)\\s+temporary\\s+table)").r
   val viewRe = (lead + "(?i:(?:create|alter|drop)\\s+(?:or\\s+replace\\s+)?(?:algorithm\\s*=\\s*\\S+\\s+)?(?:definer\\s*=\\s*\\S+\\s+)?(?:sql\\s+security\\s+\\S+\\s+)?view)").r
@@ -36,6 +42,8 @@ object DdlClassifier {
     val s = if (sql == null) "" else sql
     if (beginRe.findPrefixOf(s).isDefined) Begin
     else if (commitRe.findPrefixOf(s).isDefined) Commit
+    else if (xaCommitRe.findPrefixOf(s).isDefined) XaCommit
+    else if (xaRollbackRe.findPrefixOf(s).isDefined) XaRollback
     else if (definerRe.findPrefixOf(s).isDefined) DdlDefiner
     else if (tempTableRe.findPrefixOf(s).isDefined) DdlTemporaryTable
     else if (viewRe.findPrefixOf(s).isDefined) DdlView
@@ -49,6 +57,8 @@ object DdlClassifier {
     def m(re: scala.util.matching.Regex) = sql.rlike(re.pattern.pattern())
     when(m(beginRe), Begin.name)
       .when(m(commitRe), Commit.name)
+      .when(m(xaCommitRe), XaCommit.name)
+      .when(m(xaRollbackRe), XaRollback.name)
       .when(m(definerRe), DdlDefiner.name)
       .when(m(tempTableRe), DdlTemporaryTable.name)
       .when(m(viewRe), DdlView.name)
@@ -56,6 +66,22 @@ object DdlClassifier {
       .when(m(tableRe), DdlTable.name)
       .otherwise(Other.name)
   }
+
+  /** The xid of an XA COMMIT / XA ROLLBACK statement, canonicalized for
+    * matching against an XA_PREPARE event's xid (quotes, backticks and
+    * whitespace stripped; a trailing ONE PHASE removed): MySQL renders the
+    * xid as 'gtrid'[,'bqual'[,formatID]] in the statement text while the
+    * prepare event carries the raw id — both normalize to the same token. */
+  def xaXid(sql: String): String =
+    sql.replaceAll("(?i)^\\s*(?:/\\*.*?\\*/\\s*)?xa\\s+(?:commit|rollback)\\s+", "")
+      .replaceAll("(?i)\\s+one\\s+phase\\s*$", "")
+      .replaceAll("['`\"\\s]", "")
+
+  /** Column form of [[xaXid]]. */
+  def xaXidCol(sql: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(sql,
+      "(?i)^\\s*(?:/\\*.*?\\*/\\s*)?xa\\s+(?:commit|rollback)\\s+", ""),
+      "(?i)\\s+one\\s+phase\\s*$", ""), "['`\"\\s]", "")
 
   /** Strip the source schema qualifier from DDL so it can replay against the
     * engine catalog (reference: ActiveSchemaHelpers.rewriteActiveSchemaName,

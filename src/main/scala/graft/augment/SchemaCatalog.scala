@@ -55,6 +55,24 @@ final class SchemaCatalog(val ownSchema: String) {
   private val renameRe = "(?i)rename\\s+table\\s+(.+)".r
   private val alterRenameRe = "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+rename\\s+(?:to\\s+)?`?([\\w.]+)`?".r
   private val dropTableRe = "(?i)drop\\s+table\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?".r
+  // ADD/DROP PRIMARY KEY rewrite the PK column set — which drives the
+  // sink's salted row keys (W8) — and must match BEFORE the generic
+  // add/drop-column patterns ("ADD PRIMARY KEY (a)" would otherwise parse
+  // as adding a column named "primary"). ADD PRIMARY KEY also forces its
+  // columns NOT NULL (MySQL's implicit conversion); DROP PRIMARY KEY
+  // clears membership but keeps the NOT NULL the columns already acquired.
+  private val addPkRe =
+    "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+primary\\s+key\\s*\\(([^)]*)\\).*".r
+  private val dropPkRe =
+    "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+primary\\s+key\\s*".r
+  // CONVERT TO CHARACTER SET re-collates EVERY string-typed column (MySQL
+  // converts CHAR/VARCHAR/TEXT/ENUM/SET in place) — collation drives the
+  // per-column charset decode (A8), so a migration's table-wide charset
+  // flip must land on every string column, not be dropped on the floor.
+  private val convertCharsetRe =
+    ("(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+convert\\s+to\\s+character\\s+set\\s+" +
+      "`?(\\w+)`?(?:\\s+collate[\\s=]+`?(\\w+)`?)?.*").r
+  private val stringTypeRe = "(?i)^(?:(?:var)?char|(?:tiny|medium|long)?text|enum|set)\\b.*".r
 
   /** Apply one DDL statement at stream position tsMs. Unknown statements are
     * recorded in history but leave the catalog unchanged. */
@@ -64,6 +82,31 @@ final class SchemaCatalog(val ownSchema: String) {
       case createRe(name, colsBody) =>
         val cols = parseColumns(colsBody)
         install(name, ddl, tsMs, Some(TableSchemaV(ownSchema, norm(name), nextVersion(name), cols, Some(ddl), tsMs)))
+      case addPkRe(name, colsList) =>
+        current(name).foreach { prev =>
+          val pk = colsList.split(",").map(_.trim.replace("`", "").toLowerCase)
+            .filter(_.nonEmpty).toSet
+          val cols = prev.columns.map(c =>
+            if (pk.contains(c.name.toLowerCase)) c.copy(key = "PRI", nullable = false) else c)
+          install(name, ddl, tsMs,
+            Some(prev.copy(version = nextVersion(name), columns = cols, validFromMs = tsMs)))
+        }
+      case dropPkRe(name) =>
+        current(name).foreach { prev =>
+          val cols = prev.columns.map(c => if (c.key == "PRI") c.copy(key = "") else c)
+          install(name, ddl, tsMs,
+            Some(prev.copy(version = nextVersion(name), columns = cols, validFromMs = tsMs)))
+        }
+      case convertCharsetRe(name, charset, collate) =>
+        current(name).foreach { prev =>
+          val newCollation = Some(Option(collate).getOrElse(charset).toLowerCase)
+          val cols = prev.columns.map(c =>
+            if (stringTypeRe.pattern.matcher(c.mysqlType.trim).matches())
+              c.copy(collation = newCollation)
+            else c)
+          install(name, ddl, tsMs,
+            Some(prev.copy(version = nextVersion(name), columns = cols, validFromMs = tsMs)))
+        }
       case addColRe(name, colName, colType) =>
         current(name).foreach { prev =>
           val (attrs, atFirst, afterCol) = splitPosition(colType)
@@ -118,8 +161,9 @@ final class SchemaCatalog(val ownSchema: String) {
       if (idx >= 0 && !collides) {
         val old = prev.columns(idx)
         val (attrs, atFirst, afterCol) = splitPosition(tail)
-        val notNull = attrs.matches("(?i).*not\\s+null.*")
-        val inlinePk = attrs.matches("(?i).*primary\\s+key.*")
+        val sniff = withoutLiterals(attrs)
+        val notNull = sniff.matches("(?i).*not\\s+null.*")
+        val inlinePk = sniff.matches("(?i).*primary\\s+key.*")
         val (default, collation) = columnExtras(attrs)
         val spec = ColumnSpec(newName, baseTypeOf(attrs),
           nullable = !notNull && !inlinePk,
@@ -149,10 +193,44 @@ final class SchemaCatalog(val ownSchema: String) {
     (attrs, atFirst, after)
   }
 
+  /** Column-definition tail with quoted string literals blanked — keyword
+    * sniffing (NOT NULL / PRIMARY KEY / attribute split) must not match
+    * inside a DEFAULT or COMMENT literal: `COMMENT 'primary key of legacy
+    * table'` describes a column, it does not make one a PK. '' escapes
+    * stay inside the literal, so the blanking is well-bracketed. */
+  private def withoutLiterals(s: String): String =
+    s.replaceAll("'(?:[^']|'')*'", "''")
+
   /** The MySQL type token(s) of a column-definition tail: everything before
-    * the first attribute keyword. */
-  private def baseTypeOf(attrs: String): String =
-    attrs.split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).trim
+    * the first attribute keyword. Enum/set types carry quoted member
+    * literals that may CONTAIN attribute keywords (`enum('null','default')`)
+    * — for those the type is everything up to the matching close paren,
+    * scanned quote-aware. For every other type the tail holds no literal
+    * before the attribute boundary, so the keyword split runs on the
+    * literal-blanked form and the prefix length maps back to the raw text
+    * (positions only shift past a literal, never before one). */
+  private def baseTypeOf(attrs: String): String = {
+    val t = attrs.trim
+    if (t.matches("(?is)^(enum|set)\\s*\\(.*")) {
+      var depth = 0; var i = 0; var end = -1; var inQ = false
+      while (i < t.length && end < 0) {
+        val ch = t.charAt(i)
+        if (inQ) { if (ch == '\'') inQ = false }
+        else ch match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (end >= 0) t.substring(0, end + 1) else t
+    } else {
+      val n = withoutLiterals(t)
+        .split("(?i)\\s+(not\\s+null|null|default|primary|auto_increment|comment)")(0).length
+      t.take(n).trim
+    }
+  }
 
   private def rename(from: String, to: String, ddl: String, tsMs: Long): Unit =
     current(from).foreach { prev =>
@@ -186,8 +264,9 @@ final class SchemaCatalog(val ownSchema: String) {
       else {
         val name = toks(0).replace("`", "")
         val rest = toks(1)
-        val inlinePk = rest.matches("(?i).*primary\\s+key.*")
-        val notNull = rest.matches("(?i).*not\\s+null.*")
+        val sniff = withoutLiterals(rest)
+        val inlinePk = sniff.matches("(?i).*primary\\s+key.*")
+        val notNull = sniff.matches("(?i).*not\\s+null.*")
         // per-column collation drives charset decode (reference resolves it
         // from INFORMATION_SCHEMA per column — ActiveSchemaManager.java:
         // 202-231, MysqlTypeDeserializer.java:85-97; here it comes off the

@@ -29,10 +29,11 @@ import graft.streaming.Op
   *    on tableId, no per-event cache.
   *
   * Dispatch parity: QUERY classifies via [[DdlClassifier]] (BEGIN / COMMIT
-  * / DDL classes / OTHER-dropped); XID commits with its xxid; XA_PREPARE
-  * closes the prepared branch (the engine's op model has no 2-phase limbo —
-  * a prepared-then-committed XA txn is exactly a commit at prepare
-  * position, reference XAPrepareRawEventData); GTID begins a transaction;
+  * / XA COMMIT / XA ROLLBACK / DDL classes / OTHER-dropped); XID commits
+  * with its xxid; XA_PREPARE parks the branch until its XA COMMIT /
+  * ROLLBACK decision arrives (committing at prepare position would
+  * replicate phantom rows for a branch that is later rolled back —
+  * reference XAPrepareRawEventData); GTID begins a transaction;
   * all three generations of rows events (PRE_GA_/plain/EXT_) decode
   * identically; control events (ROTATE, FORMAT_DESCRIPTION, HEARTBEAT,
   * PREVIOUS_GTIDS, …) never become data ops and surface via
@@ -124,11 +125,13 @@ object RawBinlogAdapter {
         coalesce(col("row.before"), emptyMap).as("before"),
         coalesce(col("row.after"), emptyMap).as("after"))
 
-    // --- QUERY events: BEGIN / COMMIT / DDL via the classifier ---
+    // --- QUERY events: BEGIN / COMMIT / DDL via the classifier (XA
+    // decisions are handled by the two-phase block below, not here) ---
     val cls = DdlClassifier.classifyCol(col("sql"))
     val queryOps = ctx.filter(col("code") === RT.QUERY)
       .withColumn("cls", cls)
-      .filter(col("cls") =!= DdlClassifier.Other.name)
+      .filter(col("cls") =!= DdlClassifier.Other.name &&
+        !col("cls").isin(DdlClassifier.XaCommit.name, DdlClassifier.XaRollback.name))
       .select(
         when(col("cls").startsWith("DDL"), "DDL").otherwise(col("cls")).as("kind"),
         txnId.as("txnId"), lit(0L).as("xxid"),
@@ -142,20 +145,59 @@ object RawBinlogAdapter {
         when(col("cls").startsWith("DDL"), map(lit("ddl"), col("sql")))
           .otherwise(emptyMap).as("after"))
 
-    // --- transaction boundaries: GTID begins, XID / XA_PREPARE commit ---
+    // --- transaction boundaries: GTID begins, XID commits ---
     val beginOps = ctx.filter(col("code") === RT.GTID)
       .select(lit("BEGIN").as("kind"), col("gtid").as("txnId"), lit(0L).as("xxid"),
         binlogOrdinal(col("file"), col("position")).as("eventId"), col("tsMs"),
         lit("").as("table"), lit("").as("rowKey"),
         emptyMap.as("before"), emptyMap.as("after"))
-    val commitOps = ctx.filter(col("code") === RT.XID || col("code") === RT.XA_PREPARE)
+    val commitOps = ctx.filter(col("code") === RT.XID)
       .select(lit("COMMIT").as("kind"), txnId.as("txnId"),
         coalesce(col("xid"), lit(0L)).as("xxid"),
         binlogOrdinal(col("file"), col("position")).as("eventId"), col("tsMs"),
         lit("").as("table"), lit("").as("rowKey"),
         emptyMap.as("before"), emptyMap.as("after"))
 
+    // --- XA two-phase: XA_PREPARE only PARKS the branch (no commit op —
+    // a prepared branch may still be XA ROLLBACKed; committing at prepare
+    // position would replicate phantom rows). The decision arrives later as
+    // an XA COMMIT / XA ROLLBACK QUERY in its OWN transaction, linked by
+    // the xid text: the first decision after the prepare commits the
+    // BRANCH's txnId at the decision position, a rollback (or no decision
+    // yet) leaves the branch uncommitted and the assembler's commit gate
+    // discards its rows. XA events are rare — these joins carry a sliver. ---
+    def normXid(c: Column): Column = regexp_replace(c, "['`\"\\s]", "")
+    val xaPrep = ctx.filter(col("code") === RT.XA_PREPARE)
+      .select(txnId.as("braTxn"), normXid(col("xaId")).as("braXid"),
+        binlogOrdinal(col("file"), col("position")).as("braOrd"))
+    val xaDec = ctx.filter(col("code") === RT.QUERY)
+      .withColumn("cls", cls)
+      .filter(col("cls").isin(DdlClassifier.XaCommit.name, DdlClassifier.XaRollback.name))
+      .select(col("cls").as("decCls"), normXid(DdlClassifier.xaXidCol(col("sql"))).as("decXid"),
+        binlogOrdinal(col("file"), col("position")).as("decOrd"),
+        col("tsMs").as("decTs"), txnId.as("decTxn"))
+    val xaCommitOps = xaPrep
+      .join(xaDec, col("braXid") === col("decXid") && col("decOrd") > col("braOrd"), "left")
+      .groupBy(col("braTxn"), col("braOrd"))
+      // min(struct) = FIRST decision after the prepare; unmatched rows fold
+      // to NULL so min ignores them (xid reuse starts a new prepare cycle)
+      .agg(min(when(col("decCls").isNotNull,
+        struct(col("decOrd"), col("decCls"), col("decTs")))).as("d"))
+      .filter(col("d").isNotNull && col("d.decCls") === DdlClassifier.XaCommit.name)
+      .select(lit("COMMIT").as("kind"), col("braTxn").as("txnId"), lit(0L).as("xxid"),
+        col("d.decOrd").as("eventId"), col("d.decTs").as("tsMs"),
+        lit("").as("table"), lit("").as("rowKey"),
+        emptyMap.as("before"), emptyMap.as("after"))
+    // XA COMMIT ... ONE PHASE never prepares: it commits its own transaction
+    val xaOnePhase = xaDec.filter(col("decCls") === DdlClassifier.XaCommit.name)
+      .join(xaPrep, col("braXid") === col("decXid") && col("decOrd") > col("braOrd"), "left_anti")
+      .select(lit("COMMIT").as("kind"), col("decTxn").as("txnId"), lit(0L).as("xxid"),
+        col("decOrd").as("eventId"), col("decTs").as("tsMs"),
+        lit("").as("table"), lit("").as("rowKey"),
+        emptyMap.as("before"), emptyMap.as("after"))
+
     rowOps.unionByName(queryOps).unionByName(beginOps).unionByName(commitOps)
+      .unionByName(xaCommitOps).unionByName(xaOnePhase)
       .as[Op]
   }
 
@@ -179,7 +221,10 @@ object RawBinlogAdapter {
     * when evolving it. */
   final case class SupplierState(
       gtid: Option[String],
-      tableMaps: Map[Long, TableMapEntry])
+      tableMaps: Map[Long, TableMapEntry],
+      // normalized XA xid → the prepared branch's txnId, awaiting its
+      // XA COMMIT / XA ROLLBACK decision (bounded by in-flight XA branches)
+      pendingXa: Map[String, String] = Map.empty)
   final case class TableMapEntry(db: String, table: String, pkColumns: Seq[String])
 
   /** Streaming form of [[toOps]]: the supplier loop as a per-server state
@@ -242,6 +287,19 @@ object RawBinlogAdapter {
                   case DdlClassifier.Commit =>
                     out += Op("COMMIT", txnId(e), 0L, ordinalOf(e), e.tsMs,
                       "", "", Map.empty, Map.empty)
+                  case DdlClassifier.XaCommit =>
+                    // commit the PREPARED branch's txn at the decision
+                    // position; an unknown xid is a ONE PHASE commit of the
+                    // decision's own transaction (never prepared)
+                    val xid = DdlClassifier.xaXid(sql)
+                    val branch = st.pendingXa.get(xid)
+                    st = st.copy(pendingXa = st.pendingXa - xid)
+                    out += Op("COMMIT", branch.getOrElse(txnId(e)), 0L,
+                      ordinalOf(e), e.tsMs, "", "", Map.empty, Map.empty)
+                  case DdlClassifier.XaRollback =>
+                    // the prepared branch dies uncommitted: its rows never
+                    // pass the assembler's commit gate — no phantom rows
+                    st = st.copy(pendingXa = st.pendingXa - DdlClassifier.xaXid(sql))
                   case DdlClassifier.Other => ()
                   case _ =>
                     val table = "(?i)table\\s+`?([A-Za-z0-9_]+)`?".r
@@ -249,9 +307,15 @@ object RawBinlogAdapter {
                     out += Op("DDL", txnId(e), 0L, ordinalOf(e), e.tsMs,
                       table, "", Map.empty, Map("ddl" -> sql))
                 }
-              case RT.XID | RT.XA_PREPARE =>
+              case RT.XID =>
                 out += Op("COMMIT", txnId(e), e.xid.getOrElse(0L), ordinalOf(e),
                   e.tsMs, "", "", Map.empty, Map.empty)
+              case RT.XA_PREPARE =>
+                // park the branch under its normalized xid — no commit op
+                e.xaId.foreach { raw =>
+                  val xid = raw.replaceAll("['`\"\\s]", "")
+                  st = st.copy(pendingXa = st.pendingXa + (xid -> txnId(e)))
+                }
               case _ => () // control tail: supplier bookkeeping only
             }
           }

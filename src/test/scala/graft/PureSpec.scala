@@ -181,6 +181,84 @@ class PureSpec extends AnyFunSuite {
     assert(cat.current("organisms").get.columns.count(_.name == "common_name") == 1)
   }
 
+  test("catalog: ADD/DROP PRIMARY KEY rewrite the row-key column set mid-stream") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE acct (uid INT NOT NULL, region VARCHAR(8), balance INT)", 1000L)
+    assert(cat.current("acct").get.primaryKeyColumns.isEmpty)
+
+    // the migration adds a composite PK: row keys flip from no-PK fallback
+    // to (uid, region), and MySQL implicitly forces PK columns NOT NULL
+    cat.applyDdl("ALTER TABLE acct ADD PRIMARY KEY (uid, `region`)", 2000L)
+    val v1 = cat.current("acct").get
+    assert(v1.primaryKeyColumns == Seq("uid", "region"))
+    assert(v1.columns.filter(_.key == "PRI").forall(!_.nullable))
+    // positional order untouched — row images are positional
+    assert(v1.columns.map(_.name) == Seq("uid", "region", "balance"))
+
+    cat.applyDdl("ALTER TABLE acct DROP PRIMARY KEY", 3000L)
+    val v2 = cat.current("acct").get
+    assert(v2.primaryKeyColumns.isEmpty)
+    assert(v2.columns.map(_.name) == Seq("uid", "region", "balance"))
+
+    // every flip versioned and position-resolvable; history records both
+    assert(cat.at("acct", 1500L).get.primaryKeyColumns.isEmpty)
+    assert(cat.at("acct", 2500L).get.primaryKeyColumns == Seq("uid", "region"))
+    assert(cat.at("acct", 3500L).get.primaryKeyColumns.isEmpty)
+    assert(cat.transitions.count(_.table == "acct") == 3)
+    // regression guard: ADD PRIMARY KEY must NOT parse as a column "primary"
+    assert(!cat.current("acct").get.columns.exists(_.name.equalsIgnoreCase("primary")))
+  }
+
+  test("catalog: CONVERT TO CHARACTER SET re-collates every string column") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE msg (id INT NOT NULL PRIMARY KEY, " +
+      "subject VARCHAR(80) COLLATE latin1_swedish_ci, body TEXT, " +
+      "kind ENUM('a','b'), flags SET('x','y'), n_read INT, at DATETIME)", 1000L)
+
+    cat.applyDdl("ALTER TABLE msg CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci", 2000L)
+    val v1 = cat.current("msg").get
+    val byName = v1.columns.map(c => c.name -> c.collation).toMap
+    // every string-typed column re-collated — collation drives charset decode
+    Seq("subject", "body", "kind", "flags").foreach(c =>
+      assert(byName(c).contains("utf8mb4_general_ci"), s"$c: ${byName(c)}"))
+    // non-string columns untouched
+    assert(byName("id").isEmpty && byName("n_read").isEmpty && byName("at").isEmpty)
+    // decode behavior is position-resolvable across the flip
+    assert(cat.at("msg", 1500L).get.columns.find(_.name == "subject").get
+      .collation.contains("latin1_swedish_ci"))
+
+    // without COLLATE the charset family itself names the decode family
+    cat.applyDdl("ALTER TABLE msg CONVERT TO CHARACTER SET latin1", 3000L)
+    assert(cat.current("msg").get.columns.find(_.name == "body").get
+      .collation.contains("latin1"))
+    assert(cat.transitions.count(_.table == "msg") == 3)
+  }
+
+  test("catalog: keywords inside string literals do not drive nullability/PK/type") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE lgc (id INT NOT NULL PRIMARY KEY, " +
+      "note VARCHAR(40) DEFAULT 'primary key of legacy table', " +
+      "hint VARCHAR(40) COMMENT 'value may be not null someday', " +
+      "mode ENUM('null','default','primary') DEFAULT 'null')", 1000L)
+    val v0 = cat.current("lgc").get
+    // a literal mentioning PRIMARY KEY must not join the PK set
+    assert(v0.primaryKeyColumns == Seq("id"))
+    val note = v0.columns.find(_.name == "note").get
+    assert(note.key == "" && note.nullable)
+    assert(note.defaultValue.contains("primary key of legacy table"))
+    // a literal mentioning NOT NULL must not flip nullability
+    assert(v0.columns.find(_.name == "hint").get.nullable)
+    // enum members that are attribute keywords stay inside the type token
+    val mode = v0.columns.find(_.name == "mode").get
+    assert(mode.mysqlType.equalsIgnoreCase("enum('null','default','primary')"),
+      mode.mysqlType)
+    // same hygiene through MODIFY
+    cat.applyDdl("ALTER TABLE lgc MODIFY note VARCHAR(60) DEFAULT 'not null brigade'", 2000L)
+    val note2 = cat.current("lgc").get.columns.find(_.name == "note").get
+    assert(note2.nullable && note2.defaultValue.contains("not null brigade"))
+    assert(note2.mysqlType.equalsIgnoreCase("varchar(60)"))
+  }
+
   test("catalog: table-swap RENAME flow (mysql.binlog.test.sql)") {
     val cat = new SchemaCatalog("mydb")
     cat.applyDdl("CREATE TABLE animal (id INT PRIMARY KEY, name VARCHAR(30))", 1L)

@@ -69,7 +69,7 @@ class RawBinlogAdapterSpec extends SparkTestBase {
     assert(ins.table == "users_v2" && ins.rowKey == "u7")
   }
 
-  test("QUERY classification: DDL becomes a barrier op, OTHER drops; XA_PREPARE commits") {
+  test("QUERY classification: DDL becomes a barrier op, OTHER drops; bare XA_PREPARE parks") {
     val raw = Seq(
       ev(RT.GTID, 100).copy(gtid = Some("s1:60")),
       ev(RT.QUERY, 110).copy(sql = Some("ALTER TABLE orders ADD COLUMN note text")),
@@ -79,7 +79,72 @@ class RawBinlogAdapterSpec extends SparkTestBase {
     val ddl = ops.find(_.kind == "DDL").get
     assert(ddl.table == "orders" && ddl.after("ddl").startsWith("ALTER TABLE"))
     assert(!ops.exists(_.after.get("ddl").exists(_.startsWith("GRANT"))))
-    assert(ops.count(_.kind == "COMMIT") == 1) // XA_PREPARE closes the branch
+    // a prepared branch with NO decision yet must not commit — a later
+    // XA ROLLBACK would make those rows phantoms
+    assert(ops.count(_.kind == "COMMIT") == 0)
+  }
+
+  test("XA: prepare→rollback yields zero data ops; prepare→commit commits the branch") {
+    def branch(gtid: String, basePos: Long, xid: String, rowId: String) = Seq(
+      ev(RT.GTID, basePos).copy(gtid = Some(gtid)),
+      ev(RT.TABLE_MAP, basePos + 10).copy(tableId = Some(7L), db = Some("shop"),
+        table = Some("orders"), pkColumns = Seq("id")),
+      ev(RT.WRITE_ROWS, basePos + 20).copy(tableId = Some(7L),
+        rows = Seq(RowImage(Map.empty, Map("id" -> rowId)))),
+      ev(RT.XA_PREPARE, basePos + 30).copy(xaId = Some(xid)))
+    val raw =
+      branch("s1:70", 100, "xa-keep", "1") ++
+      branch("s1:71", 200, "xa-void", "2") ++ Seq(
+        // decisions arrive later, each in its own transaction, xid-linked
+        ev(RT.GTID, 300).copy(gtid = Some("s1:72")),
+        ev(RT.QUERY, 310, ts = 9000L).copy(sql = Some("XA COMMIT 'xa-keep'")),
+        ev(RT.GTID, 400).copy(gtid = Some("s1:73")),
+        ev(RT.QUERY, 410).copy(sql = Some("XA ROLLBACK 'xa-void'")))
+
+    val ops = RawBinlogAdapter.toOps(spark.createDataset(raw)).collect()
+    // exactly one commit: the kept branch, AT THE DECISION position/time
+    val commits = ops.filter(_.kind == "COMMIT")
+    assert(commits.map(_.txnId).toSeq == Seq("s1:70"))
+    assert(commits.head.tsMs == 9000L)
+    // through the assembler: the rolled-back branch's rows are DROPPED
+    val stamped = TransactionAssembler.assembleBatch(
+      spark.createDataset(ops.toSeq)).collect().filter(_.kind == "INSERT")
+    assert(stamped.map(_.rowKey).toSeq == Seq("1"))
+    assert(stamped.forall(_.commitTsMs == 9000L))
+
+    // streaming form agrees — including decisions in a LATER micro-batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val q = RawBinlogAdapter.toOpsStreaming(mem.toDS())
+      .writeStream.format("memory").queryName("xa_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(raw.take(8): _*) // both branches prepared, no decisions
+      q.processAllAvailable()
+      assert(!spark.table("xa_stream").as[graft.streaming.Op].collect()
+        .exists(_.kind == "COMMIT"))
+      mem.addData(raw.drop(8): _*) // decisions cross the batch boundary
+      q.processAllAvailable()
+      val streamed = spark.table("xa_stream").as[graft.streaming.Op].collect()
+      assert(streamed.filter(_.kind == "COMMIT").map(_.txnId).toSeq == Seq("s1:70"))
+    } finally q.stop()
+  }
+
+  test("XA COMMIT ... ONE PHASE (never prepared) commits its own transaction") {
+    val raw = Seq(
+      ev(RT.GTID, 100).copy(gtid = Some("s1:80")),
+      ev(RT.TABLE_MAP, 110).copy(tableId = Some(7L), db = Some("shop"),
+        table = Some("orders"), pkColumns = Seq("id")),
+      ev(RT.WRITE_ROWS, 120).copy(tableId = Some(7L),
+        rows = Seq(RowImage(Map.empty, Map("id" -> "9")))),
+      ev(RT.QUERY, 130, ts = 5000L).copy(sql = Some("XA COMMIT 'xa-1p' ONE PHASE")))
+    val ops = RawBinlogAdapter.toOps(spark.createDataset(raw)).collect()
+    val commits = ops.filter(_.kind == "COMMIT")
+    assert(commits.map(c => (c.txnId, c.tsMs)).toSeq == Seq(("s1:80", 5000L)))
+    val stamped = TransactionAssembler.assembleBatch(
+      spark.createDataset(ops.toSeq)).collect().filter(_.kind == "INSERT")
+    assert(stamped.map(_.rowKey).toSeq == Seq("9"))
   }
 
   test("supplier context: rows-query text rides to the following rows event") {
