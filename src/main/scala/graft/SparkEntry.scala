@@ -21,7 +21,7 @@ object SparkEntry {
     * timestamps elsewhere (which would infer as TIMESTAMP_NTZ); normalize both
     * to plain TIMESTAMP in the UTC session so epoch arithmetic matches the
     * DuckDB oracle exactly (both floor-truncate nanos → micros). */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
