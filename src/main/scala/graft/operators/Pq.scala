@@ -30,16 +30,12 @@ object Pq {
       GraftBridge.toExpr(codes), GraftBridge.toExpr(table), k))
   }
 
-  /** Bounded partial top-k ([[graft.functions.TopKByScoreAgg]]) — the
-    * shortlist/re-rank selector. Unlike a per-query `row_number()` window
-    * (which ships and fully sorts a query's whole candidate set on one
-    * task), the aggregate's map-side phase caps each partition's
-    * contribution at k entries per query before the shuffle. */
-  private def topKPairs(score: Column, id: Column, k: Int): Column = {
-    import org.apache.spark.sql.GraftBridge
-    GraftBridge.toCol(graft.functions.TopKByScoreAgg(
-      GraftBridge.toExpr(score), GraftBridge.toExpr(id), k).toAggregateExpression())
-  }
+  /** Bounded partial top-k ([[Similarity.topKByScore]]) — the shortlist/
+    * re-rank selector; map-side caps each partition at k entries per query
+    * before the shuffle, where a per-query `row_number()` window would ship
+    * and fully sort the whole candidate set on one task. */
+  private def topKPairs(score: Column, id: Column, k: Int): Column =
+    Similarity.topKByScore(score, id, k)
 
   /** Unit-normalized copy of a double-array column; the norm is materialized
     * first so the per-element lambda reads an attribute, not a re-derived

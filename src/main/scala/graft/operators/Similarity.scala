@@ -31,20 +31,31 @@ object Similarity {
   /** Cast a float embedding to double for numerically stable arithmetic. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
+  /** Bounded partial top-k ([[graft.functions.TopKByScoreAgg]]): map-side
+    * caps each partition at k entries per group, so selection shuffles
+    * k·partitions rows — a per-group `row_number()` window instead ships
+    * and fully sorts a group's ENTIRE candidate set on one task (for a
+    * brute-force scan that is the whole corpus per query). Same total
+    * order as the window form: score desc, id asc. */
+  def topKByScore(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.TopKByScoreAgg(
+      GraftBridge.toExpr(score), GraftBridge.toExpr(id), k).toAggregateExpression())
+  }
+
   /** Brute-force top-k: broadcast the (small) query set against the corpus,
-    * score every pair, keep the top k per query. The corpus scan is a single
-    * pass; ordering uses one shuffle bounded by k·#queries rows after the
-    * window filter. */
+    * score every pair, keep the top k per query via the bounded partial
+    * aggregate — the corpus is scanned once and never sorted per query. */
   def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                      queries: DataFrame, queryId: Column, queryVec: Column, k: Int): DataFrame = {
     val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
     val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
-    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
-      .select("query_id", "vec_id", "cos_sim")
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos_sim"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 
   /** Random-hyperplane signature: sign bits of dot(v, h_i) for planes derived
