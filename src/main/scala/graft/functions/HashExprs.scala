@@ -237,6 +237,44 @@ case class PqQueryTableExpr(left: Expression, right: Expression, m: Int, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scan-local IVF assignment — wraps [[VecAlgos.nearestCentroid]]. The
+  * centroid matrix (centroid-major flat array<double>) and id list ride the
+  * plan as literals (driver-tiny at any corpus scale), so assignment is a
+  * pure codegen'd projection: zero shuffles AND no per-element interpreted
+  * lambda (the `array_min(transform(...))` form this replaces evaluated k
+  * struct allocations + an interpreted dot per element per row).
+  * Bit-identical selection: highest round(cos,6), ties to the smaller id. */
+case class NearestCentroidExpr(first: Expression, second: Expression, third: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(k > 0, "k must be positive")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), ArrayType(LongType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>, array<bigint>), got " +
+        s"${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any, flat: Any, ids: Any): Any =
+    VecAlgos.nearestCentroid(v.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData],
+      ids.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, flat, ids) =>
+      s"${ev.value} = graft.functions.VecAlgos.nearestCentroid($v, $flat, $ids, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): NearestCentroidExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** MySQL binary-JSON → JSON string — wraps [[JsonBinaryAlgos.parseAsString]]
   * (reference: MysqlTypeDeserializer.java:99-109 JSON cell decode). */
 case class MysqlJsonBinaryExpr(child: Expression) extends UnaryExpression {

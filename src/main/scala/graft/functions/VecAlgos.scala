@@ -126,6 +126,62 @@ object VecAlgos {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(table)
   }
 
+  /** Spark's `round(x, 6)` for doubles, exactly (RoundBase semantics):
+    * NaN/Infinity pass through, otherwise decimal HALF_UP at scale 6 via
+    * the Double.toString-exact BigDecimal — bit-identical to the built-in,
+    * which the DuckDB oracles are calibrated against. */
+  @inline private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Nearest centroid by rounded cosine — the IVF assignment argmax as one
+    * codegen'd kernel. `ctsFlat` is the centroid matrix (centroid-major,
+    * k rows of dim = ctsFlat.length/k), `ids` the k centroid ids; both are
+    * plan literals (the centroid table is driver-tiny at any corpus
+    * scale). Selection order is EXACTLY the relational struct-min the
+    * kernel replaces: highest round(cos, 6) wins, ties to the smaller id;
+    * NaN sims (zero norms, dim mismatch) never beat a real sim, and an
+    * all-NaN row falls to the smallest id — so assignments are
+    * bit-identical to the `array_min(transform(...))` form and the SQL
+    * oracle. */
+  def nearestCentroid(v: ArrayData, ctsFlat: ArrayData, ids: ArrayData, k: Int): Long = {
+    val dim = ctsFlat.numElements() / k
+    val n = v.numElements()
+    var nv = 0.0d
+    var j = 0
+    while (j < n) { val x = v.getDouble(j); nv += x * x; j += 1 }
+    val normV = math.sqrt(nv)
+    var bestSim = Double.NaN
+    var bestId = 0L
+    var have = false
+    var c = 0
+    while (c < k) {
+      val id = ids.getLong(c)
+      val sim =
+        if (n != dim) Double.NaN
+        else {
+          val off = c * dim
+          var dot = 0.0d
+          var cc = 0.0d
+          j = 0
+          while (j < dim) {
+            val w = ctsFlat.getDouble(off + j)
+            dot += v.getDouble(j) * w
+            cc += w * w
+            j += 1
+          }
+          round6(dot / (normV * math.sqrt(cc)))
+        }
+      if (!have) { have = true; bestSim = sim; bestId = id }
+      else if (java.lang.Double.isNaN(bestSim)) {
+        if (!java.lang.Double.isNaN(sim) || id < bestId) { bestSim = sim; bestId = id }
+      } else if (!java.lang.Double.isNaN(sim) &&
+        (sim > bestSim || (sim == bestSim && id < bestId))) { bestSim = sim; bestId = id }
+      c += 1
+    }
+    bestId
+  }
+
   /** Random-hyperplane sign signature over `planes` pseudo-random planes.
     * Plane component (i, j) = (hash64(i + offset, j) % 1000) / 1000.0 via
     * XXH64.hashLong chains (seed 42) — deterministic, driver-state-free,

@@ -134,30 +134,40 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: Column, vecCol: Column, centroids: DataFrame): DataFrame = {
     val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
     // The centroid table is k·dim — driver-tiny at ANY corpus scale — so it
-    // localizes into ONE literal array of (cid, cvec) structs and the
-    // argmax runs per row: array_min over struct(-sim, cid) — highest sim,
-    // ties to the smallest centroid id, the exact total order the former
-    // broadcast-join + struct-min groupBy used. Assignment is now a pure
+    // localizes into plan literals (flat centroid-major matrix + id list)
+    // and the argmax runs per row as one codegen'd kernel
+    // ([[graft.functions.NearestCentroidExpr]]): highest round(cos, 6),
+    // ties to the smallest centroid id — the exact total order the former
+    // broadcast-join + struct-min groupBy used. Assignment is a pure
     // scan-local projection: ZERO shuffles, where the groupBy form shipped
     // every (vec_id, vector) pair through a corpus-scale exchange just to
     // collapse the k broadcast-join copies it had itself produced.
     val local = centroids.select(col("centroid_id"), col("cvec")).collect()
     require(local.nonEmpty, "ivfAssign requires at least one centroid")
-    val ctsArr = array(local.map { r =>
-      val cid = r.get(0) match {
+    val dims = local.map(_.getSeq[Double](1).length).distinct
+    require(dims.length == 1, s"centroid vectors must share one dim, got $dims")
+    val k = local.length
+    val flat = new Array[Double](k * dims.head)
+    val ids = new Array[Long](k)
+    local.zipWithIndex.foreach { case (r, c) =>
+      ids(c) = r.get(0) match {
         case i: Int => i.toLong
         case l: Long => l
         case other => throw new IllegalArgumentException(
           s"centroid_id must be integral, got $other")
       }
-      struct(lit(cid).as("cid"), typedLit(r.getSeq[Double](1)).as("cvec"))
-    }.toIndexedSeq: _*)
-    v.select(col("vec_id"),
-      array_min(transform(ctsArr, c =>
-        struct((-round(cosine(col("v"), c.getField("cvec")), 6)).as("ns"),
-          c.getField("cid").as("cid"))))
-        .getField("cid").as("centroid_id"),
-      col("v"))
+      val cw = r.getSeq[Double](1)
+      var j = 0
+      while (j < dims.head) { flat(c * dims.head + j) = cw(j); j += 1 }
+    }
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val assign = GraftBridge.toCol(graft.functions.NearestCentroidExpr(
+      GraftBridge.toExpr(col("v")),
+      Literal.create(flat, ArrayType(DoubleType, containsNull = false)),
+      Literal.create(ids, ArrayType(LongType, containsNull = false)), k))
+    v.select(col("vec_id"), assign.as("centroid_id"), col("v"))
   }
 
   /** IVF inverted-list index: members assigned to their nearest centroid
