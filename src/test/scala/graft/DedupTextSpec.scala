@@ -432,4 +432,36 @@ class DedupTextSpec extends SparkTestBase {
       .toDF("doc_id", "text").select(Text.fingerprint(col("text"))).as[String].collect()(0)
     assert(fp1 == fp2)
   }
+
+  test("bounded top-k aggregate ≡ row_number window on randomized inputs") {
+    // TopKByScoreAgg's heap eviction, serde, and merge paths must preserve
+    // the exact (score desc, id asc) total order the windows it replaced
+    // used — checked against the window form on seeded random data with
+    // deliberate score TIES (small integer grid) and many partitions so
+    // partial buffers actually merge
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      (rnd.nextInt(40).toLong, (rnd.nextInt(12) / 3.0), i.toLong)
+    }
+    val df = rows.toDF("grp", "score", "id").repartition(13)
+    for (k <- Seq(1, 3, 17)) {
+      val agg = df.groupBy("grp")
+        .agg(Similarity.topKByScore(col("score"), col("id"), k).as("__tk"))
+        .select(col("grp"), explode(col("__tk")).as("__e"))
+        .select(col("grp"), col("__e.id").as("id"), col("__e.score").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+      val win = df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+        .select("grp", "id", "score")
+      assert(agg.count() == win.count(), s"k=$k row counts differ")
+      assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+        s"k=$k top-k sets differ from the window form")
+    }
+    // groups smaller than k return all members; empty input returns no rows
+    val tiny = Seq((1L, 0.5, 10L), (1L, 0.5, 11L)).toDF("grp", "score", "id")
+    val got = tiny.groupBy("grp")
+      .agg(Similarity.topKByScore(col("score"), col("id"), 100).as("t"))
+      .select(size(col("t"))).as[Int].collect()
+    assert(got.toSeq == Seq(2))
+  }
 }
