@@ -49,20 +49,47 @@ object Sampling {
 
   /** Balanced (quota) subsample: exactly min(n, |stratum|) rows per stratum,
     * chosen by md5-rank — the "equal representation per language/source"
-    * step of corpus assembly, deterministic on any cluster layout. One
-    * window keyed by the stratum; with many strata the sort is
-    * shuffle-partition-local. When n ≪ stratum size at 100 TB, pre-thin
-    * with [[keepHash]] at a generous rate bound (e.g. 10·n/|stratum|) so
-    * the window sorts a sliver, not the corpus — the md5 order is identical
-    * before and after thinning, so the selected set is unchanged unless the
-    * bound itself cuts below rank n. */
+    * step of corpus assembly, deterministic on any cluster layout.
+    *
+    * Scale shape: the same two-phase trick as [[tokenBudgetQuota]] — a
+    * single per-stratum window sorts the WHOLE stratum on one task, and
+    * quota-sampling a giant stratum is the common case. Rows bucket by the
+    * first two hex chars of md5(key) (bucket prefix order = md5 rank
+    * order, so buckets are contiguous rank ranges); per-(stratum,bucket)
+    * counts become exclusive starting offsets (a ≤256-rows-per-stratum
+    * table, broadcast back), and the row-level rank window partitions by
+    * (stratum, bucket) — any single task sorts ~1/256 of a stratum. Global
+    * rank = bucket start + within-bucket rank, provably equal to the
+    * single-window rank for every row. When n ≪ stratum size at 100 TB,
+    * additionally pre-thin with [[keepHash]] at a generous rate bound
+    * (e.g. 10·n/|stratum|): the md5 order is identical before and after
+    * thinning, so the selected set is unchanged unless the bound itself
+    * cuts below rank n. */
   def quotaSample(df: DataFrame, keyCol: Column, strataCol: Column, n: Int,
                   preRate: Double = 1.0): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(md5(keyCol.cast("string")), keyCol)
-    df.filter(keepHash(keyCol, preRate))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n).drop("__rk")
+    import org.apache.spark.sql.expressions.Window
+    val rankHash = md5(keyCol.cast("string"))
+    val thinned = df.filter(keepHash(keyCol, preRate))
+      .withColumn("__qs_bkt", substring(rankHash, 1, 2))
+    val wBkt = Window.partitionBy(col("__qs_src")).orderBy(col("__qs_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = thinned
+      .groupBy(strataCol.as("__qs_src"), col("__qs_bkt").as("__qs_bkt"))
+      .agg(count(lit(1)).as("__qs_cnt"))
+      .withColumn("__qs_start", coalesce(sum(col("__qs_cnt")).over(wBkt), lit(0L)))
+      // buckets whose rank range starts at or past the quota can't
+      // contribute — prune them from the broadcast AND (via the inner
+      // join) drop their rows before the row-level window sorts them
+      .filter(col("__qs_start") < n)
+      .select(col("__qs_src"), col("__qs_bkt").as("__qs_bkt2"), col("__qs_start"))
+    val wIn = Window.partitionBy(strataCol, col("__qs_bkt"))
+      .orderBy(rankHash, keyCol)
+    thinned
+      .join(broadcast(offsets),
+        strataCol === col("__qs_src") && col("__qs_bkt") === col("__qs_bkt2"))
+      .withColumn("__rk", col("__qs_start") + row_number().over(wIn))
+      .filter(col("__rk") <= n)
+      .drop("__rk", "__qs_bkt", "__qs_src", "__qs_bkt2", "__qs_start")
   }
 
   /** Mixture upsampling: per-stratum EPOCH weights ≥ 0 (how many times each
