@@ -73,6 +73,21 @@ final class SchemaCatalog(val ownSchema: String) {
     ("(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+convert\\s+to\\s+character\\s+set\\s+" +
       "`?(\\w+)`?(?:\\s+collate[\\s=]+`?(\\w+)`?)?.*").r
   private val stringTypeRe = "(?i)^(?:(?:var)?char|(?:tiny|medium|long)?text|enum|set)\\b.*".r
+  // UNIQUE indexes feed index-driven PRI promotion (TableSchemaV
+  // .primaryKeyColumns: with no explicit PK, the first all-NOT-NULL unique
+  // index IS the row identity I_S reports) — matched before the generic
+  // add/drop-column patterns for the same reason as ADD PRIMARY KEY.
+  private val addUniqueRe =
+    ("(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+(?:constraint\\s+`?(\\w+)`?\\s+)?" +
+      "unique\\s+(?:key\\s+|index\\s+)?(?:`?(\\w+)`?\\s*)?\\(([^)]*)\\).*").r
+  private val dropIndexRe =
+    "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+(?:index|key)\\s+`?(\\w+)`?\\s*".r
+  private val uniqueClauseRe =
+    ("(?i)^\\s*(?:constraint\\s+`?(\\w+)`?\\s+)?unique\\s+(?:key\\s+|index\\s+)?" +
+      "(?:`?(\\w+)`?\\s*)?\\(([^)]*)\\)\\s*$").r
+
+  private def pkListOf(colsList: String): Seq[String] =
+    colsList.split(",").map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
 
   /** Apply one DDL statement at stream position tsMs. Unknown statements are
     * recorded in history but leave the catalog unchanged. */
@@ -81,7 +96,8 @@ final class SchemaCatalog(val ownSchema: String) {
     ddl match {
       case createRe(name, colsBody) =>
         val cols = parseColumns(colsBody)
-        install(name, ddl, tsMs, Some(TableSchemaV(ownSchema, norm(name), nextVersion(name), cols, Some(ddl), tsMs)))
+        install(name, ddl, tsMs, Some(TableSchemaV(ownSchema, norm(name), nextVersion(name),
+          cols, Some(ddl), tsMs, parseUniqueKeys(colsBody))))
       case addPkRe(name, colsList) =>
         current(name).foreach { prev =>
           val pk = colsList.split(",").map(_.trim.replace("`", "").toLowerCase)
@@ -107,6 +123,20 @@ final class SchemaCatalog(val ownSchema: String) {
           install(name, ddl, tsMs,
             Some(prev.copy(version = nextVersion(name), columns = cols, validFromMs = tsMs)))
         }
+      case addUniqueRe(name, cName, iName, colsList) =>
+        current(name).foreach { prev =>
+          val cols = pkListOf(colsList)
+          val nm = Option(iName).orElse(Option(cName)).getOrElse(cols.headOption.getOrElse(""))
+          install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name),
+            uniqueKeys = prev.uniqueKeys :+ graft.model.UniqueKey(nm, cols),
+            validFromMs = tsMs)))
+        }
+      case dropIndexRe(name, iName) =>
+        current(name).foreach { prev =>
+          install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name),
+            uniqueKeys = prev.uniqueKeys.filterNot(_.name.equalsIgnoreCase(iName)),
+            validFromMs = tsMs)))
+        }
       case addColRe(name, colName, colType) =>
         current(name).foreach { prev =>
           val (attrs, atFirst, afterCol) = splitPosition(colType)
@@ -125,7 +155,11 @@ final class SchemaCatalog(val ownSchema: String) {
       case dropColRe(name, colName) =>
         current(name).foreach { prev =>
           val kept = prev.columns.filterNot(_.name.equalsIgnoreCase(colName))
-          install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name), columns = kept, validFromMs = tsMs)))
+          // a unique index losing a member column can no longer prove row
+          // identity — drop it (conservative: never promote a weaker key)
+          install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name), columns = kept,
+            uniqueKeys = prev.uniqueKeys.filterNot(_.columns.exists(_.equalsIgnoreCase(colName))),
+            validFromMs = tsMs)))
         }
       case modifyColRe(name, colName, tail) => retype(name, colName, colName, tail, ddl, tsMs)
       case changeColRe(name, oldName, newName, tail) => retype(name, oldName, newName, tail, ddl, tsMs)
@@ -177,8 +211,14 @@ final class SchemaCatalog(val ownSchema: String) {
             if (i >= 0) i + 1 else idx
           }.getOrElse(idx)
         val cols = without.patch(at, Seq(spec), 0)
+        // CHANGE renames follow the column into its unique indexes
+        val uks =
+          if (oldName.equalsIgnoreCase(newName)) prev.uniqueKeys
+          else prev.uniqueKeys.map(uk => uk.copy(columns = uk.columns.map(c =>
+            if (c.equalsIgnoreCase(oldName)) newName else c)))
         install(table, ddl, tsMs,
-          Some(prev.copy(version = nextVersion(table), columns = cols, validFromMs = tsMs)))
+          Some(prev.copy(version = nextVersion(table), columns = cols,
+            uniqueKeys = uks, validFromMs = tsMs)))
       }
     }
 
@@ -280,6 +320,36 @@ final class SchemaCatalog(val ownSchema: String) {
     }
   }
 
+  /** UNIQUE indexes of a CREATE TABLE body, in declaration order (MySQL's
+    * I_S index ordering — which drives WHICH index promotes when several
+    * qualify): table-level `[CONSTRAINT x] UNIQUE [KEY|INDEX] [name]
+    * (cols)` clauses plus inline per-column `UNIQUE` attributes. Unnamed
+    * indexes take MySQL's default name (the first column). */
+  private def parseUniqueKeys(body: String): Seq[graft.model.UniqueKey] = {
+    val parts = splitTopLevel(body)
+    val tableLevel = parts.flatMap { p =>
+      uniqueClauseRe.findFirstMatchIn(p.trim).map { m =>
+        val cols = pkListOf(m.group(3))
+        val nm = Option(m.group(2)).orElse(Option(m.group(1)))
+          .getOrElse(cols.headOption.getOrElse(""))
+        graft.model.UniqueKey(nm, cols)
+      }
+    }
+    val inline = parts
+      .filterNot(_.matches("(?i)\\s*(primary\\s+key|unique|key|index|constraint|foreign\\s+key).*"))
+      .flatMap { p =>
+        val toks = p.trim.split("\\s+", 2)
+        if (toks.length < 2) None
+        else {
+          val nm = toks(0).replace("`", "")
+          if (withoutLiterals(toks(1)).matches("(?i).*\\bunique\\b.*"))
+            Some(graft.model.UniqueKey(nm, Seq(nm)))
+          else None
+        }
+      }
+    tableLevel ++ inline
+  }
+
   /** Per-column DEFAULT value and collation off a column-definition tail
     * (reference scrapes COLUMN_DEFAULT / COLLATION_NAME from
     * INFORMATION_SCHEMA — ActiveSchemaManager.java:202-231; here they come
@@ -312,7 +382,8 @@ final class SchemaCatalog(val ownSchema: String) {
   private def renderSchema(v: TableSchemaV): String =
     s"""{"table":"${v.table}","version":${v.version},"columns":[""" +
       v.columns.map(c => s"""{"name":"${c.name}","type":"${c.mysqlType}","key":"${c.key}"}""").mkString(",") +
-      "]}"
+      // pk is the EFFECTIVE row identity (explicit PK or promoted unique)
+      s"""],"pk":[${v.primaryKeyColumns.map("\"" + _ + "\"").mkString(",")}]}"""
 
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]

@@ -110,6 +110,10 @@ final case class ColumnSpec(
   def isPrimary: Boolean = key.equalsIgnoreCase("PRI")
 }
 
+/** A UNIQUE index: declared name (MySQL defaults to the first column's
+  * name) and member columns in index order. */
+final case class UniqueKey(name: String, columns: Seq[String])
+
 /** A schema version valid from a given stream position onward
   * (reference: SchemaAtPositionCache / SchemaTransitionSequence.java:16-49). */
 final case class TableSchemaV(
@@ -118,7 +122,23 @@ final case class TableSchemaV(
     version: Int,
     columns: Seq[ColumnSpec],
     createStatement: Option[String],
-    validFromMs: Long
+    validFromMs: Long,
+    uniqueKeys: Seq[UniqueKey] = Nil
 ) {
-  def primaryKeyColumns: Seq[String] = columns.filter(_.isPrimary).map(_.name)
+  /** Row-identity columns, with MySQL's INDEX-DRIVEN PRI PROMOTION: when a
+    * table has no explicit PRIMARY KEY, INFORMATION_SCHEMA reports the
+    * FIRST unique index whose columns are all NOT NULL as COLUMN_KEY='PRI'
+    * (the implicit cluster key the reference's row-key mapper would read).
+    * Promotion is DERIVED here, never written into [[ColumnSpec.key]], so
+    * a later ADD PRIMARY KEY cleanly wins and a DROP PRIMARY KEY falls
+    * back to the promoted index — exactly the I_S view at each version. */
+  def primaryKeyColumns: Seq[String] = {
+    val explicit = columns.filter(_.isPrimary).map(_.name)
+    if (explicit.nonEmpty) explicit
+    else uniqueKeys.collectFirst {
+      case uk if uk.columns.nonEmpty && uk.columns.forall(c =>
+        columns.exists(x => x.name.equalsIgnoreCase(c) && !x.nullable)) =>
+        uk.columns.map(c => columns.find(_.name.equalsIgnoreCase(c)).get.name)
+    }.getOrElse(Nil)
+  }
 }

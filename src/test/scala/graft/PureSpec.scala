@@ -259,6 +259,52 @@ class PureSpec extends AnyFunSuite {
     assert(note2.mysqlType.equalsIgnoreCase("varchar(60)"))
   }
 
+  test("catalog: index-driven PRI promotion (first all-NOT-NULL unique index)") {
+    val cat = new SchemaCatalog("mydb")
+    // no PK; one nullable unique + one NOT NULL unique + an inline unique:
+    // promotion = FIRST eligible in declaration order = uq_code
+    cat.applyDdl("CREATE TABLE ref (code VARCHAR(12) NOT NULL, alias VARCHAR(12), " +
+      "serial INT NOT NULL UNIQUE, " +
+      "UNIQUE KEY uq_alias (alias), UNIQUE KEY uq_code (code))", 1000L)
+    val v0 = cat.current("ref").get
+    assert(v0.primaryKeyColumns == Seq("code"), v0.primaryKeyColumns)
+    // nullable unique never promotes even though declared first
+    assert(!v0.primaryKeyColumns.contains("alias"))
+
+    // explicit PK wins over any promotion
+    cat.applyDdl("ALTER TABLE ref ADD PRIMARY KEY (serial)", 2000L)
+    assert(cat.current("ref").get.primaryKeyColumns == Seq("serial"))
+    // dropping the PK falls BACK to the promoted unique (I_S view)
+    cat.applyDdl("ALTER TABLE ref DROP PRIMARY KEY", 3000L)
+    assert(cat.current("ref").get.primaryKeyColumns == Seq("code"))
+
+    // dropping the promoted index moves promotion to the next eligible:
+    // uq_alias is nullable, so the inline unique on serial takes over
+    cat.applyDdl("ALTER TABLE ref DROP INDEX uq_code", 4000L)
+    assert(cat.current("ref").get.primaryKeyColumns == Seq("serial"))
+
+    // a NOT NULL retype makes a previously ineligible unique promotable
+    cat.applyDdl("ALTER TABLE ref MODIFY alias VARCHAR(12) NOT NULL", 5000L)
+    assert(cat.current("ref").get.primaryKeyColumns == Seq("alias"))
+
+    // ADD UNIQUE mid-stream + CHANGE rename follows the column into the key
+    // (creation order decides among eligibles, so clear the earlier ones)
+    cat.applyDdl("ALTER TABLE ref DROP INDEX uq_alias", 6000L)
+    cat.applyDdl("ALTER TABLE ref DROP INDEX serial", 6500L) // MySQL default name
+    cat.applyDdl("ALTER TABLE ref ADD CONSTRAINT uq2 UNIQUE (code, serial)", 7000L)
+    assert(cat.current("ref").get.primaryKeyColumns == Seq("code", "serial"))
+    cat.applyDdl("ALTER TABLE ref CHANGE code ref_code VARCHAR(12) NOT NULL", 8000L)
+    assert(cat.current("ref").get.primaryKeyColumns == Seq("ref_code", "serial"))
+    // dropping a member column kills the composite index; nothing eligible
+    // remains, so the table falls back to no row identity
+    cat.applyDdl("ALTER TABLE ref DROP COLUMN ref_code", 9000L)
+    assert(cat.current("ref").get.primaryKeyColumns.isEmpty)
+
+    // promotion is position-resolvable like everything else
+    assert(cat.at("ref", 2500L).get.primaryKeyColumns == Seq("serial"))
+    assert(cat.at("ref", 3500L).get.primaryKeyColumns == Seq("code"))
+  }
+
   test("catalog: table-swap RENAME flow (mysql.binlog.test.sql)") {
     val cat = new SchemaCatalog("mydb")
     cat.applyDdl("CREATE TABLE animal (id INT PRIMARY KEY, name VARCHAR(30))", 1L)
