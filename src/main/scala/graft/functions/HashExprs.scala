@@ -158,6 +158,32 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, planeOffset: Int)
     copy(child = newChild)
 }
 
+/** Unit-normalize a double vector — wraps [[VecAlgos.unitVec]] (same
+  * float-op order as the per-element-lambda form; zero norms pass the
+  * input through). */
+case class UnitVecExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unit_vec"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<double> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VecAlgos.unitVec(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecAlgos.unitVec($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UnitVecExpr =
+    copy(child = newChild)
+}
+
 /** Scan-local PQ encode — wraps [[VecAlgos.pqEncode]]. `left` is the
   * unit-normalized vector, `right` the flattened (subspace-major) codebook,
   * in practice a [[org.apache.spark.sql.catalyst.expressions.Literal]]:

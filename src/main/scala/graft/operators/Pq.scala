@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import Similarity.{asDouble, dot}
+import Similarity.asDouble
 
 /** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
   * Nearest Neighbor Search", TPAMI 2011 — public knowledge): vectors are
@@ -37,14 +37,18 @@ object Pq {
   private def topKPairs(score: Column, id: Column, k: Int): Column =
     Similarity.topKByScore(score, id, k)
 
-  /** Unit-normalized copy of a double-array column; the norm is materialized
-    * first so the per-element lambda reads an attribute, not a re-derived
-    * O(d) dot. Rows with zero norm keep their zeros (0/0 would poison ADC). */
-  private def withUnit(df: DataFrame, vec: String, out: String): DataFrame =
-    df.withColumn("__norm", sqrt(dot(col(vec), col(vec))))
-      .withColumn(out, when(col("__norm") > 0.0,
-        transform(col(vec), x => x / col("__norm"))).otherwise(col(vec)))
-      .drop("__norm")
+  /** Unit-normalized copy of a double-array column via the native
+    * [[graft.functions.UnitVecExpr]] (same float-op order as the
+    * transform-lambda form it replaces; zero-norm rows pass through —
+    * 0/0 would poison ADC). Native matters twice: the lambda form was
+    * interpreted per element, and fused generator stages (explode over an
+    * encode projection) re-evaluate their input expression — measured
+    * 8-16× wall on sim_pq_encode before the switch. */
+  private def withUnit(df: DataFrame, vec: String, out: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    df.withColumn(out,
+      GraftBridge.toCol(graft.functions.UnitVecExpr(GraftBridge.toExpr(col(vec)))))
+  }
 
   /** Subspace slices (sub_id, sv) of a unit-normalized vector column. */
   private def subspaces(df: DataFrame, keep: Seq[String], vn: String, m: Int): DataFrame =
