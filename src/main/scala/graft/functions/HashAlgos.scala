@@ -46,6 +46,52 @@ object HashAlgos {
     sig
   }
 
+  /** Positional n-gram span hashes: entry i = xxhash64 (seed 42) of the
+    * UTF-8 bytes of tokens[i..i+n-1] joined with a single space —
+    * bit-identical to `xxhash64(array_join(slice(toks, i+1, n), " "))`,
+    * which is the form the span operators' DuckDB oracles compute. Edge
+    * parity with the `sequence(0, greatest(L-n, 0))` starts it replaces:
+    * one entry per start 0..max(L-n, 0), so a shorter-than-n (even empty)
+    * document yields ONE truncated span. One pass, one byte-buffer build
+    * per span — a native kernel because the transform+slice+array_join
+    * composition is interpreted per element AND re-evaluated wholesale by
+    * fused generator stages (the explode-over-expensive-projection trap,
+    * measured 8-16× on the PQ encode path). */
+  def posSpanHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val L = tokens.numElements()
+    val count = math.max(L - n, 0) + 1
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, L)
+      var len = 0
+      var j = i
+      while (j < end) {
+        if (!tokens.isNullAt(j)) len += tokens.getUTF8String(j).numBytes() + 1
+        j += 1
+      }
+      val buf = new Array[Byte](math.max(len, 0))
+      var pos = 0
+      var emitted = 0
+      j = i
+      while (j < end) {
+        // null elements vanish WITH their separator — array_join semantics
+        if (!tokens.isNullAt(j)) {
+          if (emitted > 0) { buf(pos) = ' '.toByte; pos += 1 }
+          val s = tokens.getUTF8String(j)
+          s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += s.numBytes()
+          emitted += 1
+        }
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: each token string is hashed once; the k permutations
     * re-mix the 8-byte hash with XXH64's long finalizer (a distinct seed per
     * slot). Single pass over tokens, one k-length accumulator. */

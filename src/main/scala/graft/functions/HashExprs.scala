@@ -158,6 +158,35 @@ case class HyperplaneSigExpr(child: Expression, planes: Int, planeOffset: Int)
     copy(child = newChild)
 }
 
+/** Positional n-gram span hashes — wraps [[HashAlgos.posSpanHashes]]:
+  * array<long> of xxhash64 over space-joined token windows, bit-identical
+  * to the `transform(sequence(...), i => xxhash64(array_join(slice(...))))`
+  * composition it replaces (including the one-truncated-span edge for
+  * docs shorter than n). */
+case class PosSpanHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pos_span_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashAlgos.posSpanHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashAlgos.posSpanHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PosSpanHashExpr =
+    copy(child = newChild)
+}
+
 /** Unit-normalize a double vector — wraps [[VecAlgos.unitVec]] (same
   * float-op order as the per-element-lambda form; zero norms pass the
   * input through). */

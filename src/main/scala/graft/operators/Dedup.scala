@@ -46,6 +46,19 @@ object Dedup {
   private def tokenized(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("id"), split(Text.normalized(textCol), " ").as("__toks"))
 
+  /** Positional n-gram span hashes of a token-array column — ONE native
+    * codegen'd pass ([[graft.functions.PosSpanHashExpr]]), bit-identical
+    * to `transform(sequence(0, greatest(size-n, 0)), i =>
+    * xxhash64(array_join(slice(toks, i+1, n), " ")))`. Native matters
+    * doubly for the span operators: the composition is interpreted per
+    * span, and every span pipeline EXPLODES this array — a fused generator
+    * stage re-evaluates its input expression, so an interpreted span build
+    * pays per OUTPUT row (the measured 8-16× trap on the PQ encode path). */
+  private def spanHashes(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.PosSpanHashExpr(GraftBridge.toExpr(toks), n))
+  }
+
   /** MinHash signature: k independent permutation approximations; signature
     * element j = min over shingles of hash_j(shingle). A native Catalyst
     * expression ([[graft.functions.MinHashSigExpr]]): one codegen'd pass,
@@ -338,11 +351,8 @@ object Dedup {
     * skewed window partition is not. */
   def dupSpanStats(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
-    val toks = col("__toks") // materialized attribute — see shingles() trap note
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    val spanArr = transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))
     val spans = tokenized(df, idCol, textCol)
-      .select(col("id").as("doc_id"), explode(spanArr).as("span_h"))
+      .select(col("id").as("doc_id"), explode(spanHashes(col("__toks"), n)).as("span_h"))
     // spans is consumed twice (count side + join side) — recomputing the
     // narrow scan+explode beats persisting the exploded multiset, which at
     // 100 TB is ~n× the corpus and would spill its entirety to disk
@@ -536,13 +546,10 @@ object Dedup {
   def spanContamination(train: DataFrame, trainId: Column, trainText: Column,
                         eval: DataFrame, evalText: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
-    val toks = col("__toks")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    val spanArr = transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))
     val trainSpans = tokenized(train, trainId, trainText)
-      .select(col("id").as("doc_id"), explode(spanArr).as("span_h"))
+      .select(col("id").as("doc_id"), explode(spanHashes(col("__toks"), n)).as("span_h"))
     val evalSpans = tokenized(eval, lit(0L), evalText)
-      .select(explode(spanArr).as("span_h")).distinct()
+      .select(explode(spanHashes(col("__toks"), n)).as("span_h")).distinct()
     trainSpans
       .join(broadcast(evalSpans.withColumn("__hit", lit(1))), Seq("span_h"), "left")
       .groupBy(col("doc_id"))
@@ -568,12 +575,11 @@ object Dedup {
                               eval: DataFrame, evalText: Column, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
     val toks = col("__toks")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    val spanArr = transform(idx, i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))
     val trainSpans = tokenized(train, trainId, trainText)
-      .select(col("id").as("doc_id"), posexplode(spanArr).as(Seq("start", "span_h")))
+      .select(col("id").as("doc_id"),
+        posexplode(spanHashes(col("__toks"), n)).as(Seq("start", "span_h")))
     val evalSpans = tokenized(eval, lit(0L), evalText)
-      .select(explode(spanArr).as("span_h")).distinct()
+      .select(explode(spanHashes(col("__toks"), n)).as("span_h")).distinct()
     val dirty = trainSpans
       .join(broadcast(evalSpans), Seq("span_h"))
       .groupBy(col("doc_id")).agg(collect_set(col("start")).as("__dirty"))

@@ -464,4 +464,33 @@ class DedupTextSpec extends SparkTestBase {
       .select(size(col("t"))).as[Int].collect()
     assert(got.toSeq == Seq(2))
   }
+
+  test("native span-hash kernel ≡ the transform/slice/array_join composition") {
+    // PosSpanHashExpr replaces the interpreted per-span build the DuckDB
+    // oracles mirror — it must be bit-identical on every edge the old form
+    // produced: docs shorter than n (ONE truncated span), empty docs, null
+    // tokens (vanish with their separator, array_join semantics), multi-byte
+    // UTF-8, and adjacent empty strings (separator still emitted)
+    import org.apache.spark.sql.GraftBridge
+    val rnd = new scala.util.Random(7)
+    val words = Vector("fox", "ünïcode", "日本語", "", "a", "longer-token", "x1")
+    val rows = (1 to 200).map { i =>
+      val len = rnd.nextInt(12) // includes 0-length docs
+      val toks = Seq.fill(len) {
+        if (rnd.nextInt(10) == 0) null else words(rnd.nextInt(words.size))
+      }
+      (i.toLong, toks)
+    }
+    val df = rows.toDF("id", "toks").repartition(5)
+    for (n <- Seq(1, 3, 7)) {
+      val native = GraftBridge.toCol(
+        graft.functions.PosSpanHashExpr(GraftBridge.toExpr(col("toks")), n))
+      val idx = sequence(lit(0), greatest(size(col("toks")) - n, lit(0)))
+      val composed = transform(idx, i =>
+        xxhash64(array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+      val bad = df.select(col("id"), native.as("a"), composed.as("b"))
+        .filter(not(col("a") <=> col("b")))
+      assert(bad.isEmpty, s"n=$n: native span hashes diverge from the composition")
+    }
+  }
 }
