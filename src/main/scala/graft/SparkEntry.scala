@@ -179,8 +179,7 @@ object SparkEntry {
       // source until the budget line is crossed (crossing doc kept), then
       // summarized per source
       val docs = t(s, d, "documents")
-        .withColumn("n_tokens",
-          size(split(Text.normalized(col("text")), " ")).cast("long"))
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
       graft.operators.Sampling.tokenBudgetQuota(docs, col("doc_id"),
           col("source"), col("n_tokens"), budget = 3000L)
         .groupBy("source")
@@ -191,10 +190,12 @@ object SparkEntry {
       // LPT round-robin training-shard assignment: global size rank without
       // a single-partition sort (range-partition + local rank + offsets)
       graft.operators.Sampling.shardAssign(
-          t(s, d, "documents").withColumn("n_tokens",
-            size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long")),
+          t(s, d, "documents").withColumn("n_tokens", Text.tokenCount(col("text"))),
           col("doc_id"), col("n_tokens"), numShards = 8)
-        .select(col("doc_id"), col("n_tokens"), col("shard_id"))),
+        // shard_tokens IS n_tokens (the operator hands the evaluated sort
+        // key back) — projecting it instead of df-side n_tokens lets the
+        // join-side scan prune to doc_id, skipping a second text read
+        .select(col("doc_id"), col("shard_tokens").as("n_tokens"), col("shard_id"))),
 
     "text_unicode_nfc" -> ((s, d) => {
       // Unicode canonicalization: the corpus is ASCII, so decompose 'a' into
@@ -211,8 +212,7 @@ object SparkEntry {
       // token-budget packing: whitespace token counts, cumulative chunking
       // into 10k-token bins per language shard
       graft.operators.Sampling.packSequences(
-          t(s, d, "documents").withColumn("n_tokens",
-            size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long")),
+          t(s, d, "documents").withColumn("n_tokens", Text.tokenCount(col("text"))),
           col("lang"), col("doc_id"), col("n_tokens"), budget = 10000L)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))),
 

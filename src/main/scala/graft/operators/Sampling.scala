@@ -175,44 +175,61 @@ object Sampling {
     * The global rank is computed WITHOUT a single-partition sort (the naive
     * `row_number() over (order by …)` collapses 100 TB onto one task):
     * range-partition on the sort key, rank locally per partition, and add
-    * per-partition row-count offsets (a ≤-#partitions-row table, broadcast
-    * back). Ranks equal the global-sort ranks for ANY partition boundaries
-    * because the key order is total (size desc, id unique tiebreak), so the
-    * output is deterministic even though RangePartitioner samples. */
+    * per-partition row-count offsets (a ≤-#partitions-entry array on the
+    * driver). Ranks equal the global-sort ranks for ANY partition
+    * boundaries because the key order is total (size desc, id unique
+    * tiebreak), so the output is deterministic even though RangePartitioner
+    * samples.
+    *
+    * Output = `df`'s columns + `shard_id` + `shard_tokens` (the evaluated
+    * sort key, handed back so a caller whose token count is DERIVED — e.g.
+    * split+size over text — can project it without re-reading the text
+    * column on the join side; Catalyst then prunes the scan to the id). */
   def shardAssign(df: DataFrame, idCol: Column, tokensCol: Column, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftBridge
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
-    // Ranking runs on a NARROW (id, tokens, pid) projection behind a LAZY
-    // localCheckpoint: both the offsets aggregate and the rank window read
-    // __pid, and each must see the SAME partition boundaries.
-    // RangePartitioner samples with a per-RDD seed, so two independent
-    // executions of this exchange could legally pick different boundaries
-    // and misalign offsets against ranks. The lazy checkpoint pins a single
-    // RDD (one partitioner, one boundary set) that both consumers share and
-    // whose partitions are stored on first compute inside the caller's
-    // action — no eager blocking pre-pass (the r4-measured 2.5x regression
-    // of localCheckpoint(true)), and unlike persist() the blocks are
-    // reclaimed by the ContextCleaner when this DataFrame is GC'd, so
-    // library callers don't leak a cache-manager entry per invocation. The
-    // full-width rows never enter storage; (id, shard_id) joins back by id.
+    // Ranking runs on a NARROW (id, tokens) projection range-partitioned on
+    // the sort key. Both the per-partition offsets and the per-partition
+    // ranks must see the SAME boundaries — RangePartitioner samples with a
+    // per-RDD seed, so two independent executions of this exchange could
+    // legally pick different boundaries and misalign offsets against ranks.
+    // Pinning by INSTANCE identity (one toRdd; every consumer below reads
+    // this exact RDD, whose shuffle files Spark reuses across jobs) makes
+    // that impossible without storing anything: no checkpoint/persist of
+    // the projection (the r4-measured 2.5x regression was the eager
+    // checkpoint; the lazy form still paid per-row copies into block
+    // storage and a cache entry), nothing for a ContextCleaner to reclaim.
     val narrow = df.select(idCol.as("__sa_id"), tokensCol.as("__sa_tok"))
       .repartitionByRange(parts, col("__sa_tok").desc, col("__sa_id").asc)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
-    // per-partition counts are driver-tiny; the running offset is a window
-    // over that tiny table, then broadcast-joined back — no collect
-    val offsets = narrow.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset",
-        coalesce(sum(col("__cnt")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    val localRank = row_number().over(
-      Window.partitionBy(col("__pid")).orderBy(col("__sa_tok").desc, col("__sa_id").asc))
-    val mapping = narrow.join(broadcast(offsets), "__pid")
-      .withColumn("shard_id",
-        ((col("__offset") + localRank - 1) % numShards).cast("int"))
-      .select(col("__sa_id"), col("shard_id"))
+    val schema = narrow.schema
+    val rdd = narrow.queryExecution.toRdd
+    // per-partition row counts -> exclusive prefix offsets: one pass over
+    // the shuffle output (map stage reused, nothing sorted), O(#partitions)
+    // on the driver — same bounded-collect class as the IVF centroid tables
+    val nParts = rdd.getNumPartitions
+    val counts = new Array[Long](nParts)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
+      }.collect().foreach { case (pid, n) => counts(pid) = n }
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    var p = 0
+    while (p < nParts) { offsets(p) = acc; acc += counts(p); p += 1 }
+    // global rank = partition offset + position within the partition-local
+    // sort. monotonically_increasing_id() over the sorted stream IS that
+    // position (pid << 33 | local index), evaluated as rows leave the sort —
+    // no rank window, no exchange: the offset table rides the plan as a
+    // driver-tiny array literal indexed by pid. The full-width rows never
+    // enter the range shuffle; (id, tokens, shard_id) joins back by id.
+    val localIdx = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val pidCol = shiftright(col("__mid"), 33).cast("int")
+    val mapping = GraftBridge.internalDf(df.sparkSession, rdd, schema)
+      .sortWithinPartitions(col("__sa_tok").desc, col("__sa_id").asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .select(col("__sa_id"), col("__sa_tok").as("shard_tokens"),
+        ((element_at(lit(offsets), pidCol + 1) + localIdx) % numShards)
+          .cast("int").as("shard_id"))
     df.join(mapping, idCol === col("__sa_id")).drop("__sa_id")
   }
 

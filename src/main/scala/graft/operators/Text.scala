@@ -14,6 +14,17 @@ object Text {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Whitespace token count — ONE allocation-free native pass
+    * ([[graft.functions.WsTokenCountExpr]]), value-identical to
+    * `size(split(trim(regexp_replace(text, "\\s+", " ")), " "))` (and to the
+    * same composition over [[normalized]] text: lowercasing never creates or
+    * destroys whitespace). The composition it replaces allocates the full
+    * token array per row just to take its length. */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.WsTokenCountExpr(GraftBridge.toExpr(text)))
+  }
+
   /** Content fingerprint: md5 of the normalized text — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 

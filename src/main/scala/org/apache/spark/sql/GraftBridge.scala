@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Wrap an already-computed RDD of InternalRows as a DataFrame (the
+    * private[sql] internalCreateDataFrame). Re-consuming the SAME RDD
+    * instance is what lets an operator pin one exchange's partitioning
+    * across several jobs — Spark reuses the computed shuffle files — with
+    * nothing persisted. */
+  def internalDf(spark: SparkSession,
+                 rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -465,6 +465,29 @@ class DedupTextSpec extends SparkTestBase {
     assert(got.toSeq == Seq(2))
   }
 
+  test("native token count ≡ the trim/regexp/split/size composition") {
+    // WsTokenCountExpr must reproduce the split-based value on every edge:
+    // empty string (→1, the split artifact), all-whitespace (→1), leading/
+    // trailing runs, every Java-\s char including vertical tab, multi-byte
+    // UTF-8 (whose continuation bytes must never read as whitespace)
+    val fixtures = Seq("", " ", " \t\n\f\r ", "one", " one ", "a b",
+      "a\tb\nc", "a  b\t\t c", "日本語 テスト", "ünï code", "a b",
+      "xy", "  many   runs  of   space  ")
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab \t\n\f\r日ü"
+    val random = (1 to 300).map(_ =>
+      Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (fixtures ++ random).zipWithIndex.map(_.swap).toDF("id", "s")
+    val bad = df.select(col("id"), Text.tokenCount(col("s")).as("a"),
+        size(split(trim(regexp_replace(col("s"), "\\s+", " ")), " ")).cast("long").as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(bad.isEmpty, "native token count diverges from the composition")
+    // NULL passes through
+    val n = Seq((1, null: String)).toDF("id", "s")
+      .select(Text.tokenCount(col("s"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("native span-hash kernel ≡ the transform/slice/array_join composition") {
     // PosSpanHashExpr replaces the interpreted per-span build the DuckDB
     // oracles mirror — it must be bit-identical on every edge the old form

@@ -127,17 +127,16 @@ class SamplingSpec extends SparkTestBase {
       .groupBy("shard_id").agg(sum("n_tokens").as("t")).select("t").as[Long].collect()
     assert(totals.max - totals.min <= 410)
     // the data-path rank is distributed: the range exchange on the sort key
-    // runs inside the eager localCheckpoint (the plan downstream reads the
-    // materialized RDD), and the rank window is PARTITIONED by __pid — never
-    // a global single-partition sort of the data. The only SinglePartition
-    // exchange is the ≤-#partitions-row offsets table (driver-tiny).
+    // is frozen inside the one toRdd instance (the plan downstream scans
+    // that RDD), the rank is a partition-LOCAL sort + monotonic id — no
+    // rank window, no re-run of the range exchange, never a global
+    // single-partition sort of the data
     val assigned = Sampling.shardAssign(df, col("id"), col("n_tokens"), 8)
     val plan = assigned.queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(__pid"), s"rank window not pid-local:\n$plan")
+    assert(!plan.contains("Window"), s"rank should not use a window:\n$plan")
     assert(!plan.contains("rangepartitioning(__sa_tok"),
-      s"range exchange should be frozen inside the checkpoint, not re-run:\n$plan")
-    // and the checkpointed projection really was range-partitioned: multiple
-    // partitions, each sorted run covering a disjoint token range
-    assert(plan.contains("Scan ExistingRDD"), s"narrow projection not materialized:\n$plan")
+      s"range exchange should be frozen inside the pinned RDD, not re-run:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), s"pinned RDD not scanned:\n$plan")
+    assert(plan.contains("monotonically_increasing_id"), s"rank not the sorted monotonic id:\n$plan")
   }
 }
