@@ -1,30 +1,106 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{MinHashSigExpr, SimHash64Expr}
+import graft.functions.{DotProductExpr, HyperplaneSigExpr, MinHashSigExpr,
+  MysqlGeometryWktExpr, MysqlJsonBinaryExpr, PosSpanHashExpr, SimHash64Expr,
+  UnicodeNormalizeExpr, UnitVecExpr, WsTokenCountExpr}
 import graft.plans.TopOneWindowToMaxBy
 
-/** Session extensions: register the native expressions as SQL functions and
-  * install the latest-state optimizer rule. Enable with
-  * `spark.sql.extensions=graft.GraftExtensions` at session build, or
-  * per-session via `spark.experimental.extraOptimizations`.
+/** Session extensions: register the engine's native expressions as SQL
+  * functions and install the latest-state optimizer rule, so every scalar
+  * kernel the Column API exposes is equally reachable from `spark.sql`.
+  * Enable at session build with `spark.sql.extensions=graft.GraftExtensions`,
+  * or on an already-running session via [[GraftExtensions.install]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => TopOneWindowToMaxBy)
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64Expr(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
-      (args: Seq[Expression]) => args match {
-        case Seq(c, Literal(k: Int, _)) => MinHashSigExpr(c, k)
-        case _ => throw new IllegalArgumentException("minhash_sig(arr, k-literal)")
-      }))
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal, got $other")
+  }
+
+  private def strLit(fn: String, arg: String, e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a STRING literal, got $other")
+  }
+
+  private def arity(fn: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+    args
+  }
+
+  private def entry(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  /** Every registrable native expression. Config-bound expressions whose
+    * extra state is not literal-expressible (PQ codebooks, bloom bytes,
+    * centroid tables) stay Column-API-only by design — they are built by
+    * their operators, not typed by hand. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    entry("simhash64", classOf[SimHash64Expr]) { args =>
+      SimHash64Expr(arity("simhash64", 1)(args).head)
+    },
+    entry("minhash_sig", classOf[MinHashSigExpr]) { args =>
+      val Seq(c, k) = arity("minhash_sig", 2)(args)
+      MinHashSigExpr(c, intLit("minhash_sig", "k", k))
+    },
+    entry("ws_token_count", classOf[WsTokenCountExpr]) { args =>
+      WsTokenCountExpr(arity("ws_token_count", 1)(args).head)
+    },
+    entry("unicode_normalize", classOf[UnicodeNormalizeExpr]) { args =>
+      val Seq(c, f) = arity("unicode_normalize", 2)(args)
+      UnicodeNormalizeExpr(c, strLit("unicode_normalize", "form", f))
+    },
+    entry("dot_product", classOf[DotProductExpr]) { args =>
+      val Seq(a, b) = arity("dot_product", 2)(args)
+      DotProductExpr(a, b)
+    },
+    entry("unit_vec", classOf[UnitVecExpr]) { args =>
+      UnitVecExpr(arity("unit_vec", 1)(args).head)
+    },
+    entry("hyperplane_sig", classOf[HyperplaneSigExpr]) { args =>
+      val Seq(c, p, o) = arity("hyperplane_sig", 3)(args)
+      HyperplaneSigExpr(c, intLit("hyperplane_sig", "planes", p),
+        intLit("hyperplane_sig", "planeOffset", o))
+    },
+    entry("pos_span_hashes", classOf[PosSpanHashExpr]) { args =>
+      val Seq(c, n) = arity("pos_span_hashes", 2)(args)
+      PosSpanHashExpr(c, intLit("pos_span_hashes", "n", n))
+    },
+    entry("mysql_json_decode", classOf[MysqlJsonBinaryExpr]) { args =>
+      MysqlJsonBinaryExpr(arity("mysql_json_decode", 1)(args).head)
+    },
+    entry("mysql_geometry_wkt", classOf[MysqlGeometryWktExpr]) { args =>
+      MysqlGeometryWktExpr(arity("mysql_geometry_wkt", 1)(args).head)
+    }
+  )
+
+  /** Post-hoc installation into a session that was built without
+    * `spark.sql.extensions` — registers the same functions into the
+    * session's registry and appends the optimizer rule (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.GraftBridge.functionRegistry(spark)
+    functions.foreach { case (name, info, builder) =>
+      reg.registerFunction(name, info, builder)
+    }
+    if (!spark.experimental.extraOptimizations.contains(TopOneWindowToMaxBy))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopOneWindowToMaxBy
   }
 }

@@ -20,4 +20,10 @@ object GraftBridge {
                  rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** The session's function registry — the post-hoc doorway for
+    * [[graft.GraftExtensions.install]] on sessions built without
+    * `spark.sql.extensions`. */
+  def functionRegistry(spark: SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 }
