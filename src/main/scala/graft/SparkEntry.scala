@@ -900,10 +900,14 @@ object SparkEntry {
       // join for ANY centroid set, so the all-pairs oracle hash-matches
       // while the scan stays bucket-local.
       val emb = t(s, d, "embeddings")
+      // trainFraction 0.5: the quantizer trains on a deterministic
+      // hash-thinned half of the corpus (the 100 TB posture — FAISS trains
+      // on a bounded sample); provably output-neutral here, so the
+      // all-pairs oracle gates the sampled-training path too
       Similarity.ivfExactThreshold(
         emb, col("vec_id"), col("embedding"),
         emb.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
-        threshold = 0.35, k = 16, iters = 3)
+        threshold = 0.35, k = 16, iters = 3, trainFraction = 0.5)
     }),
 
     "sim_pq_encode" -> ((s, d) => {

@@ -226,8 +226,9 @@ object Similarity {
     * the answer must be exact. */
   def ivfExactThreshold(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                         queries: DataFrame, queryId: Column, queryVec: Column,
-                        threshold: Double, k: Int, iters: Int): DataFrame = {
-    val cts = kmeansCentroids(corpus, corpusId, corpusVec, k, iters)
+                        threshold: Double, k: Int, iters: Int,
+                        trainFraction: Double = 1.0): DataFrame = {
+    val cts = kmeansCentroids(corpus, corpusId, corpusVec, k, iters, trainFraction)
     val (assigned, clusters) = ivfClusterIndex(corpus, corpusId, corpusVec, cts)
     val probes = ivfProbes(clusters, queries, queryId, queryVec, threshold)
     probes.join(assigned, "centroid_id")
@@ -252,12 +253,23 @@ object Similarity {
     * frontier (at 100 TB: checkpoint) so lineage stays flat.
     *
     * Deterministic end to end: seed centroids are the first k vectors by
-    * id, ties in assignment break by centroid id. */
+    * id, ties in assignment break by centroid id.
+    *
+    * `trainFraction` < 1 trains on a deterministic hash-thinned sample
+    * (md5(id) threshold — the engine's standard reproducible sample) — the
+    * 100 TB posture: a coarse quantizer needs a representative sample, not
+    * the corpus (FAISS practice: train on 10⁵–10⁶ vectors regardless of
+    * index size; Jégou TPAMI'11 trains codebooks on a held-out learning
+    * set). Every downstream consumer that is exactness-preserving for ANY
+    * centroid set ([[ivfExactThreshold]]) is provably unaffected in output;
+    * only cluster tightness (speed) varies. */
   def kmeansCentroids(df: DataFrame, idCol: Column, vecCol: Column,
-                      k: Int, iters: Int): DataFrame = {
+                      k: Int, iters: Int, trainFraction: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
+    val base = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
+    val v = (if (trainFraction >= 1.0) base
+             else base.filter(Sampling.keepHash(col("vec_id"), trainFraction)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The centroid table is k·dim — driver-tiny at ANY corpus scale — so
     // each Lloyd round collects it local and re-emits a literal relation:

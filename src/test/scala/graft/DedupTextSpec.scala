@@ -255,6 +255,13 @@ class DedupTextSpec extends SparkTestBase {
         queries, col("vec_id"), col("embedding"), threshold = 0.9, k = 10, iters = 3)
       .as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty && ivf == exact)
+    // sampled quantizer training (the 100 TB posture) moves only the
+    // centroids — the exactness guarantee holds for ANY centroid set
+    val sampled = Similarity.ivfExactThreshold(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), threshold = 0.9, k = 10, iters = 3,
+        trainFraction = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sampled == exact)
     // the probe plan must rule out most (query, cluster) pairs: with 10
     // tight well-separated clusters, each query should probe ~its own
     val cts = Similarity.kmeansCentroids(vecs, col("vec_id"), col("embedding"), 10, 3)
