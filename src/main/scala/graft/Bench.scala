@@ -58,10 +58,17 @@ object Bench {
     // untimed, and the timed queries read the fixture and run only the
     // operator pipeline. The correctness gate (Verify) still runs the full
     // entries against the oracle; synthesis seconds are reported alongside.
+    // optional comma-separated headline filter — local iteration only (the
+    // driver sets neither, so its runs stay full)
+    val only: Set[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
+    val cdcSelected =
+      only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter")
     val cdcFix = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val synthT0 = System.nanoTime()
     val cdcOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      try {
+      if (!cdcSelected) Map.empty
+      else try {
         import org.apache.spark.sql.functions.{col, element_at}
         val events = SparkEntry.t(spark, sfDir, "events")
         graft.operators.EventsAsCdc.opsFromEvents(spark, events)
@@ -106,10 +113,6 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadStart = loadavg
 
-    // optional comma-separated headline filter — local iteration only (the
-    // driver sets neither, so its runs stay full)
-    val only: Set[String] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
     val results = headline.filter(n => only.isEmpty || only.contains(n)).flatMap { name =>
       SparkEntry.queries.get(name).map(full => cdcOverrides.getOrElse(name, full)).map { fn =>
         // repeated timed executions, report the fastest: first pass pays
