@@ -795,8 +795,7 @@ object SparkEntry {
       val labels = Dedup.resolveCanonical(
         Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
           n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))
-      Dedup.keepBest(labels, docs, "doc_id",
-        size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")).cast("long"))
+      Dedup.keepBest(labels, docs, "doc_id", Text.tokenCount(col("text")))
     }),
 
     "dedup_simhash" -> ((s, d) =>

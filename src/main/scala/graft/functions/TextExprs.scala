@@ -49,7 +49,7 @@ case class UnicodeNormalizeExpr(child: Expression, form: String) extends UnaryEx
   * the count of maximal runs of non-whitespace, EXCEPT that an empty or
   * all-whitespace string counts 1 (split of the empty string yields [""] in
   * both engines — the artifact is part of the contract). Whitespace is Java
-  * regex `\s` = the six ASCII chars [ \t\n\f\r], all single-byte in
+  * regex `\s` = the six ASCII chars [ \t\n\x0B\f\r], all single-byte in
   * UTF-8 with the high bit clear, so a byte scan never splits a multi-byte
   * code point. The regexp+split composition this replaces allocates the full
   * token array per row just to take its length — on a 100 TB text column the
