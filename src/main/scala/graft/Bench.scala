@@ -25,7 +25,8 @@ object Bench {
     "sample_mixture", "pipe_shard_assign", "text_unicode_nfc", "q_range_frame",
     "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "sim_pq_encode",
     "sim_ann_ivfadc",
-    "pipe_clean_corpus", "mm_media_meta"
+    "pipe_clean_corpus", "mm_media_meta",
+    "text_gopher_filter", "dedup_url", "dedup_semantic"
   )
 
   def main(args: Array[String]): Unit = {

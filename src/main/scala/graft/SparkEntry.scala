@@ -696,6 +696,44 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) =>
       operators.Text.lmBigramScore(t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    "text_gopher_filter" -> ((s, d) =>
+      // the published MassiveText document gate (Rae et al. 2021 A1.1) with
+      // per-rule metrics — scan-local, every ratio an exact ppm integer.
+      // minStopTypes tuned to 1 for the synthetic corpus (its vocabulary
+      // holds one Gopher stopword), so the gate VARIES and the oracle
+      // exercises both branches of every rule conjunction
+      operators.Text.gopherQuality(t(s, d, "documents"), col("text"),
+          minStopTypes = 1L)
+        .select("doc_id", "n_words", "mean_word_len_ppm", "symbol_ppm",
+          "alpha_word_ppm", "stop_types", "keep")),
+
+    "dedup_url" -> ((s, d) => {
+      // crawl-level URL dedup: canonicalize (scheme/fragment/www/default
+      // port/utm stripping, host lowercasing), then exact-group on the
+      // canonical key. URLs are synthesized from doc_id in four variant
+      // shapes that canonicalize into collision groups, so the
+      // normalization rules themselves are what the oracle gates.
+      val page = (col("doc_id") % 200).cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://www.example.com/page/"), page))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://example.com/page/"), page, lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://EXAMPLE.com:443/page/"), page, lit("?utm_source=feed")))
+        .otherwise(
+          concat(lit("https://example.com/page/"), page,
+            lit("?id="), page, lit("&utm_campaign=x#frag")))
+      val withCanon = t(s, d, "documents")
+        .select(col("doc_id"), operators.Text.canonicalizeUrl(url).as("canonical_url"))
+      // exact dedup on the canonical key: map-side-combined groupBy (the
+      // canonical URL space is ~unique per page — no skew), broadcast-back
+      val stats = withCanon.groupBy("canonical_url")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      withCanon.join(stats, Seq("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"), col("n_dups"),
+          (col("doc_id") === col("keep_id")).as("kept"))
+    }),
+
     "dedup_contamination" -> ((s, d) => {
       // train/eval decontamination: flag TRAINING docs (odd doc_id) whose
       // 3-gram Jaccard against any EVAL doc (even doc_id) is ≥ 0.8 — the
@@ -824,6 +862,18 @@ object SparkEntry {
       // for any centroids) and embeddingNearDupLsh are the drop-ins, both
       // spec-verified on clustered data.
       Dedup.embeddingNearDupBlocked(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
+
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): cluster-then-compare — the published
+      // sub-quadratic recipe for embedding dedup at low thresholds. Seed
+      // centroids (first 8 ids, the sim_ann_ivf convention) keep the
+      // clustering oracle-expressible; kmeansCentroids drops in unchanged.
+      val emb = t(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          Similarity.asDouble(col("embedding")).as("cvec"))
+      Dedup.semanticDedup(emb, col("vec_id"), col("embedding"), centroids, 0.4)
+    }),
 
     // ----- Similarity search -----
     "sim_brute_topk" -> ((s, d) => {
@@ -1663,6 +1713,74 @@ object SparkEntry {
          SELECT doc_id,
            CAST(floor((len(grams) - len(list_distinct(grams))) * 1000000.0 / len(grams)) AS BIGINT) AS rep3_ppm
          FROM g""",
+
+    "text_gopher_filter" ->
+      """WITH m AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+           length(regexp_replace(text, '\s', '', 'g')) AS nsp_chars,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+           CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             w -> list_contains(regexp_split_to_array(trim(text), '\s+'), w))) AS BIGINT) AS stop_types
+         FROM documents)
+         SELECT doc_id, n_words,
+           CAST(floor(nsp_chars * 1000000.0 / n_words) AS BIGINT) AS mean_word_len_ppm,
+           CAST(floor((n_hash + n_ellipsis) * 1000000.0 / n_words) AS BIGINT) AS symbol_ppm,
+           CAST(floor(n_alpha_words * 1000000.0 / n_words) AS BIGINT) AS alpha_word_ppm,
+           stop_types,
+           (n_words BETWEEN 50 AND 100000
+             AND floor(nsp_chars * 1000000.0 / n_words) BETWEEN 3000000 AND 10000000
+             AND floor((n_hash + n_ellipsis) * 1000000.0 / n_words) <= 100000
+             AND floor(n_alpha_words * 1000000.0 / n_words) >= 800000
+             AND stop_types >= 1) AS keep
+         FROM m""",
+
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'https://www.example.com/page/' || CAST(doc_id % 200 AS VARCHAR)
+             WHEN 1 THEN 'http://example.com/page/' || CAST(doc_id % 200 AS VARCHAR) || '/'
+             WHEN 2 THEN 'https://EXAMPLE.com:443/page/' || CAST(doc_id % 200 AS VARCHAR) || '?utm_source=feed'
+             ELSE 'https://example.com/page/' || CAST(doc_id % 200 AS VARCHAR)
+                  || '?id=' || CAST(doc_id % 200 AS VARCHAR) || '&utm_campaign=x#frag'
+           END AS url FROM documents),
+         s1 AS (SELECT doc_id,
+           regexp_replace(regexp_replace(url, '#.*$', ''), '(?i)^https?://', '') AS nu
+         FROM u),
+         hp AS (SELECT doc_id,
+           regexp_replace(regexp_replace(
+             lower(regexp_extract(nu, '^([^/?]*)', 1)), '^www\.', ''), ':(80|443)$', '') AS host,
+           regexp_replace(nu, '^[^/?]*', '') AS rest FROM s1),
+         q AS (SELECT doc_id, host,
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(rest, '&utm_[a-z0-9_]+=[^&]*', '', 'gi'),
+             '\?utm_[a-z0-9_]+=[^&]*&', '?', 'i'),
+             '\?utm_[a-z0-9_]+=[^&]*$', '', 'i'),
+             '/$', '') AS path FROM hp),
+         c AS (SELECT doc_id, host || path AS canonical_url FROM q),
+         g AS (SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+               FROM c GROUP BY 1)
+         SELECT c.doc_id, c.canonical_url, g.n_dups,
+           c.doc_id = g.keep_id AS kept
+         FROM c JOIN g USING (canonical_url)""",
+
+    "dedup_semantic" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         a AS (SELECT vec_id, centroid_id, vv FROM v, c
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+                 round(list_dot_product(vv, cv)
+                   / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                 centroid_id) = 1),
+         d AS (SELECT DISTINCT a1.vec_id FROM a a1 JOIN a a2
+                 ON a1.centroid_id = a2.centroid_id AND a2.vec_id < a1.vec_id
+               WHERE round(list_dot_product(a1.vv, a2.vv)
+                 / (sqrt(list_dot_product(a1.vv, a1.vv)) * sqrt(list_dot_product(a2.vv, a2.vv))), 6) >= 0.4)
+         SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
+         FROM a LEFT JOIN d ON a.vec_id = d.vec_id""",
 
     "text_lm_score" ->
       """WITH toks AS (

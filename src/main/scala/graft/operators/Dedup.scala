@@ -406,6 +406,45 @@ object Dedup {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * cluster-then-compare — assign every embedding to its nearest centroid
+    * (one scan-local codegen'd argmax, [[Similarity.ivfAssign]]), compare
+    * pairs ONLY within a cluster, and drop every row with a same-cluster
+    * neighbor at cosine ≥ `threshold` and a smaller id (a deterministic
+    * keep rule; the paper keeps the member farthest from the centroid —
+    * any total order works, and lowest-id is reproducible across runs and
+    * engines). Output: (vec_id, centroid_id, kept) for every input row.
+    *
+    * Scale shape — this IS the published 100 TB recipe for embedding dedup
+    * at thresholds where hyperplane banding has no selectivity (see
+    * [[embeddingNearDupBlocked]]'s measurement): the within-cluster
+    * product costs Σ n_c² ≪ n² dot products for any reasonable k, each
+    * cluster's block is an independent task, and the only wide ops are the
+    * two shuffles on centroid_id (AQE skew-split handles a hot cluster; a
+    * pathologically giant cluster sub-tiles with the blocked form).
+    * Precision is exact (native dot, round-6 cosine — the oracle's float-op
+    * order); recall is bounded by the clustering, which is the algorithm's
+    * documented trade. */
+  def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      .withColumn("__sd_n", sqrt(Similarity.dot(col("v"), col("v"))))
+    val right = assigned.select(col("centroid_id"), col("vec_id").as("__sd_bid"),
+      col("v").as("__sd_bv"), col("__sd_n").as("__sd_bn"))
+    // a row drops iff a smaller-id same-cluster neighbor clears the
+    // threshold; distinct before the flag join so multi-witness rows count
+    // once. Norms precompute per row — each candidate pair costs ONE
+    // codegen'd native dot plus a divide, in dot/(|a|·|b|) oracle order.
+    val dropped = assigned.join(right, Seq("centroid_id"))
+      .filter(col("__sd_bid") < col("vec_id") &&
+        round(Similarity.dot(col("v"), col("__sd_bv")) /
+          (col("__sd_n") * col("__sd_bn")), 6) >= threshold)
+      .select("vec_id").distinct()
+    assigned.join(dropped.withColumn("__sd_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("__sd_dup"), lit(false)) === lit(false) as "kept")
+  }
+
   /** Embedding near-dup via banded random-hyperplane LSH. Each band signs
     * the vector against its own hyperplane family; a pair becomes a
     * candidate when ALL sign bits of at least one band agree; exact cosine

@@ -80,6 +80,81 @@ object Text {
 
   private val EnStopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is")
 
+  /** The Gopher rule-set stopword list (Rae et al. 2021, appendix A1.1):
+    * a document must contain at least 2 of these WORD TYPES to pass. */
+  private val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality gate (Rae et al. 2021, "Scaling Language
+    * Models", appendix A1.1 — the MassiveText filter): the document-level
+    * rules that need no line structure, each surfaced as its own metric so
+    * a pipeline can audit WHICH rule fired — the filter-debugging loop of a
+    * corpus build. Appends:
+    *   - `n_words`             whitespace word count ∈ [50, 100 000]
+    *   - `mean_word_len_ppm`   non-whitespace chars ·1e6 / words ∈ [3e6, 10e6]
+    *   - `symbol_ppm`          ('#' chars + '...' runs) ·1e6 / words ≤ 1e5
+    *   - `alpha_word_ppm`      words containing ≥1 alpha char ·1e6 / words ≥ 8e5
+    *   - `stop_types`          distinct Gopher stopwords present ≥ 2
+    *   - `keep`                the conjunction of the five rules
+    * All ratios are exact ppm integers ([[ppm]]) so the gate is
+    * engine-stable. Pure per-row projection — no UDF, no shuffle; runs at
+    * parquet-scan speed on 100 TB. Defaults are the paper's thresholds;
+    * real pipelines tune the bounds per corpus (the knobs exist for that). */
+  def gopherQuality(df: DataFrame, textCol: Column,
+                    minWords: Long = 50L, maxWords: Long = 100000L,
+                    minStopTypes: Long = 2L): DataFrame = {
+    val toks = split(trim(textCol), "\\s+")
+    val nWords = size(toks).cast("long")
+    val meanLenPpm = ppm(length(regexp_replace(textCol, "\\s", "")), nWords)
+    val hashes = length(textCol) - length(regexp_replace(textCol, "#", ""))
+    // '...' runs count leftmost non-overlapping (regex ≡ literal replace);
+    // the length delta is exactly 3·matches so the division is exact
+    val ellipses = ((length(textCol) -
+      length(regexp_replace(textCol, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbolPpm = ppm(hashes + ellipses, nWords)
+    val alphaPpm = ppm(size(filter(toks, t => t.rlike("[A-Za-z]"))), nWords)
+    // distinct stopword TYPES present (not occurrence count): probe the
+    // 8-word list against the token array — O(8·n) scan-local, no explode
+    val stopTypes = size(filter(
+      array(GopherStopwords.map(lit): _*), w => array_contains(toks, w))).cast("long")
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len_ppm", meanLenPpm)
+      .withColumn("symbol_ppm", symbolPpm)
+      .withColumn("alpha_word_ppm", alphaPpm)
+      .withColumn("stop_types", stopTypes)
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len_ppm").between(3000000L, 10000000L) &&
+          col("symbol_ppm") <= 100000L &&
+          col("alpha_word_ppm") >= 800000L &&
+          col("stop_types") >= minStopTypes)
+  }
+
+  /** Canonical URL for crawl-level dedup — the URL-normalization key of
+    * CCNet/RefinedWeb-style pipelines (Penedo et al. 2023 §3.1 dedupe by
+    * URL after normalization). Rules, applied as one RE2-compatible regexp
+    * chain (identical semantics in Spark and any RE2 engine; no UDF):
+    * strip the fragment, strip the http/https scheme, lowercase the host,
+    * drop a leading "www.", drop explicit default ports :80/:443, drop
+    * utm_* tracking params (other query params survive in order), and drop
+    * one trailing slash. Scan-local projection — the dedup itself is then
+    * an exact groupBy on the canonical key. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "(?i)^https?://", "")
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noScheme, "^([^/?]*)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val rest0 = regexp_replace(noScheme, "^[^/?]*", "")
+    // utm params: interior "&utm_x=v" drop outright; a leading "?utm_x=v&"
+    // promotes the next param to lead; a lone "?utm_x=v" drops with its "?"
+    val utm1 = regexp_replace(rest0, "(?i)&utm_[a-z0-9_]+=[^&]*", "")
+    val utm2 = regexp_replace(utm1, "(?i)\\?utm_[a-z0-9_]+=[^&]*&", "?")
+    val utm3 = regexp_replace(utm2, "(?i)\\?utm_[a-z0-9_]+=[^&]*$", "")
+    concat(host, regexp_replace(utm3, "/$", ""))
+  }
+
   /** Exact ratio in parts-per-million: floor((a*1e6)/b) over identical IEEE
     * doubles — deterministic across engines, unlike decimal rounding modes. */
   def ppm(a: Column, b: Column): Column =

@@ -440,6 +440,71 @@ class DedupTextSpec extends SparkTestBase {
     assert(fp1 == fp2)
   }
 
+  test("URL canonicalization: scheme/www/port/utm/fragment/trailing-slash rules") {
+    val cases = Seq(
+      // path case PRESERVED while host lowercases; default port drops
+      "https://www.Example.com:443/Page/7?utm_source=x#frag" -> "example.com/Page/7",
+      "http://example.com/page/7/" -> "example.com/page/7",
+      "HTTPS://EXAMPLE.COM/page/7?id=3&utm_campaign=c" -> "example.com/page/7?id=3",
+      // every param utm_: leading drops with its '?', interior drops outright
+      "https://example.com/page/7?utm_a=1&utm_b=2" -> "example.com/page/7",
+      // leading utm promotes the next param to lead
+      "https://example.com/page/7?utm_a=1&id=3" -> "example.com/page/7?id=3",
+      "http://www.example.com:80" -> "example.com",
+      // non-default port and non-utm params survive, in order
+      "https://sub.example.com:8080/a?y=2&x=1" -> "sub.example.com:8080/a?y=2&x=1")
+    val out = cases.map(_._1).toDF("url")
+      .select(Text.canonicalizeUrl(col("url")).as("c")).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("gopher gate: each rule flips on its own planted violation") {
+    val fifty = Seq.fill(47)("word").mkString(" ")
+    val df = Seq(
+      (1L, s"the of and $fifty"),                         // 50 words, 3 stop types: pass
+      (2L, "the of and word word word"),                  // 6 words: too short
+      (3L, s"the of and $fifty ${Seq.fill(20)("#").mkString(" ")}"), // hash-heavy
+      (4L, ("the of " + Seq.fill(48)("12345").mkString(" "))), // numeric words
+      (5L, fifty + " word word word"))                    // zero stopwords
+      .toDF("doc_id", "text")
+    val out = Text.gopherQuality(df, col("text"))
+      .select("doc_id", "n_words", "symbol_ppm", "alpha_word_ppm", "stop_types", "keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._6, "clean 50-word doc with 3 stopword types must pass")
+    assert(out(2L)._2 == 6 && !out(2L)._6)
+    assert(out(3L)._3 > 100000L && !out(3L)._6)           // symbol ratio rule
+    assert(out(4L)._4 < 800000L && !out(4L)._6)           // alpha-word rule
+    assert(out(5L)._5 == 0L && !out(5L)._6)               // stopword floor
+    // '...' ellipses count as symbols too, leftmost non-overlapping
+    val ell = Seq((9L, s"the of and $fifty ... ... .."))
+      .toDF("doc_id", "text")
+    val sym = Text.gopherQuality(ell, col("text"))
+      .select("symbol_ppm").as[Long].collect()(0)
+    assert(sym == math.floor(2 * 1000000.0 / 53).toLong)
+  }
+
+  test("semantic dedup drops within-cluster near-dups, keeps cross-cluster pairs") {
+    // two axis clusters; 14/15 are a TRUE near-dup pair split across the
+    // cluster boundary — SemDeDup's documented recall trade keeps both
+    val corpus = Seq(
+      (10L, Seq(0.90f, 0.10f)), (11L, Seq(0.91f, 0.09f)), // near-dups, cluster 0
+      (12L, Seq(0.10f, 0.95f)),                           // lone member, cluster 1
+      (14L, Seq(0.70f, 0.71f)), (15L, Seq(0.71f, 0.70f))  // near-dups across clusters
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+    val out = Dedup.semanticDedup(corpus, col("vec_id"), col("embedding"), centroids, 0.95)
+      .select("vec_id", "centroid_id", "kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) == (0L, true) && out(11L) == (0L, false)) // 11 loses to smaller id 10
+    assert(out(12L) == (1L, true))
+    assert(out(14L) == (1L, true) && out(15L) == (0L, true)) // split pair: both kept
+    // sanity: the pair really is above threshold when compared exactly
+    val sim = Dedup.embeddingNearDupPairs(
+      corpus.filter(col("vec_id") >= 14L), col("vec_id"), col("embedding"), 0.95).count()
+    assert(sim == 1L)
+  }
+
   test("bounded top-k aggregate ≡ row_number window on randomized inputs") {
     // TopKByScoreAgg's heap eviction, serde, and merge paths must preserve
     // the exact (score desc, id asc) total order the windows it replaced
