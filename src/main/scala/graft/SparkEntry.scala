@@ -860,7 +860,9 @@ object SparkEntry {
       // when data IS clusterable or the threshold is high: IVF-partition
       // then block within clusters — ivfExactThreshold (proven output-equal
       // for any centroids) and embeddingNearDupLsh are the drop-ins, both
-      // spec-verified on clustered data.
+      // spec-verified on clustered data; Dedup.semanticDedup (dedup_semantic)
+      // is the published within-cluster-only form of that recipe (SemDeDup —
+      // accepts the cross-cluster recall trade in exchange for Σn_c² work).
       Dedup.embeddingNearDupBlocked(t(s, d, "embeddings"), col("vec_id"), col("embedding"), 0.4)),
 
     "dedup_semantic" -> ((s, d) => {

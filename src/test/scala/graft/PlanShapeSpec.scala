@@ -92,4 +92,22 @@ class PlanShapeSpec extends SparkTestBase {
     // mixture upsampling is a pure scan-side explode — zero exchanges
     assert(!plan("sample_mixture").contains("Exchange"))
   }
+
+  test("round-5 operators: gopher gate scan-local; url/semantic dedup cross-product-free") {
+    // the gopher gate is a pure per-row projection — zero data movement
+    assert(!plan("text_gopher_filter").contains("Exchange"),
+      "gopher quality gate must not shuffle")
+    // URL dedup = canonical-key groupBy + join-back; SemDeDup = two
+    // centroid_id equi-joins. Neither may degrade to a cross product —
+    // that's the difference between Σn_c² and n² at 100 TB
+    Seq("dedup_url", "dedup_semantic").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cross product")
+    }
+    // SemDeDup's assignment stage must keep ivfAssign's scan-local shape:
+    // the only wide ops are the centroid_id shuffles of the pair join
+    val sd = plan("dedup_semantic")
+    assert(!sd.contains("Window"), "semantic dedup must not plan a window")
+  }
 }
