@@ -420,22 +420,40 @@ object Dedup {
     * [[embeddingNearDupBlocked]]'s measurement): the within-cluster
     * product costs Σ n_c² ≪ n² dot products for any reasonable k, each
     * cluster's block is an independent task, and the only wide ops are the
-    * two shuffles on centroid_id (AQE skew-split handles a hot cluster; a
-    * pathologically giant cluster sub-tiles with the blocked form).
-    * Precision is exact (native dot, round-6 cosine — the oracle's float-op
-    * order); recall is bounded by the clustering, which is the algorithm's
-    * documented trade. */
+    * two shuffles on centroid_id.
+    *
+    * Join parallelism: centroid_id alone has only k distinct values, but
+    * that caps nothing in practice — when one side fits the broadcast
+    * threshold the pair join plans as a BroadcastHashJoin (parallelism =
+    * left partitions, key count irrelevant; measured: the default plan
+    * here), and when both sides are corpus-scale the shuffle join's hot
+    * partitions are split adaptively by AQE's skew-join rule. `blocks` > 1
+    * block-salts the join STATICALLY for the remaining case (AQE off,
+    * static planning): left hashes into B blocks, right replicates into
+    * every block, key becomes (centroid_id, block) — k·B-way parallel,
+    * each pair still compared exactly once, output provably invariant for
+    * any B (spec-pinned). Default 1: measured 27% faster than B=4 at ×10
+    * because the salt's only effect under a broadcast plan is to multiply
+    * the broadcast payload. Precision is exact (native dot, round-6
+    * cosine — the oracle's float-op order); recall is bounded by the
+    * clustering, which is the algorithm's documented trade. */
   def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
-                    centroids: DataFrame, threshold: Double): DataFrame = {
+                    centroids: DataFrame, threshold: Double,
+                    blocks: Int = 1): DataFrame = {
+    require(blocks >= 0, "blocks must be >= 0 (0 = default)")
+    val b = blocks.max(1)
     val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
       .withColumn("__sd_n", sqrt(Similarity.dot(col("v"), col("v"))))
     val right = assigned.select(col("centroid_id"), col("vec_id").as("__sd_bid"),
-      col("v").as("__sd_bv"), col("__sd_n").as("__sd_bn"))
+        col("v").as("__sd_bv"), col("__sd_n").as("__sd_bn"))
+      .withColumn("__sd_blk", explode(sequence(lit(0), lit(b - 1))))
+    val left = assigned
+      .withColumn("__sd_blk", pmod(xxhash64(col("vec_id")), lit(b.toLong)).cast("int"))
     // a row drops iff a smaller-id same-cluster neighbor clears the
     // threshold; distinct before the flag join so multi-witness rows count
     // once. Norms precompute per row — each candidate pair costs ONE
     // codegen'd native dot plus a divide, in dot/(|a|·|b|) oracle order.
-    val dropped = assigned.join(right, Seq("centroid_id"))
+    val dropped = left.join(right, Seq("centroid_id", "__sd_blk"))
       .filter(col("__sd_bid") < col("vec_id") &&
         round(Similarity.dot(col("v"), col("__sd_bv")) /
           (col("__sd_n") * col("__sd_bn")), 6) >= threshold)

@@ -505,6 +505,27 @@ class DedupTextSpec extends SparkTestBase {
     assert(sim == 1L)
   }
 
+  test("semantic dedup: block-salted pair join is output-invariant for any B") {
+    // 200 deterministic pseudo-random vectors, 4 centroids; the block salt
+    // changes ONLY how pairs distribute over tasks, never which pairs are
+    // compared — B=1 (single key per cluster) must equal B=7 (salted) and
+    // the auto default exactly, including every kept flag
+    val corpus = spark.range(0, 200).select(col("id").as("vec_id"),
+      array((0 until 4).map(j =>
+        (pmod(xxhash64(col("id") * 31 + lit(j)), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")): _*).as("embedding"))
+    val centroids = spark.range(0, 4).select(col("id").as("centroid_id"),
+      array((0 until 4).map(j =>
+        when(col("id") === j, lit(1.0)).otherwise(lit(0.0))): _*).as("cvec"))
+    def run(b: Int) = Dedup.semanticDedup(
+        corpus, col("vec_id"), col("embedding"), centroids, 0.9, blocks = b)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect().toSeq
+    val base = run(1)
+    assert(base.exists(!_._3) && base.exists(_._3), "fixture must have dups and survivors")
+    assert(run(7) == base)
+    assert(run(0) == base) // 0 normalizes to the default
+  }
+
   test("bounded top-k aggregate ≡ row_number window on randomized inputs") {
     // TopKByScoreAgg's heap eviction, serde, and merge paths must preserve
     // the exact (score desc, id asc) total order the windows it replaced
