@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DotProductExpr, HyperplaneSigExpr, MinHashSigExpr,
-  MysqlGeometryWktExpr, MysqlJsonBinaryExpr, PosSpanHashExpr, SimHash64Expr,
-  UnicodeNormalizeExpr, UnitVecExpr, WsTokenCountExpr}
+import graft.functions.{DotProductExpr, GopherStatsExpr, HyperplaneSigExpr,
+  MinHashSigExpr, MysqlGeometryWktExpr, MysqlJsonBinaryExpr, PosSpanHashExpr,
+  SimHash64Expr, UnicodeNormalizeExpr, UnitVecExpr, WsTokenCountExpr}
 import graft.plans.TopOneWindowToMaxBy
 
 /** Session extensions: register the engine's native expressions as SQL
@@ -62,6 +62,9 @@ object GraftExtensions {
     },
     entry("ws_token_count", classOf[WsTokenCountExpr]) { args =>
       WsTokenCountExpr(arity("ws_token_count", 1)(args).head)
+    },
+    entry("gopher_stats", classOf[GopherStatsExpr]) { args =>
+      GopherStatsExpr(arity("gopher_stats", 1)(args).head)
     },
     entry("unicode_normalize", classOf[UnicodeNormalizeExpr]) { args =>
       val Seq(c, f) = arity("unicode_normalize", 2)(args)

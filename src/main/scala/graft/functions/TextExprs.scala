@@ -93,3 +93,133 @@ object WsTokenCountExpr {
     if (runs == 0L) 1L else runs // split("") == [""] in every engine
   }
 }
+
+/** All five Gopher-gate metrics (Rae et al. 2021 A1.1) in ONE
+  * allocation-free byte pass — value-identical to the five-expression
+  * regex/HOF composition the DuckDB oracles compute (which pays two
+  * interpreted lambda filters, three regexp passes, and a token-array
+  * allocation per row — on a 100 TB quality sweep that composition IS the
+  * scan cost). Returns `array<long>` of:
+  *
+  *   1. n_words      — `size(split(trim(text), "\s+"))`: count of non-ws
+  *                     runs after stripping 0x20 (and ONLY 0x20 — Spark
+  *                     trim) from both ends, PLUS one leading/trailing
+  *                     empty token when the trimmed region starts/ends in
+  *                     non-space whitespace, and 1 for the empty region
+  *                     (split("") == [""]) — the exact split(-1) contract.
+  *   2. nsp_chars    — codepoints not in Java-regex `\s` (the six ASCII
+  *                     chars [ \t\n\x0B\f\r]; a codepoint = a non-
+  *                     continuation byte, so multi-byte chars count once —
+  *                     `length(regexp_replace(text, "\s", ""))`).
+  *   3. alpha_words  — runs containing ≥1 ASCII letter
+  *                     (`filter(toks, rlike("[A-Za-z]"))`).
+  *   4. stop_types   — DISTINCT Gopher stopwords present as exact tokens
+  *                     (the/be/to/of/and/that/have/with), via bitmask.
+  *   5. symbols      — '#' codepoints + leftmost non-overlapping '...'
+  *                     matches (the regex-replace length-delta contract).
+  *
+  * Whitespace and letters are ASCII-only by the composition's own
+  * definition, so the byte scan never splits a multi-byte code point. */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GopherStatsExpr.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherStatsExpr.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
+}
+
+object GopherStatsExpr {
+  private val StopWords: Array[Array[Byte]] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def matchStop(s: UTF8String, off: Int, len: Int): Int = {
+    var m = 0
+    var w = 0
+    while (w < StopWords.length) {
+      val sw = StopWords(w)
+      if (sw.length == len) {
+        var j = 0
+        while (j < len && s.getByte(off + j) == sw(j)) j += 1
+        if (j == len) m |= 1 << w
+      }
+      w += 1
+    }
+    m
+  }
+
+  def stats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numBytes()
+    // full-string counters: non-ws codepoints, '#' chars, '...' runs.
+    // An ellipsis consumes its three dots atomically (leftmost non-
+    // overlapping, the regex contract) — they still count as 3 nsp chars.
+    var nsp = 0L
+    var hashes = 0L
+    var ellipses = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == '.' && i + 2 < n && s.getByte(i + 1) == '.' && s.getByte(i + 2) == '.') {
+        ellipses += 1; nsp += 3; i += 3
+      } else {
+        if ((b & 0xC0) != 0x80 && !isWs(b)) nsp += 1
+        if (b == '#') hashes += 1
+        i += 1
+      }
+    }
+    // token region: strip 0x20 (and only 0x20) from both ends — Spark trim
+    var lo = 0
+    while (lo < n && s.getByte(lo) == ' ') lo += 1
+    var hi = n
+    while (hi > lo && s.getByte(hi - 1) == ' ') hi -= 1
+    var nWords = 0L
+    var alphaWords = 0L
+    var stopMask = 0
+    if (hi == lo) nWords = 1L // split("") == [""]
+    else {
+      // split(…, -1) keeps a leading/trailing empty token when the region
+      // starts/ends in (non-space) whitespace
+      if (isWs(s.getByte(lo))) nWords += 1
+      if (isWs(s.getByte(hi - 1))) nWords += 1
+      var j = lo
+      var runStart = -1
+      var runAlpha = false
+      while (j <= hi) {
+        val inWord = j < hi && !isWs(s.getByte(j))
+        if (inWord) {
+          val b = s.getByte(j)
+          if (runStart < 0) { runStart = j; runAlpha = false }
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) runAlpha = true
+        } else if (runStart >= 0) {
+          nWords += 1
+          if (runAlpha) alphaWords += 1
+          stopMask |= matchStop(s, runStart, j - runStart)
+          runStart = -1
+        }
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(nWords, nsp, alphaWords,
+        java.lang.Integer.bitCount(stopMask).toLong, hashes + ellipses))
+  }
+}

@@ -103,6 +103,35 @@ object Text {
   def gopherQuality(df: DataFrame, textCol: Column,
                     minWords: Long = 50L, maxWords: Long = 100000L,
                     minStopTypes: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    // all five raw metrics come from ONE native byte pass
+    // ([[graft.functions.GopherStatsExpr]] — value-identical to the
+    // two-lambda-filter + three-regexp composition the oracle computes,
+    // which allocated a token array per row just to take counts off it).
+    // The array lands in its own projection: element_at references below
+    // must NOT inline the kernel five times (CollapseProject keeps
+    // multi-referenced non-cheap expressions materialized).
+    val stats = GraftBridge.toCol(
+      graft.functions.GopherStatsExpr(GraftBridge.toExpr(textCol)))
+    df.withColumn("__gstats", stats)
+      .withColumn("n_words", element_at(col("__gstats"), 1))
+      .withColumn("mean_word_len_ppm", ppm(element_at(col("__gstats"), 2), col("n_words")))
+      .withColumn("symbol_ppm", ppm(element_at(col("__gstats"), 5), col("n_words")))
+      .withColumn("alpha_word_ppm", ppm(element_at(col("__gstats"), 3), col("n_words")))
+      .withColumn("stop_types", element_at(col("__gstats"), 4))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len_ppm").between(3000000L, 10000000L) &&
+          col("symbol_ppm") <= 100000L &&
+          col("alpha_word_ppm") >= 800000L &&
+          col("stop_types") >= minStopTypes)
+      .drop("__gstats")
+  }
+
+  /** The regex/HOF composition [[gopherQuality]]'s native kernel replaces —
+    * kept as the executable specification: the equivalence spec drives both
+    * over adversarial inputs and the DuckDB oracle computes exactly this. */
+  private[graft] def gopherQualityComposed(df: DataFrame, textCol: Column): DataFrame = {
     val toks = split(trim(textCol), "\\s+")
     val nWords = size(toks).cast("long")
     val meanLenPpm = ppm(length(regexp_replace(textCol, "\\s", "")), nWords)
@@ -113,8 +142,6 @@ object Text {
       length(regexp_replace(textCol, "\\.\\.\\.", ""))) / 3).cast("long")
     val symbolPpm = ppm(hashes + ellipses, nWords)
     val alphaPpm = ppm(size(filter(toks, t => t.rlike("[A-Za-z]"))), nWords)
-    // distinct stopword TYPES present (not occurrence count): probe the
-    // 8-word list against the token array — O(8·n) scan-local, no explode
     val stopTypes = size(filter(
       array(GopherStopwords.map(lit): _*), w => array_contains(toks, w))).cast("long")
     df.withColumn("n_words", nWords)
@@ -122,12 +149,6 @@ object Text {
       .withColumn("symbol_ppm", symbolPpm)
       .withColumn("alpha_word_ppm", alphaPpm)
       .withColumn("stop_types", stopTypes)
-      .withColumn("keep",
-        col("n_words").between(minWords, maxWords) &&
-          col("mean_word_len_ppm").between(3000000L, 10000000L) &&
-          col("symbol_ppm") <= 100000L &&
-          col("alpha_word_ppm") >= 800000L &&
-          col("stop_types") >= minStopTypes)
   }
 
   /** Canonical URL for crawl-level dedup — the URL-normalization key of

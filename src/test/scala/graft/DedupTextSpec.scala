@@ -505,6 +505,42 @@ class DedupTextSpec extends SparkTestBase {
     assert(sim == 1L)
   }
 
+  test("native gopher stats ≡ the regex/HOF composition on adversarial inputs") {
+    // the kernel replaces split(trim)/regexp_replace/lambda-filter exactly —
+    // including the split(-1) empty-token artifacts, trim-strips-only-0x20,
+    // ASCII-only \s and [A-Za-z], codepoint (not byte) counting, and
+    // leftmost non-overlapping '...' consumption
+    val adversarial = Seq(
+      "", " ", "   ", "\t", " \t ", "a", " a ", "\ta\t",
+      "the them theater be to of and that have with",
+      "The THE the",                        // token equality is case-sensitive
+      "h\u00e9llo w\u00f6rld \u4f60\u597d", // multibyte; CJK has no ASCII alpha
+      "\ud83d\ude00 emoji only",            // astral plane (4-byte UTF-8)
+      "a.b ... .... ..... ......",          // ellipsis boundary cases
+      "## #tag # ...",
+      "12345 67890 the",
+      "word\u00a0word",                     // NBSP is NOT Java \s — one token
+      "tab\tsep\nlines\rand\u000bmore\fws",
+      "trailing space ", " leading", "dots... end...")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab .\t#\n\u00e9\u4e16."
+    val fuzz = (0 until 200).map(_ => (0 until rnd.nextInt(30)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (adversarial ++ fuzz).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id", "n_words", "mean_word_len_ppm", "symbol_ppm",
+      "alpha_word_ppm", "stop_types")
+    val native = Text.gopherQuality(df, col("text"), minStopTypes = 1)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val composed = Text.gopherQualityComposed(df, col("text"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    assert(native == composed)
+    // the kernel must evaluate ONCE per row, not once per derived column
+    val plan = Text.gopherQuality(df, col("text")).queryExecution.executedPlan.toString
+    assert("gopher_stats".r.findAllIn(plan).size <= 1,
+      s"gopher_stats kernel inlined into multiple columns:\n$plan")
+  }
+
   test("semantic dedup: block-salted pair join is output-invariant for any B") {
     // 200 deterministic pseudo-random vectors, 4 centroids; the block salt
     // changes ONLY how pairs distribute over tasks, never which pairs are
