@@ -707,6 +707,33 @@ object SparkEntry {
         .select("doc_id", "n_words", "mean_word_len_ppm", "symbol_ppm",
           "alpha_word_ppm", "stop_types", "keep")),
 
+    "text_c4_clean" -> ((s, d) => {
+      // C4 line-level cleaning (Raffel et al. 2020 §2.2): line-ending
+      // punctuation / min-words / javascript line rules, lorem-ipsum /
+      // curly-brace / min-lines page rules. The synthetic corpus is
+      // single-line, so the query first synthesizes a deterministic
+      // multi-line page from each doc's bytes (same fixture-synthesis
+      // discipline as dedup_url) — every rule then has both a passing and
+      // a violating population: doc_id%3 plants a javascript line, %7 a
+      // curly-brace page, %11 a lorem-ipsum page, and short docs starve
+      // the later substrings into sub-minimum lines.
+      val txt = col("text")
+      val page = concat_ws("\n",
+        concat(substring(txt, 1, 40), lit(".")),
+        substring(txt, 41, 20),
+        when(col("doc_id") % 3 === 0, lit("Requires JavaScript to render."))
+          .otherwise(concat(substring(txt, 61, 50), lit("!"))),
+        concat(substring(txt, 111, 60), lit("?")),
+        when(col("doc_id") % 7 === 0, lit("layout { grid }"))
+          .otherwise(concat(substring(txt, 171, 40), lit("."))),
+        when(col("doc_id") % 11 === 0, lit("Lorem ipsum dolor sit amet."))
+          .otherwise(concat(substring(txt, 211, 40), lit("."))))
+      operators.Text.c4Clean(
+          t(s, d, "documents").select(col("doc_id"), page.as("page")),
+          col("page"), minLinesPerDoc = 3)
+        .select("doc_id", "cleaned_text", "n_lines", "keep")
+    }),
+
     "dedup_url" -> ((s, d) => {
       // crawl-level URL dedup: canonicalize (scheme/fragment/www/default
       // port/utm stripping, host lowercasing), then exact-group on the
@@ -1738,6 +1765,32 @@ object SparkEntry {
              AND floor(n_alpha_words * 1000000.0 / n_words) >= 800000
              AND stop_types >= 1) AS keep
          FROM m""",
+
+    "text_c4_clean" ->
+      """WITH pg AS (SELECT doc_id,
+           concat_ws(chr(10),
+             substr(text, 1, 40) || '.',
+             substr(text, 41, 20),
+             CASE WHEN doc_id % 3 = 0 THEN 'Requires JavaScript to render.'
+                  ELSE substr(text, 61, 50) || '!' END,
+             substr(text, 111, 60) || '?',
+             CASE WHEN doc_id % 7 = 0 THEN 'layout { grid }'
+                  ELSE substr(text, 171, 40) || '.' END,
+             CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet.'
+                  ELSE substr(text, 211, 40) || '.' END) AS page
+         FROM documents),
+         k AS (SELECT doc_id, page,
+           list_filter(string_split(page, chr(10)), l ->
+             regexp_matches(rtrim(l), '[.!?"]$')
+             AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+             AND NOT contains(lower(l), 'javascript')) AS kept
+         FROM pg)
+         SELECT doc_id,
+           array_to_string(kept, chr(10)) AS cleaned_text,
+           CAST(len(kept) AS BIGINT) AS n_lines,
+           (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
+             AND NOT contains(page, '{')) AS keep
+         FROM k""",
 
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,

@@ -176,6 +176,46 @@ object Text {
     concat(host, regexp_replace(utm3, "/$", ""))
   }
 
+  /** C4-style line-level document cleaner (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning…", §2.2 — the published filter stack
+    * behind the C4 corpus). Line rules (a line = a `\n`-delimited segment):
+    * keep only lines that end in a terminal punctuation mark (`. ! ? "`
+    * after trailing-space strip), have at least `minWordsPerLine`
+    * whitespace words, and do not contain the word "javascript" (any
+    * case). Page rules: drop the whole document when fewer than
+    * `minLinesPerDoc` lines survive, or when the raw page contains
+    * "lorem ipsum" (any case) or a curly brace `{` — all three verbatim
+    * from the paper. (The paper's remaining rules live elsewhere in this
+    * suite: bad-word filtering is a `stratifiedSample`-style predicate,
+    * and its three-sentence-span dedup is [[Dedup.paragraphDedup]] /
+    * the span operators.)
+    *
+    * Emits `cleaned_text` (surviving lines re-joined in order), `n_lines`
+    * (surviving count), and `keep` (the page verdict) — the document body
+    * is rewritten, not just scored, exactly like the original pipeline.
+    *
+    * Scale shape: a pure scan-local projection — the line split, per-line
+    * predicates, and re-join all run inside one codegen'd stage with zero
+    * shuffles; at 100 TB this is scan-bandwidth-bound, the correct cost
+    * for a cleaning pass. Reference analog: the reference engine's
+    * row-filter chain (replicator `Filter`/`process` stages) applied to
+    * text lines instead of binlog rows. */
+  def c4Clean(df: DataFrame, textCol: Column,
+              minWordsPerLine: Int = 3, minLinesPerDoc: Int = 5): DataFrame = {
+    val kept = filter(split(textCol, "\n"), l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    df.withColumn("__c4_kept", kept)
+      .withColumn("cleaned_text", array_join(col("__c4_kept"), "\n"))
+      .withColumn("n_lines", size(col("__c4_kept")).cast("long"))
+      .withColumn("keep",
+        col("n_lines") >= minLinesPerDoc &&
+          !lower(textCol).contains("lorem ipsum") &&
+          !textCol.contains("{"))
+      .drop("__c4_kept")
+  }
+
   /** Exact ratio in parts-per-million: floor((a*1e6)/b) over identical IEEE
     * doubles — deterministic across engines, unlike decimal rounding modes. */
   def ppm(a: Column, b: Column): Column =

@@ -483,6 +483,34 @@ class DedupTextSpec extends SparkTestBase {
     assert(sym == math.floor(2 * 1000000.0 / 53).toLong)
   }
 
+  test("c4 clean: each line and page rule flips on its own planted violation") {
+    val good = "This line has enough words and ends properly."
+    val df = Seq(
+      (1L, s"$good\n$good\n$good"),                          // 3 clean lines: keep
+      (2L, s"$good\nno terminal punctuation here\n$good\n$good"), // line 2 cut
+      (3L, s"$good\nToo short.\n$good\n$good"),              // 2-word line cut
+      (4L, s"$good\nPlease enable JavaScript to continue.\n$good\n$good"), // js line cut
+      (5L, s"$good\n$good\nCSS layout { display: none }"),   // brace: page drop
+      (6L, s"$good\n$good\nLorem Ipsum dolor sit amet."),    // lorem: page drop
+      (7L, s"$good\n$good"))                                 // only 2 lines survive
+      .toDF("doc_id", "text")
+    val out = Text.c4Clean(df, col("text"), minLinesPerDoc = 3)
+      .select("doc_id", "cleaned_text", "n_lines", "keep")
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 3 && out(1L)._4)
+    assert(out(1L)._2 == s"$good\n$good\n$good") // body rewritten, order kept
+    assert(out(2L)._3 == 3 && out(2L)._4 && !out(2L)._2.contains("terminal"))
+    assert(out(3L)._3 == 3 && !out(3L)._2.contains("Too short"))
+    assert(out(4L)._3 == 3 && !out(4L)._2.contains("JavaScript"))
+    // page rules judge the RAW page even though the offending line is cut
+    assert(out(5L)._3 == 2 && !out(5L)._4)
+    assert(out(6L)._3 == 3 && !out(6L)._4) // lorem line passes line rules
+    assert(out(7L)._3 == 2 && !out(7L)._4) // min-lines floor
+    // scan-local: the whole cleaner must plan without a single Exchange
+    val plan = Text.c4Clean(df, col("text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4Clean planned a shuffle:\n$plan")
+  }
+
   test("semantic dedup drops within-cluster near-dups, keeps cross-cluster pairs") {
     // two axis clusters; 14/15 are a TRUE near-dup pair split across the
     // cluster boundary — SemDeDup's documented recall trade keeps both
