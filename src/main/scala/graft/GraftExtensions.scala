@@ -8,7 +8,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{DotProductExpr, GopherStatsExpr, HyperplaneSigExpr,
   MinHashSigExpr, MysqlGeometryWktExpr, MysqlJsonBinaryExpr, PosSpanHashExpr,
-  SimHash64Expr, UnicodeNormalizeExpr, UnitVecExpr, WsTokenCountExpr}
+  RepetitionStatsExpr, SimHash64Expr, UnicodeNormalizeExpr, UnitVecExpr,
+  WsTokenCountExpr}
 import graft.plans.TopOneWindowToMaxBy
 
 /** Session extensions: register the engine's native expressions as SQL
@@ -65,6 +66,9 @@ object GraftExtensions {
     },
     entry("gopher_stats", classOf[GopherStatsExpr]) { args =>
       GopherStatsExpr(arity("gopher_stats", 1)(args).head)
+    },
+    entry("repetition_stats", classOf[RepetitionStatsExpr]) { args =>
+      RepetitionStatsExpr(arity("repetition_stats", 1)(args).head)
     },
     entry("unicode_normalize", classOf[UnicodeNormalizeExpr]) { args =>
       val Seq(c, f) = arity("unicode_normalize", 2)(args)

@@ -707,6 +707,31 @@ object SparkEntry {
         .select("doc_id", "n_words", "mean_word_len_ppm", "symbol_ppm",
           "alpha_word_ppm", "stop_types", "keep")),
 
+    "text_gopher_repetition" -> ((s, d) => {
+      // the other half of the published MassiveText gate (Rae et al. 2021
+      // Table A1): repetition metrics. The corpus is single-line, so the
+      // query synthesizes a paragraph/line structure first — doc_id%5
+      // plants an exactly-duplicated paragraph (which also floods the
+      // dup-{5..10}-gram mass), doc_id%4 a duplicated line; everything
+      // else exercises the natural n-gram repetition of the small-vocab
+      // corpus. All 13 metrics + the Table A1 keep verdict, one scan pass.
+      val txt = col("text")
+      val page = concat_ws("\n\n",
+        substring(txt, 1, 80),
+        when(col("doc_id") % 5 === 0, substring(txt, 1, 80))
+          .otherwise(substring(txt, 81, 80)),
+        concat_ws("\n", substring(txt, 161, 40),
+          when(col("doc_id") % 4 === 0, substring(txt, 161, 40))
+            .otherwise(substring(txt, 201, 40))))
+      operators.Text.gopherRepetition(
+          t(s, d, "documents").select(col("doc_id"), page.as("page")),
+          col("page"))
+        .select("doc_id", "dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm",
+          "dup_para_char_ppm", "top_2gram_ppm", "top_3gram_ppm",
+          "top_4gram_ppm", "dup_5gram_ppm", "dup_6gram_ppm", "dup_7gram_ppm",
+          "dup_8gram_ppm", "dup_9gram_ppm", "dup_10gram_ppm", "keep")
+    }),
+
     "text_c4_clean" -> ((s, d) => {
       // C4 line-level cleaning (Raffel et al. 2020 §2.2): line-ending
       // punctuation / min-words / javascript line rules, lorem-ipsum /
@@ -1765,6 +1790,118 @@ object SparkEntry {
              AND floor(n_alpha_words * 1000000.0 / n_words) >= 800000
              AND stop_types >= 1) AS keep
          FROM m""",
+
+    "text_gopher_repetition" ->
+      """WITH pg AS (SELECT doc_id,
+           concat_ws(chr(10)||chr(10),
+             substr(text, 1, 80),
+             CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 80)
+                  ELSE substr(text, 81, 80) END,
+             concat_ws(chr(10), substr(text, 161, 40),
+               CASE WHEN doc_id % 4 = 0 THEN substr(text, 161, 40)
+                    ELSE substr(text, 201, 40) END)) AS page
+         FROM documents),
+         base AS (SELECT doc_id, page,
+           list_filter(string_split(page, chr(10)), l -> l <> '') AS lines,
+           list_filter(string_split(page, chr(10)||chr(10)), p -> p <> '') AS paras,
+           list_filter(regexp_split_to_array(page, '\s+'), t -> t <> '') AS w
+         FROM pg),
+         tokc AS (SELECT doc_id,
+           COALESCE(list_sum(list_transform(w, t -> length(t))), 0) AS tc
+         FROM base),
+         lg AS (SELECT doc_id, u, count(*) AS c
+                FROM (SELECT doc_id, unnest(lines) AS u FROM base) GROUP BY 1, 2),
+         ls AS (SELECT doc_id, sum(c) AS n, sum(c*length(u)) AS nc,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dn,
+                  sum(CASE WHEN c >= 2 THEN c*length(u) ELSE 0 END) AS dc
+                FROM lg GROUP BY 1),
+         pq AS (SELECT doc_id, u, count(*) AS c
+                FROM (SELECT doc_id, unnest(paras) AS u FROM base) GROUP BY 1, 2),
+         ps AS (SELECT doc_id, sum(c) AS n, sum(c*length(u)) AS nc,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dn,
+                  sum(CASE WHEN c >= 2 THEN c*length(u) ELSE 0 END) AS dc
+                FROM pq GROUP BY 1),
+         c2 AS (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                FROM (SELECT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS g
+                      FROM base WHERE len(w) >= 2) GROUP BY 1,2),
+         t2 AS (SELECT doc_id, c*m AS mass FROM
+                (SELECT doc_id, c, m, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c2)
+                WHERE rn = 1),
+         c3 AS (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                FROM (SELECT doc_id, unnest([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS g
+                      FROM base WHERE len(w) >= 3) GROUP BY 1,2),
+         t3 AS (SELECT doc_id, c*m AS mass FROM
+                (SELECT doc_id, c, m, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c3)
+                WHERE rn = 1),
+         c4 AS (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                FROM (SELECT doc_id, unnest([array_to_string(w[i:i+3],' ') for i in range(1, len(w)-2)]) AS g
+                      FROM base WHERE len(w) >= 4) GROUP BY 1,2),
+         t4 AS (SELECT doc_id, c*m AS mass FROM
+                (SELECT doc_id, c, m, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c4)
+                WHERE rn = 1),
+         d5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c*m ELSE 0 END) AS mass FROM
+                (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                 FROM (SELECT doc_id, unnest([array_to_string(w[i:i+4],' ') for i in range(1, len(w)-3)]) AS g
+                       FROM base WHERE len(w) >= 5) GROUP BY 1,2) GROUP BY 1),
+         d6 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c*m ELSE 0 END) AS mass FROM
+                (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                 FROM (SELECT doc_id, unnest([array_to_string(w[i:i+5],' ') for i in range(1, len(w)-4)]) AS g
+                       FROM base WHERE len(w) >= 6) GROUP BY 1,2) GROUP BY 1),
+         d7 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c*m ELSE 0 END) AS mass FROM
+                (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                 FROM (SELECT doc_id, unnest([array_to_string(w[i:i+6],' ') for i in range(1, len(w)-5)]) AS g
+                       FROM base WHERE len(w) >= 7) GROUP BY 1,2) GROUP BY 1),
+         d8 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c*m ELSE 0 END) AS mass FROM
+                (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                 FROM (SELECT doc_id, unnest([array_to_string(w[i:i+7],' ') for i in range(1, len(w)-6)]) AS g
+                       FROM base WHERE len(w) >= 8) GROUP BY 1,2) GROUP BY 1),
+         d9 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c*m ELSE 0 END) AS mass FROM
+                (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                 FROM (SELECT doc_id, unnest([array_to_string(w[i:i+8],' ') for i in range(1, len(w)-7)]) AS g
+                       FROM base WHERE len(w) >= 9) GROUP BY 1,2) GROUP BY 1),
+         d10 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c*m ELSE 0 END) AS mass FROM
+                (SELECT doc_id, g, count(*) AS c, length(replace(g,' ','')) AS m
+                 FROM (SELECT doc_id, unnest([array_to_string(w[i:i+9],' ') for i in range(1, len(w)-8)]) AS g
+                       FROM base WHERE len(w) >= 10) GROUP BY 1,2) GROUP BY 1),
+         met AS (SELECT b.doc_id,
+           CAST(CASE WHEN COALESCE(ls.n,0) = 0 THEN 0 ELSE floor(ls.dn * 1000000.0 / ls.n) END AS BIGINT) AS dup_line_ppm,
+           CAST(CASE WHEN COALESCE(ls.nc,0) = 0 THEN 0 ELSE floor(ls.dc * 1000000.0 / ls.nc) END AS BIGINT) AS dup_line_char_ppm,
+           CAST(CASE WHEN COALESCE(ps.n,0) = 0 THEN 0 ELSE floor(ps.dn * 1000000.0 / ps.n) END AS BIGINT) AS dup_para_ppm,
+           CAST(CASE WHEN COALESCE(ps.nc,0) = 0 THEN 0 ELSE floor(ps.dc * 1000000.0 / ps.nc) END AS BIGINT) AS dup_para_char_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(t2.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS top_2gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(t3.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS top_3gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(t4.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS top_4gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(d5.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS dup_5gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(d6.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS dup_6gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(d7.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS dup_7gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(d8.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS dup_8gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(d9.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS dup_9gram_ppm,
+           CAST(CASE WHEN tokc.tc = 0 THEN 0 ELSE floor(COALESCE(d10.mass,0) * 1000000.0 / tokc.tc) END AS BIGINT) AS dup_10gram_ppm
+         FROM base b
+         LEFT JOIN tokc ON b.doc_id = tokc.doc_id
+         LEFT JOIN ls ON b.doc_id = ls.doc_id
+         LEFT JOIN ps ON b.doc_id = ps.doc_id
+         LEFT JOIN t2 ON b.doc_id = t2.doc_id
+         LEFT JOIN t3 ON b.doc_id = t3.doc_id
+         LEFT JOIN t4 ON b.doc_id = t4.doc_id
+         LEFT JOIN d5 ON b.doc_id = d5.doc_id
+         LEFT JOIN d6 ON b.doc_id = d6.doc_id
+         LEFT JOIN d7 ON b.doc_id = d7.doc_id
+         LEFT JOIN d8 ON b.doc_id = d8.doc_id
+         LEFT JOIN d9 ON b.doc_id = d9.doc_id
+         LEFT JOIN d10 ON b.doc_id = d10.doc_id)
+         SELECT doc_id, dup_line_ppm, dup_line_char_ppm, dup_para_ppm,
+           dup_para_char_ppm, top_2gram_ppm, top_3gram_ppm, top_4gram_ppm,
+           dup_5gram_ppm, dup_6gram_ppm, dup_7gram_ppm, dup_8gram_ppm,
+           dup_9gram_ppm, dup_10gram_ppm,
+           (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+            AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
+            AND top_2gram_ppm <= 200000 AND top_3gram_ppm <= 180000
+            AND top_4gram_ppm <= 160000 AND dup_5gram_ppm <= 150000
+            AND dup_6gram_ppm <= 140000 AND dup_7gram_ppm <= 130000
+            AND dup_8gram_ppm <= 120000 AND dup_9gram_ppm <= 110000
+            AND dup_10gram_ppm <= 100000) AS keep
+         FROM met""",
 
     "text_c4_clean" ->
       """WITH pg AS (SELECT doc_id,

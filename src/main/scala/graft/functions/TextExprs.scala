@@ -223,3 +223,163 @@ object GopherStatsExpr {
         java.lang.Integer.bitCount(stopMask).toLong, hashes + ellipses))
   }
 }
+
+/** All thirteen Gopher REPETITION metrics (Rae et al. 2021, appendix A1.1
+  * Table A1 — the "repetitious documents" half of the MassiveText gate;
+  * the quality half is [[GopherStatsExpr]]) in one scan-local pass per
+  * document. Returns `array<long>` of exact ppm integers:
+  *
+  *   1-2   dup_line_ppm, dup_line_char_ppm — over `\n`-split non-empty
+  *         segments: occurrences belonging to a segment that appears ≥ 2
+  *         times, as a fraction of all occurrences (resp. of their
+  *         codepoint mass).
+  *   3-4   dup_para_ppm, dup_para_char_ppm — same over `\n\n`-split
+  *         non-empty segments (plain substring split, left-to-right
+  *         non-overlapping, exactly `string_split`).
+  *   5-7   top_{2,3,4}gram_ppm — codepoint mass of the most frequent
+  *         word n-gram (count × token chars of the gram, spaces excluded)
+  *         over total token chars; ties break to the UTF-8-byte-smallest
+  *         gram (= DuckDB/Spark binary string order).
+  *   8-13  dup_{5..10}gram_ppm — codepoint mass of ALL occurrences of
+  *         word n-grams appearing ≥ 2 times, over total token chars —
+  *         the overlap-ignoring convention of the public implementations
+  *         (each occurrence counts its full gram mass).
+  *
+  * Words are `\s+`-split non-empty tokens; n-gram occurrences slide with
+  * overlap. Every ratio is floor(x·1e6) over IEEE doubles (0 when the
+  * denominator is 0) — bit-identical to a SQL oracle computing the same
+  * formula. One hash map per (row, n) over the token array; no shuffle,
+  * no explode — the per-document metric never leaves its scan task. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStatsExpr.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+
+  @inline private def ppm(num: Double, den: Double): Long =
+    if (den == 0.0d) 0L else math.floor(num * 1000000.0d / den).toLong
+
+  @inline private def cp(s: String): Long =
+    s.codePointCount(0, s.length).toLong
+
+  /** dup-occurrence and dup-codepoint ppm over non-empty segments. */
+  private def dupSegments(segs: Array[String]): (Long, Long) = {
+    val m = new java.util.HashMap[String, Int]()
+    var total = 0L
+    var totalC = 0L
+    var i = 0
+    while (i < segs.length) {
+      val u = segs(i)
+      if (u.nonEmpty) { m.merge(u, 1, Integer.sum); total += 1; totalC += cp(u) }
+      i += 1
+    }
+    var dup = 0L
+    var dupC = 0L
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c >= 2) { dup += c; dupC += c.toLong * cp(e.getKey) }
+    }
+    (ppm(dup.toDouble, total.toDouble), ppm(dupC.toDouble, totalC.toDouble))
+  }
+
+  /** UTF-8 byte order — the binary collation DuckDB and Spark sort
+    * VARCHARs by; Java String.compareTo is UTF-16 order, which disagrees
+    * on supplementary-plane characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** (top-gram codepoint mass, dup-gram codepoint mass) for one n. */
+  private def gramMass(toks: Array[String], tokCp: Array[Long], n: Int): (Long, Long) = {
+    if (toks.length < n) return (0L, 0L)
+    val m = new java.util.HashMap[String, Array[Long]]() // gram -> [count, cpMass]
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var mass = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        mass += tokCp(i + j)
+        j += 1
+      }
+      val key = sb.toString
+      val slot = m.get(key)
+      if (slot == null) m.put(key, Array(1L, mass))
+      else slot(0) += 1L
+      i += 1
+    }
+    var topKey: String = null
+    var topCount = 0L
+    var topMass = 0L
+    var dupMass = 0L
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      val mass = e.getValue()(1)
+      if (c > topCount || (c == topCount && utf8Lt(e.getKey, topKey))) {
+        topCount = c; topMass = c * mass; topKey = e.getKey
+      }
+      if (c >= 2L) dupMass += c * mass
+    }
+    (topMass, dupMass)
+  }
+
+  def stats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val text = s.toString
+    val (dl, dlc) = dupSegments(text.split("\n", -1))
+    val (dp, dpc) = dupSegments(text.split("\n\n", -1))
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val tokCp = new Array[Long](toks.length)
+    var totalTokCp = 0L
+    var i = 0
+    while (i < toks.length) {
+      tokCp(i) = cp(toks(i)); totalTokCp += tokCp(i); i += 1
+    }
+    val out = new Array[Long](13)
+    out(0) = dl; out(1) = dlc; out(2) = dp; out(3) = dpc
+    var n = 2
+    while (n <= 10) {
+      val (topMass, dupMass) = gramMass(toks, tokCp, n)
+      out(2 + n) =
+        if (n <= 4) ppm(topMass.toDouble, totalTokCp.toDouble)
+        else ppm(dupMass.toDouble, totalTokCp.toDouble)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -176,6 +176,38 @@ object Text {
     concat(host, regexp_replace(utm3, "/$", ""))
   }
 
+  /** Gopher REPETITION gate (Rae et al. 2021, appendix A1.1 Table A1 —
+    * the "repetitious documents" rules; [[gopherQuality]] is the other
+    * half of the published MassiveText filter). Thirteen metrics from ONE
+    * scan-local native pass ([[graft.functions.RepetitionStatsExpr]]):
+    * duplicate line / paragraph fractions (by occurrence and by character
+    * mass), the character mass of the single most frequent word
+    * {2,3,4}-gram, and the character mass of all duplicated word
+    * {5..10}-grams — each as an exact ppm integer, with `keep` applying
+    * the paper's Table A1 thresholds (a document is removed when ANY
+    * fraction exceeds its bound). Zero shuffles: each document's metrics
+    * are computed entirely inside its scan task — the correct cost shape
+    * for a 100 TB filter sweep. */
+  def gopherRepetition(df: DataFrame, textCol: Column): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val names = Seq("dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm",
+      "dup_para_char_ppm", "top_2gram_ppm", "top_3gram_ppm", "top_4gram_ppm",
+      "dup_5gram_ppm", "dup_6gram_ppm", "dup_7gram_ppm", "dup_8gram_ppm",
+      "dup_9gram_ppm", "dup_10gram_ppm")
+    // Table A1 bounds, as ppm (keep when every metric is <= its bound)
+    val bounds = Seq(300000L, 200000L, 300000L, 200000L, 200000L, 180000L,
+      160000L, 150000L, 140000L, 130000L, 120000L, 110000L, 100000L)
+    val stats = GraftBridge.toCol(
+      graft.functions.RepetitionStatsExpr(GraftBridge.toExpr(textCol)))
+    val withStats = names.zipWithIndex.foldLeft(df.withColumn("__rstats", stats)) {
+      case (acc, (nm, i)) => acc.withColumn(nm, element_at(col("__rstats"), i + 1))
+    }
+    withStats
+      .withColumn("keep",
+        names.zip(bounds).map { case (nm, b) => col(nm) <= b }.reduce(_ && _))
+      .drop("__rstats")
+  }
+
   /** C4-style line-level document cleaner (Raffel et al. 2020, "Exploring
     * the Limits of Transfer Learning…", §2.2 — the published filter stack
     * behind the C4 corpus). Line rules (a line = a `\n`-delimited segment):

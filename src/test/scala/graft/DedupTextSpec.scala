@@ -511,6 +511,59 @@ class DedupTextSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"c4Clean planned a shuffle:\n$plan")
   }
 
+  test("gopher repetition: hand-computed metrics on planted structures") {
+    // doc 1: "aa bb\naa bb\ncc dd" — the line "aa bb" is duplicated.
+    //   lines: 3 total (chars 5+5+5=15), dup occurrences 2 (chars 10)
+    //   → dup_line = 666666 ppm, dup_line_char = 666666 ppm; one paragraph
+    //   (contains \n but no \n\n) → dup_para = 0.
+    //   tokens: aa bb aa bb cc dd (12 cp). top 2-gram: "aa bb" ×2, mass
+    //   2·4=8 → 666666 ppm; "bb aa" ×1 loses. top 3-gram: count 1 each,
+    //   tie breaks to smallest bytes "aa bb aa" mass 6 → 500000 ppm.
+    val df = Seq(
+      (1L, "aa bb\naa bb\ncc dd"),
+      (2L, "pp qq\n\npp qq\n\nrr ss"), // duplicated PARAGRAPH (and line)
+      (3L, "u v w x y z u v w x y z") // dup 5/6-grams from a repeated run
+    ).toDF("doc_id", "text")
+    val names = Seq("dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm",
+      "dup_para_char_ppm", "top_2gram_ppm", "top_3gram_ppm", "top_4gram_ppm",
+      "dup_5gram_ppm", "dup_6gram_ppm", "dup_7gram_ppm", "dup_8gram_ppm",
+      "dup_9gram_ppm", "dup_10gram_ppm")
+    val out = Text.gopherRepetition(df, col("text"))
+      .select("doc_id", names: _*).collect()
+      .map(r => r.getLong(0) -> names.zipWithIndex.map { case (n, i) => n -> r.getLong(i + 1) }.toMap)
+      .toMap
+    assert(out(1L)("dup_line_ppm") == 666666L)
+    assert(out(1L)("dup_line_char_ppm") == 666666L)
+    assert(out(1L)("dup_para_ppm") == 0L)
+    assert(out(1L)("top_2gram_ppm") == 666666L)
+    assert(out(1L)("top_3gram_ppm") == 500000L)
+    // doc 2: paragraphs pp qq | pp qq | rr ss → dup 2/3 paras, chars 10/15
+    assert(out(2L)("dup_para_ppm") == 666666L)
+    assert(out(2L)("dup_para_char_ppm") == 666666L)
+    assert(out(2L)("dup_line_ppm") == 666666L) // \n\n split leaves dup lines too
+    // doc 3: 12 single-char tokens, the 6-token run repeats once.
+    //   5-grams: 8 total; "u v w x y" and "v w x y z" each appear twice →
+    //   dup mass 4·5=20 over 12 token chars → 1666666 ppm (mass counts
+    //   every occurrence; the ppm is a mass ratio, not a probability).
+    //   6-grams: "u v w x y z" ×2 → mass 12 → 1000000 ppm. 7-grams: all
+    //   distinct → 0.
+    assert(out(3L)("dup_5gram_ppm") == 1666666L)
+    assert(out(3L)("dup_6gram_ppm") == 1000000L)
+    assert(out(3L)("dup_7gram_ppm") == 0L)
+    // gate: a clean doc keeps, the planted-repetition docs drop
+    val keeps = Text.gopherRepetition(df, col("text"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!keeps(1L) && !keeps(2L) && !keeps(3L))
+    val clean = Seq((9L, (1 to 60).map(i => s"w$i").mkString(" ") + ".")).toDF("doc_id", "text")
+    assert(Text.gopherRepetition(clean, col("text"))
+      .select("keep").as[Boolean].collect()(0))
+    // scan-local, single kernel evaluation
+    val plan = Text.gopherRepetition(df, col("text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRepetition planned a shuffle:\n$plan")
+    assert("repetition_stats".r.findAllIn(plan).size <= 1,
+      s"repetition_stats kernel inlined into multiple columns:\n$plan")
+  }
+
   test("semantic dedup drops within-cluster near-dups, keeps cross-cluster pairs") {
     // two axis clusters; 14/15 are a TRUE near-dup pair split across the
     // cluster boundary — SemDeDup's documented recall trade keeps both
