@@ -26,7 +26,8 @@ object Bench {
     "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "sim_pq_encode",
     "sim_ann_ivfadc",
     "pipe_clean_corpus", "mm_media_meta",
-    "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean"
+    "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
+    "text_gopher_repetition"
   )
 
   def main(args: Array[String]): Unit = {
