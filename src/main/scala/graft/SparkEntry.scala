@@ -197,6 +197,15 @@ object SparkEntry {
         // join-side scan prune to doc_id, skipping a second text read
         .select(col("doc_id"), col("shard_tokens").as("n_tokens"), col("shard_id"))),
 
+    "pipe_dsir_select" -> ((s, d) =>
+      // DSIR data selection (Xie et al. 2023): pick the 100 non-English
+      // pool docs whose hashed unigram+bigram distribution best matches
+      // the English target slice — micro-nat integer scores, top-k via the
+      // bounded heap aggregate (never a global sort)
+      graft.operators.Sampling.dsirSelect(t(s, d, "documents"),
+        col("doc_id"), col("text"), col("lang") === "en",
+        buckets = 4096, k = 100)),
+
     "text_unicode_nfc" -> ((s, d) => {
       // Unicode canonicalization: the corpus is ASCII, so decompose 'a' into
       // 'a'+U+0301 first (same projection on both engines) — NFC must fuse
@@ -1279,6 +1288,35 @@ object SparkEntry {
          SELECT doc_id, n_tokens,
            CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8 AS INT) AS shard_id
          FROM d""",
+
+    "pipe_dsir_select" ->
+      """WITH base AS (SELECT doc_id, lang = 'en' AS is_target,
+           list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       t -> t <> '') AS w
+         FROM documents),
+         grams AS (
+           SELECT doc_id, is_target, substr(md5(g), 1, 3) AS bkt FROM (
+             SELECT doc_id, is_target, unnest(w) AS g FROM base
+             UNION ALL
+             SELECT doc_id, is_target,
+               unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+             FROM base WHERE len(w) >= 2)),
+         bc AS (SELECT bkt,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t,
+             sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS r
+           FROM grams GROUP BY 1),
+         tot AS (SELECT sum(t) AS tt, sum(r) AS rt FROM bc),
+         lr AS (SELECT bkt,
+             CAST(floor(ln(CAST((t + 1) * (rt + 4096) AS DOUBLE)
+                           / CAST((r + 1) * (tt + 4096) AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS lr_micro
+           FROM bc, tot),
+         sc AS (SELECT g.doc_id, CAST(sum(lr.lr_micro) AS BIGINT) AS score_micro
+           FROM grams g JOIN lr ON g.bkt = lr.bkt
+           WHERE NOT g.is_target GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score_micro
+         FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100""",
 
     "text_unicode_nfc" ->
       """WITH d AS (SELECT doc_id, regexp_replace(text, 'a', 'a' || chr(769), 'g') AS dec

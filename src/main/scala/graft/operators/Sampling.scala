@@ -248,4 +248,83 @@ object Sampling {
       .withColumn("bin_id", floor((col("__cum") - tokensCol) / budget))
       .drop("__cum")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): score every raw-pool document by how much its hashed-n-gram
+    * distribution looks like a small target domain, then keep the top-k.
+    *
+    * Features are word unigrams + bigrams over [[Text.normalized]] text,
+    * hashed into `buckets` buckets by the first 3 hex chars of md5 (4096
+    * buckets at the paper's order of magnitude; md5-prefix bucketing is the
+    * same engine-portable trick the rest of this file uses). Per bucket b
+    * with add-one smoothing, the importance log-ratio is
+    *
+    *   lr[b] = ln( p_target[b] / p_raw[b] )
+    *         = ln( (t_b+1)·(R+B) / ((r_b+1)·(T+B)) )
+    *
+    * held as floor(1e6·lr) micro-nats — the products are exact 64-bit
+    * integers (< 2^53, so their double images are exact), the division is
+    * one IEEE op, and the only transcendental is a single `ln` whose ±1-ulp
+    * engine variance (~2e-10 absolute at this magnitude) cannot move a
+    * floor unless the true value sits that close to an integer — the spec
+    * measures the actual distance. A document's score is then the plain
+    * integer sum of its occurrences' bucket values — order-independent, so
+    * any aggregation layout is hash-identical. The paper samples with
+    * Gumbel noise; this deterministic variant takes top-k (score desc,
+    * id asc), which is the zero-temperature limit.
+    *
+    * 100 TB posture: bucket statistics are one groupBy over ≤`buckets`
+    * keys (map-side combined — the shuffle carries buckets·partitions
+    * rows, not grams); the bucket→lr table is ~`buckets` rows and rides a
+    * broadcast join; scoring collapses to one row per document before its
+    * shuffle (partial sum per scan task); selection is the bounded
+    * [[graft.functions.TopKByScoreAgg]] heap, never a global sort. Nothing
+    * corpus-sized is ever sorted, collected, or joined non-broadcast. */
+  def dsirSelect(df: DataFrame, idCol: Column, textCol: Column,
+                 isTarget: Column, buckets: Int = 4096, k: Int = 100): DataFrame = {
+    require(buckets > 0 && buckets <= 4096, "buckets must fit a 3-hex-char prefix")
+    // grams is consumed twice (bucket stats, then scoring). Deliberately NOT
+    // persisted: the exploded gram stream is corpus-sized — caching it at
+    // 100 TB costs far more than the second scan it saves, and both
+    // consumers reduce it map-side before any shuffle.
+    val grams = dsirGrams(df, idCol, textCol, isTarget)
+    val bc = grams.groupBy("bkt").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("r"))
+    val totals = bc.agg(sum("t").as("tt"), sum("r").as("rt"))
+    val lr = bc.crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        floor(log(((col("t") + 1L) * (col("rt") + buckets)).cast("double") /
+                  ((col("r") + 1L) * (col("tt") + buckets)).cast("double"))
+          * 1000000.0d).cast("long"))
+      .select("bkt", "lr_micro")
+    val scored = grams.filter(!col("is_target"))
+      .join(broadcast(lr), "bkt")
+      .groupBy("doc_id").agg(sum(col("lr_micro")).as("score_micro"))
+    scored.agg(Similarity.topKByScore(
+        col("score_micro").cast("double"), col("doc_id"), k).as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select((col("__pos") + 1).cast("long").as("rank"),
+        col("__e.id").as("doc_id"), col("__e.score").cast("long").as("score_micro"))
+  }
+
+  /** The hashed-n-gram feature stream behind [[dsirSelect]]: one row per
+    * word unigram/bigram occurrence, tagged with its md5-prefix bucket.
+    * Package-visible so the spec can audit the bucket statistics (the
+    * floor-robustness guard on the single `ln`). */
+  private[graft] def dsirGrams(df: DataFrame, idCol: Column, textCol: Column,
+                               isTarget: Column): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), isTarget.as("is_target"),
+      split(Text.normalized(textCol), " ").as("toks"))
+    val uni = base.select(col("doc_id"), col("is_target"),
+        explode(col("toks")).as("g"))
+      .filter(col("g") =!= "")
+    val bi = base.select(col("doc_id"), col("is_target"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("is_target"),
+        concat(col("b.w1"), lit(" "), col("b.w2")).as("g"))
+    uni.unionAll(bi).withColumn("bkt", substring(md5(col("g")), 1, 3))
+  }
 }

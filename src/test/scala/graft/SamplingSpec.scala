@@ -139,4 +139,65 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("Scan ExistingRDD"), s"pinned RDD not scanned:\n$plan")
     assert(plan.contains("monotonically_increasing_id"), s"rank not the sorted monotonic id:\n$plan")
   }
+
+  test("dsir: target-resembling docs outrank disjoint docs; ranks dense; plan bounded") {
+    // target vocabulary {the,cat,sat,ran}; pool doc 10 IS target-like text,
+    // docs 11/12 share nothing with it. The bucket log-ratios are positive
+    // exactly on target-seen buckets, so 10 must outscore both.
+    val df = Seq(
+      (1L, "the cat sat", true),
+      (2L, "the cat ran", true),
+      (10L, "the cat sat", false),
+      (11L, "zzz qqq vvv", false),
+      (12L, "zzz qqq www", false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = Sampling.dsirSelect(df, col("doc_id"), col("text"), col("tgt"),
+        buckets = 4096, k = 10)
+      .select("rank", "doc_id", "score_micro")
+      .as[(Long, Long, Long)].collect()
+    // only pool docs are ranked, all of them (k exceeds pool size)
+    assert(out.map(_._2).toSet == Set(10L, 11L, 12L))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // ordered by (score desc, id asc), and the target-like doc leads
+    assert(out.head._2 == 10L)
+    val scores = out.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(out.find(_._2 == 10L).get._3 > out.find(_._2 == 11L).get._3)
+    // determinism: identical on re-run
+    val again = Sampling.dsirSelect(df, col("doc_id"), col("text"), col("tgt"),
+        buckets = 4096, k = 10)
+      .select("rank", "doc_id", "score_micro").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+    // plan shape: broadcast-joined lr table, bounded heap selection — no
+    // shuffle join, no window, no global sort of the scored pool
+    val plan = Sampling.dsirSelect(df, col("doc_id"), col("text"), col("tgt"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"lr join must broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"selection must not rank via window:\n$plan")
+    assert(plan.contains("top_k_by_score"),
+      s"selection should use the bounded top-k aggregate:\n$plan")
+  }
+
+  test("dsir: the lone ln sits far from every floor boundary on the gate corpus") {
+    // The score pipeline's only transcendental is ln over an exact rational;
+    // engines may differ by ~1 ulp (~2e-10 absolute at micro-nat scale).
+    // Floor(1e6·ln) is then engine-identical as long as no bucket's value
+    // sits within that distance of an integer. Measure the actual margin on
+    // the driver's gate corpus (sf0.01, the real oracle input): the closest
+    // approach must clear the error bound by orders of magnitude.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bc = Sampling.dsirGrams(docs, col("doc_id"), col("text"), col("lang") === "en")
+      .groupBy("bkt").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
+        sum(when(!col("is_target"), 1L).otherwise(0L)).as("r"))
+      .select("t", "r").as[(Long, Long)].collect()
+    val tt = bc.map(_._1).sum
+    val rt = bc.map(_._2).sum
+    val minDist = bc.map { case (t, r) =>
+      val x = math.log(((t + 1) * (rt + 4096)).toDouble /
+                       ((r + 1) * (tt + 4096)).toDouble) * 1000000.0d
+      math.abs(x - math.rint(x))
+    }.min
+    assert(minDist > 1e-4, f"ln-floor margin too thin: $minDist%.3e")
+  }
 }
