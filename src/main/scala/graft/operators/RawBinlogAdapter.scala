@@ -165,7 +165,25 @@ object RawBinlogAdapter {
     // the xid text: the first decision after the prepare commits the
     // BRANCH's txnId at the decision position, a rollback (or no decision
     // yet) leaves the branch uncommitted and the assembler's commit gate
-    // discards its rows. XA events are rare — these joins carry a sliver. ---
+    // discards its rows.
+    //
+    // XA events are rare — MOST batches carry none — so the two resolution
+    // joins are gated on a presence probe first against a conservative
+    // SUPERSET predicate (any XA_PREPARE event, or any QUERY whose text
+    // opens with XA — covers COMMIT/ROLLBACK/ONE PHASE spellings plus
+    // harmless START/END noise). If the probe finds nothing, both legs are
+    // provably empty and the plan skips their joins entirely. The probe is
+    // ONE aggregate job over the persisted contexted stream — which the
+    // main query consumes five ways regardless — so the probe job IS the
+    // cache materialization the pipeline pays anyway, and its marginal cost
+    // is a thin max() over cached rows. Not `isEmpty`: the take(1) limit
+    // ladder launches a job per partition-batch exactly when the answer is
+    // "empty", which is the common case this gate exists for. ---
+    val hasXa = ctx
+      .select(max(when(col("code") === RT.XA_PREPARE ||
+        (col("code") === RT.QUERY && col("sql").rlike("(?i)^\\s*XA\\b")), 1)
+        .otherwise(0)).as("x"))
+      .first().getInt(0) == 1
     def normXid(c: Column): Column = regexp_replace(c, "['`\"\\s]", "")
     val xaPrep = ctx.filter(col("code") === RT.XA_PREPARE)
       .select(txnId.as("braTxn"), normXid(col("xaId")).as("braXid"),
@@ -196,8 +214,8 @@ object RawBinlogAdapter {
         lit("").as("table"), lit("").as("rowKey"),
         emptyMap.as("before"), emptyMap.as("after"))
 
-    rowOps.unionByName(queryOps).unionByName(beginOps).unionByName(commitOps)
-      .unionByName(xaCommitOps).unionByName(xaOnePhase)
+    val base = rowOps.unionByName(queryOps).unionByName(beginOps).unionByName(commitOps)
+    (if (hasXa) base.unionByName(xaCommitOps).unionByName(xaOnePhase) else base)
       .as[Op]
   }
 
