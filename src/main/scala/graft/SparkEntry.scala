@@ -671,18 +671,24 @@ object SparkEntry {
 
     "text_tfidf" -> ((s, d) => {
       // TF-IDF, integer-exact: idf scaled to floor(1e6·N/df) so both engines
-      // do the identical double op; top-5 terms per doc. tf is persisted —
-      // it feeds both the df aggregation and the scoring join.
+      // do the identical double op; top-5 terms per doc. tf feeds both the
+      // df aggregation and the scoring join but is NOT persisted: a
+      // corpus-scale cache doubles the I/O footprint at 100 TB, while the
+      // rescan is a codegen'd tokenize+partial-agg chain (dsirSelect's
+      // posture; trade recorded in SCALE.md).
       val docs = t(s, d, "documents")
       val terms = docs.select(col("doc_id"),
         explode(split(operators.Text.normalized(col("text")), " ")).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val total = docs.agg(count(lit(1)).as("n_docs"))
+      // the idf model (dfreq) is VOCABULARY-sized — broadcast it so the
+      // corpus-sized tf table never shuffles by term (Zipf-skewed key) and
+      // scoring stays map-side on tf's recompute; the per-doc top-5 window
+      // partitions by doc_id, whose size is bounded by document length
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf_scaled").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(total))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(total))
         .withColumn("tfidf_scaled",
           (col("tf") * floor(lit(1000000.0d) * col("n_docs") / col("df"))).cast("long"))
         .withColumn("rn", row_number().over(w))

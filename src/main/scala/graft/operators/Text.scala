@@ -304,8 +304,20 @@ object Text {
     * high-frequency bigrams ride the join as one row per doc, not one per
     * occurrence, which is what keeps Zipf-skewed keys from melting a
     * 100 TB shuffle. Output: doc_id, n_bigrams, lm_ppm (NULL for docs with
-    * fewer than two tokens). */
-  def lmBigramScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    * fewer than two tokens).
+    *
+    * `cache` (default OFF): the per-doc bigram table and the corpus bigram
+    * counts feed multiple consumers; caching them trades a corpus-scale
+    * executor-storage footprint (roughly doubling the pipeline's I/O at
+    * 100 TB) for skipping 2-3 rescans of the tokenizer+partial-agg chain.
+    * The default follows dsirSelect's rescan posture — recomputation is a
+    * codegen'd scan-local chain and every shuffle it feeds is map-side
+    * combined; flip it on only when the corpus comfortably fits executor
+    * storage (see SCALE.md). */
+  def lmBigramScore(df: DataFrame, idCol: Column, textCol: Column,
+      cache: Boolean = false): DataFrame = {
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
     val toks = df.select(idCol.as("doc_id"), split(normalized(textCol), " ").as("toks"))
     // adjacent pairs via zip of the two shifted slices: empty for <2 tokens
     val bi = toks.select(col("doc_id"),
@@ -314,16 +326,27 @@ object Text {
           slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // per-doc bigram multiplicity before any join (see scale note above)
-    val docBi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val docBi = maybeCache(bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k")))
+    // model tables derive from the (much smaller) corpus bigram counts
+    val c2 = maybeCache(docBi.groupBy("w1", "w2").agg(sum(col("k")).as("c2")))
+    // unigram counts AND the vocabulary in ONE pass over the bigram model
+    // (rollup: the (w1) rows carry c1, the grand-total row carries
+    // countDistinct(w2) = V). This small table is the one cache the
+    // operator keeps unconditionally — it is VOCABULARY-sized, not
+    // corpus-sized, so it pins O(model) executor storage, and persisting it
+    // stops its two consumers from re-deriving the corpus-scale c2 chain.
+    val uni = c2.rollup("w1")
+      .agg(sum(col("c2")).as("c1"), countDistinct(col("w2")).as("v"),
+        grouping_id().as("gid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // model tables derive from the (much smaller) corpus bigram counts, so
-    // the doc-sized table is scanned once, not three times
-    val c2 = docBi.groupBy("w1", "w2").agg(sum(col("k")).as("c2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val vocab = c2.select(countDistinct(col("w2")).as("v"))
+    val c1 = uni.filter(col("gid") === 0).select(col("w1"), col("c1"))
+    val vocab = uni.filter(col("gid") === 1).select(col("v"))
+    // c1/vocab BROADCAST (unigram-vocabulary-sized): the scored stream
+    // never reshuffles by the Zipf-skewed bare w1 key; the only shuffle
+    // join left is docBi ⋈ c2 on the much better-distributed bigram key
     val scored = docBi
-      .join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .join(c2, Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
       .withColumn("s", floor((col("c2") + 1).cast("double") * lit(1000000.0d)
         / (col("c1") + col("v")).cast("double")).cast("long"))
     val perDoc = scored.groupBy("doc_id").agg(
