@@ -235,8 +235,10 @@ object RawBinlogAdapter {
     * metadata slot, so the streaming state deliberately does not hold it.
     * NOTE: this case class IS the flatMapGroupsWithState state schema;
     * changing its fields invalidates existing streaming checkpoints (state
-    * rows deserialize against the new encoder) — bump the checkpoint dir
-    * when evolving it. */
+    * rows deserialize against the new encoder). When evolving it, bump
+    * [[graft.streaming.StateFormat.SupplierStateVersion]] — the pipeline's
+    * pre-flight check then fails restarts against older checkpoints with
+    * an actionable message instead of a deserialization surprise. */
   final case class SupplierState(
       gtid: Option[String],
       tableMaps: Map[Long, TableMapEntry],

@@ -139,6 +139,11 @@ object ReplicatorPipeline {
 
   /** Launch the streaming pipeline over a stream of Ops. */
   def start(ops: Dataset[Op], cfg: PipelineConfig): StreamingQuery = {
+    // pre-flight: loud, actionable failure when the checkpoint's state
+    // encoders don't match this engine (e.g. a pre-r5 checkpoint whose
+    // SupplierState lacks pendingXa), instead of an opaque state-store
+    // deserialization error mid-restore
+    graft.streaming.StateFormat.ensure(cfg.checkpointDir)
     val stamped = transform(ops, cfg)
     stamped.writeStream
       .outputMode("append")
