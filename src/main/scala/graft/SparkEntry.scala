@@ -944,6 +944,34 @@ object SparkEntry {
       Dedup.semanticDedup(emb, col("vec_id"), col("embedding"), centroids, 0.4)
     }),
 
+    "dedup_semantic_recall" -> ((s, d) => {
+      // SemDeDup's measured recall (the dedup mirror of sim_recall_eval):
+      // cluster-local drop decisions vs the exact within-threshold ground
+      // truth, per centroid — the cross-cluster miss trade as a number the
+      // gate re-measures every run instead of a single spec-pinned pair.
+      // Deterministic end to end (seed centroids, round-6 cosines, id
+      // tie-breaks), so the recall itself is hash-gated; n_dropped ≡
+      // n_caught doubles as the precision-is-exact evidence (a within-
+      // cluster witness is also a global witness).
+      val emb = t(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          Similarity.asDouble(col("embedding")).as("cvec"))
+      val sem = Dedup.semanticDedup(emb, col("vec_id"), col("embedding"), centroids, 0.4)
+      val truth = Dedup.embeddingNearDupBlocked(emb, col("vec_id"), col("embedding"), 0.4)
+        .select(col("b_id").as("vec_id")).distinct().withColumn("__true", lit(true))
+      sem.join(truth, Seq("vec_id"), "left")
+        .groupBy("centroid_id")
+        .agg(
+          sum(when(col("__true"), 1L).otherwise(0L)).as("n_true_dups"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("__true") && !col("kept"), 1L).otherwise(0L)).as("n_caught"))
+        .withColumn("recall_ppm",
+          when(col("n_true_dups") === 0, lit(1000000L))
+            .otherwise(floor(col("n_caught").cast("double") * lit(1000000.0d)
+              / col("n_true_dups")).cast("long")))
+    }),
+
     // ----- Similarity search -----
     "sim_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2017,6 +2045,33 @@ object SparkEntry {
                  / (sqrt(list_dot_product(a1.vv, a1.vv)) * sqrt(list_dot_product(a2.vv, a2.vv))), 6) >= 0.4)
          SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
          FROM a LEFT JOIN d ON a.vec_id = d.vec_id""",
+
+    "dedup_semantic_recall" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         a AS (SELECT vec_id, centroid_id, vv FROM v, c
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+                 round(list_dot_product(vv, cv)
+                   / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+                 centroid_id) = 1),
+         d AS (SELECT DISTINCT a1.vec_id FROM a a1 JOIN a a2
+                 ON a1.centroid_id = a2.centroid_id AND a2.vec_id < a1.vec_id
+               WHERE round(list_dot_product(a1.vv, a2.vv)
+                 / (sqrt(list_dot_product(a1.vv, a1.vv)) * sqrt(list_dot_product(a2.vv, a2.vv))), 6) >= 0.4),
+         tr AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b ON a.vec_id < b.vec_id
+               WHERE round(list_dot_product(a.vv, b.vv)
+                 / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6) >= 0.4)
+         SELECT a.centroid_id,
+           CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN tr.vec_id IS NOT NULL AND d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           CASE WHEN sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END) = 0
+                THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(floor(sum(CASE WHEN tr.vec_id IS NOT NULL AND d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)) AS BIGINT) END AS recall_ppm
+         FROM a LEFT JOIN d ON a.vec_id = d.vec_id LEFT JOIN tr ON a.vec_id = tr.vec_id
+         GROUP BY a.centroid_id""",
 
     "text_lm_score" ->
       """WITH toks AS (

@@ -392,7 +392,13 @@ object Dedup {
     * native dot ([[graft.functions.DotProductExpr]]) and a divide, in the
     * oracle's exact float-op order — dot/(|a|·|b|). Use
     * [[embeddingNearDupLsh]] instead when the threshold is high enough
-    * (≳0.7) for banding to be selective. */
+    * (≳0.7) for banding to be selective.
+    *
+    * PRODUCTION RECIPE at low thresholds: this exact form is the
+    * adjudicated ground truth, not the 100 TB path — use [[semanticDedup]]
+    * (SemDeDup, `dedup_semantic`), whose Σn_c² within-cluster work
+    * replaces the n² product and whose recall trade is re-measured every
+    * run by the `dedup_semantic_recall` harness. */
   def embeddingNearDupBlocked(df: DataFrame, idCol: Column, vecCol: Column,
                               threshold: Double): DataFrame = {
     val docs = df.select(idCol.as("id"), transform(vecCol, x => x.cast("double")).as("v"))
