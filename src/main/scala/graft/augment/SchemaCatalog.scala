@@ -39,6 +39,20 @@ final class SchemaCatalog(val ownSchema: String) {
     "(?is)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\((.*)\\)\\s*(?:engine.*)?".r
   private val addColRe =
     "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+(?:column\\s+)?`?(\\w+)`?\\s+([^;]+)".r
+  // parenthesized multi-add — `ADD COLUMN (x INT, y INT NOT NULL)` — the
+  // form online-migration tools emit for batched adds; MySQL allows no
+  // FIRST/AFTER here, the columns append in declaration order. Matched
+  // before the single-column pattern (whose `(\w+)` can't see the paren).
+  private val addColsParenRe =
+    "(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+(?:column\\s+)?\\((.*)\\)\\s*".r
+  // catalog-neutral ADDs: secondary (non-unique) indexes and foreign-key /
+  // check constraints change neither the positional column layout nor the
+  // row identity — but without this guard `ADD INDEX idx (c)` would fall
+  // through to the generic pattern and install a bogus column named "idx"
+  private val addNeutralRe =
+    ("(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+(?:" +
+      "(?:fulltext\\s+|spatial\\s+)?(?:index|key)\\b|" +
+      "(?:constraint\\s+`?\\w+`?\\s+)?(?:foreign\\s+key|check)\\b).*").r
   private val dropColRe =
     "(?i)alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+(?:column\\s+)?`?(\\w+)`?".r
   // MODIFY col type [...attrs] / CHANGE old new type [...attrs] — type change
@@ -137,11 +151,33 @@ final class SchemaCatalog(val ownSchema: String) {
             uniqueKeys = prev.uniqueKeys.filterNot(_.name.equalsIgnoreCase(iName)),
             validFromMs = tsMs)))
         }
+      case addNeutralRe(name) =>
+        // recorded in history (the reference snapshots every replayed DDL),
+        // schema unchanged
+        history += SchemaTransition(norm(name), ddl, tsMs, current(name), current(name))
+      case addColsParenRe(name, body) =>
+        current(name).foreach { prev =>
+          // ONE DDL = ONE transition: all declared columns land in a single
+          // new version, appended in declaration order, each parsed with
+          // the full attribute treatment (type, NOT NULL, inline PK,
+          // default, collation) the CREATE body parser applies
+          val added = prev.columns ++ parseColumns(body)
+          install(name, ddl, tsMs, Some(prev.copy(version = nextVersion(name),
+            columns = added, validFromMs = tsMs)))
+        }
       case addColRe(name, colName, colType) =>
         current(name).foreach { prev =>
           val (attrs, atFirst, afterCol) = splitPosition(colType)
           val (default, collation) = columnExtras(attrs)
-          val spec = ColumnSpec(colName, baseTypeOf(attrs), nullable = true, "",
+          // literal-blanked sniff, same hygiene as CREATE/MODIFY: a DEFAULT
+          // or COMMENT literal mentioning NOT NULL / PRIMARY KEY must not
+          // flip the added column's nullability or key
+          val sniff = withoutLiterals(attrs)
+          val notNull = sniff.matches("(?i).*not\\s+null.*")
+          val inlinePk = sniff.matches("(?i).*primary\\s+key.*")
+          val spec = ColumnSpec(colName, baseTypeOf(attrs),
+            nullable = !notNull && !inlinePk,
+            key = if (inlinePk) "PRI" else "",
             default, collation)
           val at =
             if (atFirst) 0

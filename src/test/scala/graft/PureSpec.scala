@@ -314,6 +314,76 @@ class PureSpec extends AnyFunSuite {
     val now = cat.current("animal").get
     assert(now.columns.map(_.name) == Seq("id", "name", "sc_name"))
     assert(cat.current("_animal_old").isEmpty && cat.current("_animal_new").isEmpty)
+    // schema-version resolution across the swap: the pre-swap lineage moves
+    // WITH the table (the data lives under _animal_old until the drop), so
+    // "animal" resolves only from the cutover onward — a pre-swap timestamp
+    // must NOT resolve against the new table's shape
+    assert(cat.at("animal", 2L).isEmpty)
+    assert(cat.at("animal", 3L).get.columns.map(_.name) == Seq("id", "name", "sc_name"))
+  }
+
+  test("catalog: multi-table RENAME pairs apply left to right (non-swap form)") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE a (x INT)", 1L)
+    cat.applyDdl("CREATE TABLE c (y INT, z INT)", 1L)
+    cat.applyDdl("RENAME TABLE `a` TO `b`, `c` TO `d`", 2L)
+    assert(cat.current("a").isEmpty && cat.current("c").isEmpty)
+    assert(cat.current("b").get.columns.map(_.name) == Seq("x"))
+    assert(cat.current("d").get.columns.map(_.name) == Seq("y", "z"))
+  }
+
+  test("catalog: parenthesized multi-column ADD (one DDL = one version)") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE m (id INT PRIMARY KEY)", 1L)
+    val v0 = cat.current("m").get.version
+    cat.applyDdl("ALTER TABLE m ADD COLUMN (x INT, " +
+      "y VARCHAR(10) NOT NULL DEFAULT 'a b' COLLATE utf8mb4_bin, " +
+      "mode ENUM('null','not, null') DEFAULT 'null')", 2L)
+    val v1 = cat.current("m").get
+    assert(v1.version == v0 + 1) // ONE transition for the whole paren body
+    assert(v1.columns.map(_.name) == Seq("id", "x", "y", "mode"))
+    val y = v1.columns.find(_.name == "y").get
+    assert(!y.nullable && y.defaultValue.contains("a b") &&
+      y.collation.contains("utf8mb4_bin"))
+    // the comma INSIDE the enum literal must not split the column list
+    val mode = v1.columns.find(_.name == "mode").get
+    assert(mode.mysqlType.equalsIgnoreCase("enum('null','not, null')"), mode.mysqlType)
+    assert(mode.nullable)
+    // bare-paren spelling (no COLUMN keyword) parses the same
+    cat.applyDdl("ALTER TABLE m ADD (w INT NOT NULL, v INT)", 3L)
+    val v2 = cat.current("m").get
+    assert(v2.columns.map(_.name) == Seq("id", "x", "y", "mode", "w", "v"))
+    assert(!v2.columns.find(_.name == "w").get.nullable)
+    assert(v2.columns.find(_.name == "v").get.nullable)
+  }
+
+  test("catalog: single ADD COLUMN honors NOT NULL / inline PK, with literal hygiene") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE s (id INT)", 1L)
+    cat.applyDdl("ALTER TABLE s ADD COLUMN req VARCHAR(5) NOT NULL", 2L)
+    assert(!cat.current("s").get.columns.find(_.name == "req").get.nullable)
+    cat.applyDdl("ALTER TABLE s ADD COLUMN note VARCHAR(20) DEFAULT 'not null brigade'", 3L)
+    val note = cat.current("s").get.columns.find(_.name == "note").get
+    assert(note.nullable && note.defaultValue.contains("not null brigade"))
+    cat.applyDdl("ALTER TABLE s ADD COLUMN pk2 INT PRIMARY KEY", 4L)
+    val pk2 = cat.current("s").get.columns.find(_.name == "pk2").get
+    assert(pk2.key == "PRI" && !pk2.nullable)
+  }
+
+  test("catalog: secondary-index / FK / CHECK adds are catalog-neutral") {
+    val cat = new SchemaCatalog("mydb")
+    cat.applyDdl("CREATE TABLE n (id INT PRIMARY KEY, ref_id INT)", 1L)
+    val before = cat.current("n").get
+    cat.applyDdl("ALTER TABLE n ADD INDEX idx_ref (ref_id)", 2L)
+    cat.applyDdl("ALTER TABLE n ADD KEY (ref_id)", 3L)
+    cat.applyDdl("ALTER TABLE n ADD FULLTEXT INDEX ft (ref_id)", 4L)
+    cat.applyDdl("ALTER TABLE n ADD CONSTRAINT fk_r FOREIGN KEY (ref_id) REFERENCES r(id)", 5L)
+    cat.applyDdl("ALTER TABLE n ADD CONSTRAINT ck CHECK (ref_id > 0)", 6L)
+    val after = cat.current("n").get
+    assert(after.version == before.version) // no bogus "idx_ref"/"fk_r" columns
+    assert(after.columns.map(_.name) == Seq("id", "ref_id"))
+    // but every statement is in the replay history, reference-style
+    assert(cat.transitions.count(_.table == "n") >= 6)
   }
 
   test("catalog: cross-schema rename does not replay") {
