@@ -1019,24 +1019,34 @@ object SparkEntry {
       // IVFADC end to end, ORACLE-GATED: the corpus embeddings sit at the
       // cosine noise floor where no quantizer is rank-selective, so the
       // flagship composition gets its hard gate on a deterministic
-      // clustered fixture synthesized identically in both engines — 200
-      // vectors, 8 one-hot clusters (i % 8) with 1/4-step jitter: every
-      // value is an exact binary fraction derived from integers, so Spark
-      // and DuckDB compute bit-identical cosines. Probes + shortlist are
-      // sized for full recall on this geometry (seed centroids = first 8
-      // ids = one per cluster), so the IVFADC output EQUALS the brute-force
-      // top-5 the oracle computes. Settings tight enough to exercise the
-      // pruning path: 4 of 8 lists probed, 40-wide ADC shortlist.
+      // clustered fixture synthesized identically in both engines — one
+      // vector per embeddings row (the fixture SCALES WITH THE DATASET, so
+      // ScaleUp's ×10 measures the compressed-scan layout too), 8 one-hot
+      // clusters (vec_id % 8) with 1/4-step jitter: every value is an
+      // exact binary fraction derived from integers, so Spark and DuckDB
+      // compute bit-identical cosines. Probes + shortlist are sized for
+      // full recall on this geometry: clusters are 8.0-separated while
+      // jitter (and thus PQ quantization error) is ≤1.0, so ADC ranks
+      // every probed own-cluster candidate above all cross-cluster ones,
+      // and a shortlist of n/4 (≥ 2× cluster size) keeps the whole own
+      // cluster through the exact re-rank — the IVFADC output EQUALS the
+      // brute-force top-5 the oracle computes at ANY n. Settings still
+      // exercise the pruning path: 4 of 8 lists probed, shortlist half
+      // the probed candidates.
+      val emb = t(s, d, "embeddings")
+      // fixture size = corpus size; a driver-side count of the id column,
+      // not a data collect
+      val n = emb.select(col("vec_id")).count()
       val vec = transform(sequence(lit(0), lit(7)), j =>
         when(j.cast("long") === col("i") % 8, lit(8.0)).otherwise(lit(0.0)) +
           ((col("i") * (j.cast("long") + 3)) % 5).cast("double") * lit(0.25))
-      val corpus = s.range(0, 200).select(col("id").as("i"))
+      val corpus = emb.select(col("vec_id").as("i"))
         .select(col("i").as("vec_id"), vec.as("embedding"))
       val queries = corpus.filter(col("vec_id") < 20)
       Pq.ivfAdcTopK(corpus, col("vec_id"), col("embedding"),
         queries, col("vec_id"), col("embedding"),
         kClusters = 8, iters = 1, m = 4, kCodes = 16,
-        nProbe = 4, shortlist = 40, finalK = 5)
+        nProbe = 4, shortlist = (n / 4).toInt.max(40), finalK = 5)
     }),
 
     "sim_ann_ivf_exact" -> ((s, d) => {
@@ -2456,10 +2466,10 @@ object SparkEntry {
          FROM q LEFT JOIN hits USING (query_id)""",
 
     "sim_ann_ivfadc" ->
-      """WITH v AS (SELECT i AS vec_id,
-           [CASE WHEN j = i % 8 THEN 8.0 ELSE 0.0 END
-              + ((i*(j+3)) % 5) * 0.25 for j in range(0, 8)] AS vec
-         FROM range(0, 200) t(i)),
+      """WITH v AS (SELECT vec_id,
+           [CASE WHEN j = vec_id % 8 THEN 8.0 ELSE 0.0 END
+              + ((vec_id*(j+3)) % 5) * 0.25 for j in range(0, 8)] AS vec
+         FROM embeddings),
          q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 20),
          s AS (SELECT query_id, vec_id,
            round(list_dot_product(qv, vec)
