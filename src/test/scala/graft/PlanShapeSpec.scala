@@ -110,4 +110,47 @@ class PlanShapeSpec extends SparkTestBase {
     val sd = plan("dedup_semantic")
     assert(!sd.contains("Window"), "semantic dedup must not plan a window")
   }
+
+  test("r6: tf-idf scores through a BROADCAST of the vocab-sized idf model") {
+    // the corpus-sized tf table must never sort-merge by the Zipf-skewed
+    // bare term key; the idf model is vocabulary-sized and broadcasts
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"idf model must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"tf must not shuffle by term for scoring:\n${p.take(2000)}")
+  }
+
+  test("r6: lm score broadcasts the unigram model; no corpus-sized persist by default") {
+    val q = SparkEntry.queries("text_lm_score")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    // c1/vocab (unigram-vocabulary-sized) broadcast; the only shuffle
+    // join left keys on the better-distributed (w1, w2) bigram pair
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram model must broadcast:\n${p.take(2000)}")
+    // default cache=false: nothing corpus-sized may sit in the plan as an
+    // InMemoryRelation — the single allowed cache is the vocab-sized
+    // rollup (uni), recognizable by its grouping-id column
+    val imrs = "InMemoryTableScan".r.findAllIn(p).size
+    assert(imrs <= 2, s"only the vocab-sized uni cache may materialize (saw $imrs):\n${p.take(2000)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("r6: raw binlog adapter plans NO joins beyond table-map resolution when the batch has no XA") {
+    // the XA presence probe must prune both resolution joins out of the
+    // common zero-XA plan: the only join left is the as-of TABLE_MAP
+    // sort-merge (the binlog contract), and no join may key on the xid
+    val q = SparkEntry.queries("cdc_raw_adapter")(spark, dir)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("braXid") && !p.contains("decXid"),
+      s"XA legs must be pruned from a zero-XA batch:\n${p.take(3000)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("r6: scaled IVFADC fixture stays cross-product-free with broadcast probe plans") {
+    val p = plan("sim_ann_ivfadc")
+    assert(!p.contains("CartesianProduct"),
+      s"ivfadc must not plan a cross product:\n${p.take(2000)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
