@@ -44,7 +44,7 @@ object Bench {
     "sim_ann_ivfadc",
     "pipe_clean_corpus", "mm_media_meta",
     "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
-    "text_gopher_repetition", "pipe_dsir_select"
+    "text_gopher_repetition", "pipe_dsir_select", "text_bm25"
   )
 
   private def loadavg: Double =

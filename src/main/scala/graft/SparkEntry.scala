@@ -696,6 +696,37 @@ object SparkEntry {
         .select("doc_id", "term", "tfidf_scaled", "rn")
     }),
 
+    "text_bm25" -> ((s, d) => {
+      // BM25 retrieval scoring (Robertson/Lucene idf form) — the standard
+      // corpus-curation search primitive, distinct from tf-idf by doc-
+      // length normalization and smoothed idf. Scale shape: doc length
+      // rides the tokenize scan, postings filter to the QUERY terms before
+      // the (doc,term) shuffle (at 100 TB the shuffle carries the query's
+      // postings sliver, not the corpus), df and the corpus stats broadcast
+      // at vocabulary/scalar size, per-term contributions floor to integer
+      // ppm so the per-doc total is an order-free integer sum, and the
+      // global top-20 plans as TakeOrdered (k-bounded per partition).
+      // Floats: identical parse tree in both engines, single floor at ppm.
+      val qTerms = Seq("stream", "hash", "vector")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(operators.Text.normalized(col("text")), " ").as("toks"))
+      val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl"))
+      val tf = toks
+        .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .withColumn("bm25_ppm", floor(lit(1000000.0d) *
+          (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(2.2d)) /
+            (col("tf") + lit(1.2d) * (lit(1.0d) - lit(0.75d)
+              + lit(0.75d) * col("dl") / col("avgdl"))))).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("bm25_ppm")).as("bm25_total_ppm"), count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_total_ppm").desc, col("doc_id")).limit(20)
+    }),
+
     "text_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("__toks", split(operators.Text.normalized(col("text")), " "))
@@ -2105,6 +2136,25 @@ object SparkEntry {
            FROM scored GROUP BY doc_id)
          SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.lm_ppm
          FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+
+    "text_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+         FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+             SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks) u
+           WHERE term IN ('stream','hash','vector') GROUP BY doc_id, term),
+         d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT doc_id,
+             CAST(floor(1000000.0 *
+               (ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) AS BIGINT) AS bm25_ppm
+           FROM tf JOIN d USING (term) CROSS JOIN stats)
+         SELECT doc_id, CAST(sum(bm25_ppm) AS BIGINT) AS bm25_total_ppm,
+           CAST(count(*) AS BIGINT) AS n_terms
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25_total_ppm DESC, doc_id LIMIT 20""",
 
     "text_pii" ->
       """SELECT doc_id,

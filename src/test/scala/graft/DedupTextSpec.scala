@@ -726,4 +726,54 @@ class DedupTextSpec extends SparkTestBase {
       assert(bad.isEmpty, s"n=$n: native span hashes diverge from the composition")
     }
   }
+
+  test("bm25: hand-computed score on a tiny corpus; floor margin clears the ln error bound") {
+    // 1) exactness on a corpus small enough to compute by hand: three docs,
+    // query term "hash" appears 2× in doc0 (dl 4), 1× in doc2 (dl 2)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    Seq(
+      (0L, "hash join hash scan", "en", "w", 19L),
+      (1L, "sort merge", "en", "w", 10L),
+      (2L, "hash agg", "en", "w", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_bm25")(spark, dir)
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect()
+    def bm25(tf: Long, df: Long, dl: Long, nDocs: Long, avgdl: Double): Long = {
+      val x = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      math.floor(1000000.0 * x).toLong
+    }
+    val avgdl = (4 + 2 + 2) / 3.0
+    assert(rows.toSeq == Seq(
+      (0L, bm25(2, 2, 4, 3, avgdl), 1L),
+      (2L, bm25(1, 2, 2, 3, avgdl), 1L)))
+    // doc0 (tf 2) must outrank doc2 (tf 1) even with its longer dl here
+    assert(bm25(2, 2, 4, 3, avgdl) > bm25(1, 2, 2, 3, avgdl))
+
+    // 2) ln is the score's only transcendental; engines may differ ~1 ulp.
+    // floor(1e6·score) is engine-identical as long as no (tf, df, dl)
+    // combination on the REAL gate corpus sits within that distance of an
+    // integer boundary — measure the actual margin (dsir precedent).
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val toks = docs.select(col("doc_id"),
+      split(graft.operators.Text.normalized(col("text")), " ").as("toks"))
+    val statsRow = toks.agg(count(lit(1)), avg(size(col("toks")))).head
+    val (nDocs, avg2) = (statsRow.getLong(0), statsRow.getDouble(1))
+    val tfTable = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin("stream", "hash", "vector"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfTable = tfTable.groupBy("term").agg(count(lit(1)).as("df"))
+    val triples = tfTable.join(dfTable, "term")
+      .select(col("tf"), col("df"), col("dl")).distinct()
+      .as[(Long, Long, Long)].collect()
+    val minDist = triples.map { case (tf, df, dl) =>
+      val x = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avg2)) * 1000000.0
+      math.abs(x - math.rint(x))
+    }.min
+    assert(minDist > 1e-4, f"bm25 floor margin too thin: $minDist%.3e")
+  }
 }
