@@ -165,6 +165,16 @@ object SparkEntry {
           col("doc_id"), col("lang"), n = 40)
         .select("doc_id", "lang", "source")),
 
+    "pipe_split" -> ((s, d) =>
+      // deterministic 80/10/10 train/valid/test assignment: a doc's split
+      // is a pure function of its key (md5 hex-prefix vs cumulative
+      // bounds), so it survives reruns, engine swaps, and corpus growth —
+      // new docs never move old ones across the leakage boundary. ONE
+      // scan-local projection, zero shuffles.
+      graft.operators.Sampling.hashSplit(t(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+
     "sample_mixture" -> ((s, d) =>
       // data-mixture epochs per source (LLaMA-recipe upsampling): src0 seen
       // twice, src1 1.5x, src2 0.5x, src3 0.25x, everything else dropped
@@ -1326,6 +1336,13 @@ object SparkEntry {
             OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
             OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a')
          GROUP BY source""",
+
+    "pipe_split" ->
+      """SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents""",
 
     "sample_quota" ->
       """SELECT doc_id, lang, source FROM (

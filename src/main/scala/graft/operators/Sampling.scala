@@ -37,6 +37,34 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
     df.filter(keepHash(keyCol, rate))
 
+  /** Deterministic hash split — the train/valid/test assignment every
+    * training pipeline needs, with the property random splitting lacks:
+    * a document's split is a pure function of its key, so it is stable
+    * across runs, engines, cluster layouts, task retries, AND corpus
+    * growth (new documents never move old ones between splits — the
+    * leakage guarantee). `splits` are (name, weight) pairs in declaration
+    * order; weights normalize; a row lands in the first split whose
+    * cumulative hex bound exceeds its 32-bit md5 prefix — the same pure
+    * string comparison as [[keepHash]], ONE scan-local projection, no
+    * shuffle, oracle-checkable verbatim. */
+  def hashSplit(df: DataFrame, keyCol: Column, splits: Seq[(String, Double)],
+                outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 > 0.0), "split weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be unique")
+    val total = splits.map(_._2).sum
+    val h = substring(md5(keyCol.cast("string")), 1, 8)
+    var cum = 0.0
+    val bounded = splits.init.map { case (nm, w) =>
+      cum += w
+      (nm, f"${math.round(cum / total * 4294967296.0).min(4294967295L)}%08x")
+    }
+    val assign = bounded.foldRight(lit(splits.last._1)) {
+      case ((nm, bound), tail) => when(h < lit(bound), lit(nm)).otherwise(tail)
+    }
+    df.withColumn(outCol, assign)
+  }
+
   /** Dataset mixing: per-stratum sampling rates (unlisted strata drop).
     * The standard source-weighting step of corpus assembly. */
   def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,

@@ -42,8 +42,26 @@ object ScaleUp {
         col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events replicate as N DISTINCT user populations at the same wall
+    // clock (event/user ids offset per replica, timestamps kept): the CDC
+    // lane's group count — the supplier/assembler state-machine partition
+    // key — scales with the data, which is the scaling model a binlog at
+    // N× volume actually has. Read via SparkEntry.t so the TIMESTAMP(NANOS)
+    // source maps the same way the engine reads it (the rewrite lands as
+    // micros, which t() also accepts).
+    val events = graft.SparkEntry.t(spark, src, "events")
+    val maxEv = events.agg(max("event_id")).head.getLong(0) + 1
+    val maxUser = events.agg(max("user_id")).head.getLong(0) + 1
+    events.crossJoin(spark.range(n).select(col("id").as("__rep")))
+      .select(
+        (col("event_id") + col("__rep") * maxEv).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       val p = new java.io.File(s"$src/$t.parquet")
       if (p.exists()) {
         java.nio.file.Files.copy(p.toPath,
@@ -51,7 +69,7 @@ object ScaleUp {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    println(s"[scaleup] wrote x$n documents/embeddings to $out")
+    println(s"[scaleup] wrote x$n documents/embeddings/events to $out")
     spark.stop()
   }
 }

@@ -22,6 +22,30 @@ class SamplingSpec extends SparkTestBase {
     assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("hash split: exhaustive+exclusive, ratio-proportional, growth-stable, scan-local") {
+    val df = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.hashSplit(df, col("id"), splits)
+    // every row gets exactly one split; ratios near the weights
+    val counts = assigned.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000) < 200, counts.toString)
+    assert(math.abs(counts("valid") - 1000) < 120, counts.toString)
+    assert(math.abs(counts("test") - 1000) < 120, counts.toString)
+    // the leakage guarantee: growing the corpus NEVER moves an old row's
+    // split (assignment is a pure function of the key, not the dataset)
+    val grown = Sampling.hashSplit((1L to 20000L).toDF("id"), col("id"), splits)
+    val moved = assigned.as("a").join(grown.as("g"), "id")
+      .filter(col("a.split") =!= col("g.split")).count()
+    assert(moved == 0, s"$moved rows changed split when the corpus grew")
+    // scan-local: one projection, zero exchanges
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash split must not shuffle:\n$plan")
+    // degenerate single split: everything lands there, no comparison built
+    assert(Sampling.hashSplit(df, col("id"), Seq("all" -> 1.0))
+      .filter(col("split") =!= "all").count() == 0)
+  }
+
   test("stratified mix applies per-source rates; unlisted sources drop") {
     val df = (1L to 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
     val mixed = Sampling.stratifiedSample(df, col("id"), col("source"),
