@@ -153,4 +153,22 @@ class PlanShapeSpec extends SparkTestBase {
       s"ivfadc must not plan a cross product:\n${p.take(2000)}")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("r6: bm25 broadcasts its models and takes the global top-k bounded") {
+    val p = plan("text_bm25")
+    // df + corpus stats broadcast; the tf table never sort-merges by term
+    assert(p.contains("BroadcastHashJoin"), s"bm25 models must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), s"bm25 must not shuffle tf by term:\n${p.take(2000)}")
+    // top-20 must plan k-bounded (TakeOrdered), never a global Sort
+    assert(p.contains("TakeOrdered"), s"bm25 top-k must be TakeOrdered:\n${p.take(2000)}")
+    // the query-term filter must sit below the aggregation: the exchange
+    // carries the query's postings sliver, not the corpus token stream
+    assert(p.contains("isin") || p.contains(" IN ") || p.contains("In("),
+      s"query-term filter missing from the scan side:\n${p.take(3000)}")
+  }
+
+  test("r6: hash split is one scan-local projection") {
+    assert(!plan("pipe_split").contains("Exchange"),
+      "pipe_split must not shuffle")
+  }
 }
