@@ -372,4 +372,45 @@ class StreamingSpec extends SparkTestBase {
     val kept = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 4L)) // doc 3 deduped against batch-1 state
   }
+
+  test("streaming clean-room: gopher gate + c4 clean + hash split compose append-mode") {
+    // the whole scan-local text family (native-kernel gates, line rules,
+    // hash split) is streaming-composable AS-IS: stateless projections
+    // plan identically under readStream, so a crawl feed can be gated,
+    // cleaned, and split-assigned in-flight with zero state stores —
+    // batch results and streaming results must agree row-for-row
+    implicit val sq = spark.sqlContext
+    val sink = Files.createTempDirectory("cleansink").toString
+    val ckpt = Files.createTempDirectory("cleanck").toString
+    // passes the gate: ≥10 words, mean word length in [3,10], ≥2 stopword
+    // types (the/with/and), all-alpha, line ends in sentence punctuation
+    val good = ("the quick brown fox jumps with energy and determination today. " * 3).trim
+    val short = "tiny doc."                                // fails min words
+    def pipe(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val gated = graft.operators.Text.gopherQuality(df, col("text"),
+        minWords = 10, minStopTypes = 2).filter(col("keep"))
+      val cleaned = graft.operators.Text.c4Clean(gated, col("text"),
+        minWordsPerLine = 3, minLinesPerDoc = 1)
+      graft.operators.Sampling.hashSplit(cleaned, col("doc_id"),
+          Seq("train" -> 0.9, "valid" -> 0.1))
+        .select("doc_id", "split", "cleaned_text")
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = pipe(mem.toDS().toDF("doc_id", "text"))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData((1L, good), (2L, short))
+    q.processAllAvailable()
+    mem.addData((3L, good), (4L, good))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(sink)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val batch = pipe(Seq((1L, good), (2L, short), (3L, good), (4L, good))
+        .toDF("doc_id", "text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(_._1) == Set(1L, 3L, 4L)) // the short doc gated out
+  }
 }
