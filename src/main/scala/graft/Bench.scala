@@ -41,8 +41,9 @@ object Bench {
     "dedup_resolve", "dedup_paragraph", "dedup_dup_ngrams", "dedup_incremental",
     "sample_mixture", "pipe_shard_assign", "text_unicode_nfc", "q_range_frame",
     "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "sim_pq_encode",
-    "sim_ann_ivfadc",
+    "sim_ann_ivfadc", "sim_ann_sq8",
     "pipe_clean_corpus", "mm_media_meta",
+    "cdc_as_of_state",
     "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
     "text_gopher_repetition", "pipe_dsir_select", "text_bm25"
   )

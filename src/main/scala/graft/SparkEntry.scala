@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MysqlValues
-import graft.operators.{Cdc, Dedup, EventsAsCdc, Multimodal, Pq, Similarity, Text}
+import graft.operators.{Cdc, Dedup, EventsAsCdc, Multimodal, Pq, Similarity, Sq, Text}
 import graft.streaming.{TimeMachineSink, TransactionAssembler}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -147,6 +147,35 @@ object SparkEntry {
       TimeMachineSink.retainVersions(cells, 2)
         .select(col("row_key"), col("column").as("col_name"), col("value"),
           col("cell_ts"), col("event_id"))
+    }),
+
+    "cdc_as_of_state" -> ((s, d) => {
+      // point-in-time "time travel": reconstruct every row's state at T
+      // from the versioned cell store — the read the reference's HBase
+      // time-machine layout answers with timestamped gets (README.md:7-8,
+      // HBaseTimeMachineWriter's versioned cells). T here is the midpoint
+      // of the cell-version timeline so the snapshot is mid-history
+      // (roughly half the rows exist, late rows don't yet, and a row whose
+      // 50µs intra-txn band straddles T reconstructs PARTIAL state —
+      // exactly the timestamped-get semantic). Deriving T costs one extra
+      // aggregate pass over the cells; in production T is user-supplied
+      // and the read is the two map-side-partial aggregations of
+      // rowsAsOfCells only — Exchange-free over the bucketed cell table.
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      // 7/8 of the way through the timeline: commit times are skewed late
+      // in this fixture, so the midpoint would snapshot only a handful of
+      // rows — 7/8 reconstructs roughly half the table mid-history
+      val thr = cells.agg(
+        expr("min(cell_ts) + (max(cell_ts) - min(cell_ts)) * 7 div 8").as("__as_of"))
+      val live = cells.crossJoin(broadcast(thr)).filter(col("cell_ts") <= col("__as_of"))
+      TimeMachineSink.rowsAsOfCells(live)
+        .select(col("row_key"),
+          element_at(col("cols"), "value").as("value"),
+          element_at(col("cols"), "event_type").as("event_type"),
+          element_at(col("cols"), "row_status").as("row_status"),
+          col("state_ts"))
     }),
 
     "pipe_source_mix" -> ((s, d) =>
@@ -1090,6 +1119,31 @@ object SparkEntry {
         nProbe = 4, shortlist = (n / 4).toInt.max(40), finalK = 5)
     }),
 
+    "sim_ann_sq8" -> ((s, d) => {
+      // scalar quantization (FAISS SQ8): per-dim byte codes + asymmetric
+      // compressed-domain scan + exact re-rank — the middle rung of the
+      // compression ladder (Flat > SQ8 > PQ in fidelity, reverse in I/O).
+      // Same clustered fixture as sim_ann_ivfadc (one vector per
+      // embeddings row, so it scales with the dataset and ScaleUp measures
+      // the compressed scan): clusters are 8.0-separated while jitter is
+      // ≤1.0 and SQ8 quantization error is ≤ range/510 per dim, so the
+      // asymmetric scores rank every own-cluster candidate above all
+      // cross-cluster ones; shortlist n/4 (≥ 2× cluster size) keeps the
+      // whole own cluster through the exact re-rank — the SQ8 output
+      // EQUALS the brute-force top-5 the oracle computes at ANY n.
+      val emb = t(s, d, "embeddings")
+      val n = emb.select(col("vec_id")).count()
+      val vec = transform(sequence(lit(0), lit(7)), j =>
+        when(j.cast("long") === col("i") % 8, lit(8.0)).otherwise(lit(0.0)) +
+          ((col("i") * (j.cast("long") + 3)) % 5).cast("double") * lit(0.25))
+      val corpus = emb.select(col("vec_id").as("i"))
+        .select(col("i").as("vec_id"), vec.as("embedding"))
+      val queries = corpus.filter(col("vec_id") < 20)
+      Sq.sq8TopK(corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"),
+        shortlist = (n / 4).toInt.max(40), finalK = 5)
+    }),
+
     "sim_ann_ivf_exact" -> ((s, d) => {
       // honest IVF: distributed Lloyd's centroids, inverted lists with a
       // per-cluster pruning radius, triangle-inequality probe plan, exact
@@ -1581,6 +1635,45 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY row_key, col_name
                  ORDER BY cell_ts DESC, event_id DESC) AS vn FROM cells)
          SELECT row_key, col_name, value, cell_ts, event_id FROM r WHERE vn <= 2""",
+
+    "cdc_as_of_state" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ms
+           FROM events),
+         cells AS (
+           SELECT CAST(user_id AS VARCHAR) AS row_key, 'value' AS col_name,
+             CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+             commit_ms * 1000 - 50 + least(rn - 1, 50) AS cell_ts, event_id FROM e
+           WHERE rn = 1 OR value <> pv
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'event_type', event_type,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           WHERE rn = 1 OR event_type <> pt
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'row_status', CASE WHEN rn = 1 THEN 'I' ELSE 'U' END,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e),
+         live AS (SELECT * FROM cells
+           WHERE cell_ts <= (SELECT min(cell_ts) + (max(cell_ts) - min(cell_ts)) * 7 // 8
+                             FROM cells)),
+         latest AS (SELECT row_key, col_name, value, cell_ts,
+             row_number() OVER (PARTITION BY row_key, col_name
+               ORDER BY cell_ts DESC, event_id DESC) AS vn
+           FROM live),
+         state AS (SELECT row_key,
+             max(CASE WHEN col_name = 'value' THEN value END) AS value,
+             max(CASE WHEN col_name = 'event_type' THEN value END) AS event_type,
+             max(CASE WHEN col_name = 'row_status' THEN value END) AS row_status,
+             max(cell_ts) AS state_ts
+           FROM latest WHERE vn = 1 GROUP BY row_key)
+         SELECT row_key, value, event_type, row_status, state_ts
+         FROM state WHERE row_status <> 'D'""",
 
     "mysql_unsigned_decode" ->
       """WITH s AS (SELECT event_id, (event_id % 300) - 150 AS s FROM events)
@@ -2533,6 +2626,23 @@ object SparkEntry {
          FROM q LEFT JOIN hits USING (query_id)""",
 
     "sim_ann_ivfadc" ->
+      """WITH v AS (SELECT vec_id,
+           [CASE WHEN j = vec_id % 8 THEN 8.0 ELSE 0.0 END
+              + ((vec_id*(j+3)) % 5) * 0.25 for j in range(0, 8)] AS vec
+         FROM embeddings),
+         q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 20),
+         s AS (SELECT query_id, vec_id,
+           round(list_dot_product(qv, vec)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vec, vec))), 6) AS cos_sim
+         FROM q, v WHERE vec_id <> query_id)
+         SELECT query_id, vec_id, cos_sim FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 5""",
+
+    // same clustered fixture and same brute-force ground truth as
+    // sim_ann_ivfadc: the SQ8 compressed scan + exact re-rank provably
+    // reproduces the exact top-5 on this geometry, so the oracle gates the
+    // whole quantize→scan→re-rank path
+    "sim_ann_sq8" ->
       """WITH v AS (SELECT vec_id,
            [CASE WHEN j = vec_id % 8 THEN 8.0 ELSE 0.0 END
               + ((vec_id*(j+3)) % 5) * 0.25 for j in range(0, 8)] AS vec

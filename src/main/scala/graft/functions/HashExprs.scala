@@ -84,6 +84,48 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native asymmetric scalar-quantization score term — wraps
+  * [[VecAlgos.sqDot]]. `left` is the vector's per-dimension SQ8 code ids
+  * (array<int>), `right` the query's precomputed per-dimension weights
+  * qn[j]·step[j] (array<double>). Runs per (query, vector) pair in the
+  * compressed-domain scan, so it must stay inside whole-stage codegen;
+  * a length mismatch (corrupt codes) yields NULL, never a partial score. */
+case class SqScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_score"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<double>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecAlgos.sqDot(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecAlgos.sqDot($a, $b);
+      }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SqScoreExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native ADC (asymmetric distance computation) score for product-quantized
   * search — wraps [[VecAlgos.adcScore]]. `codes` is the vector's `m`
   * subspace code ids (array<int>), `table` the query's flattened m·k

@@ -33,6 +33,22 @@ object VecAlgos {
     s
   }
 
+  /** Asymmetric scalar-quantization score term: Σ_j codes[j]·w[j] for an
+    * SQ8-encoded vector (int codes) against a query's precomputed
+    * per-dimension weights w[j] = qn[j]·step[j]. Left-to-right sum, so
+    * bit-deterministic across the cluster; the query's constant base term
+    * Σ qn[j]·lo[j] is added outside (plain column add). */
+  def sqDot(codes: ArrayData, w: ArrayData): Double = {
+    val n = math.min(codes.numElements(), w.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      s += codes.getInt(i) * w.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
   /** Asymmetric-distance (ADC) score for a product-quantized vector: the
     * query's per-subspace lookup table is flattened to `m·k` doubles
     * (subspace-major), the vector is `m` code ids, and the score is

@@ -147,12 +147,25 @@ object TimeMachineSink {
 
   /** As-of read: state of every row at time `asOfMicros` — the time-machine
     * query the reference's HBase layout answers with timestamped gets. */
-  def rowsAsOf(spark: SparkSession, sinkDir: String, asOfMicros: Long): DataFrame = {
-    val cells = spark.read.parquet(sinkDir).filter(col("cell_ts") <= asOfMicros)
-      .groupBy("table", "row_key", "column")
-      .agg(max_by(col("value"), struct(col("cell_ts"), col("event_id"))).as("value"))
-    cells.groupBy("table", "row_key")
-      .agg(map_from_entries(collect_list(struct(col("column"), col("value")))).as("cols"))
+  def rowsAsOf(spark: SparkSession, sinkDir: String, asOfMicros: Long): DataFrame =
+    rowsAsOfCells(spark.read.parquet(sinkDir).filter(col("cell_ts") <= asOfMicros))
+
+  /** As-of read over an already time-filtered cell set (caller applies
+    * `cell_ts <= T`, as a literal or a broadcast 1-row threshold join —
+    * either way the predicate reaches the scan). Two keyed aggregations,
+    * both partial map-side: latest surviving version per (table, row_key,
+    * column) by (cell_ts, event_id), then a pivot back to one map-typed row
+    * per key with the row's as-of timestamp; rows whose surviving
+    * row_status is a DELETE marker don't exist at T and are dropped. This
+    * is the general point-in-time reconstruction: run over the bucketed
+    * cell table ([[writeBucketed]]) both aggregations are Exchange-free. */
+  def rowsAsOfCells(liveCells: DataFrame): DataFrame = {
+    val latest = liveCells.groupBy("table", "row_key", "column")
+      .agg(max_by(col("value"), struct(col("cell_ts"), col("event_id"))).as("value"),
+        max(col("cell_ts")).as("cell_ts"))
+    latest.groupBy("table", "row_key")
+      .agg(map_from_entries(collect_list(struct(col("column"), col("value")))).as("cols"),
+        max(col("cell_ts")).as("state_ts"))
       .filter(element_at(col("cols"), "row_status") =!= "D")
   }
 }

@@ -171,4 +171,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan("pipe_split").contains("Exchange"),
       "pipe_split must not shuffle")
   }
+
+  test("r6: sq8 compressed scan broadcasts query tables and shortlist; no cross product") {
+    val p = plan("sim_ann_sq8")
+    assert(!p.contains("CartesianProduct"),
+      s"sq8 must not plan a cross product:\n${p.take(2000)}")
+    // query-side asymmetric tables and the bounded shortlist both ride
+    // broadcasts — the corpus-side compressed scan stays shuffle-free up
+    // to the partial top-k aggregate
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"sq8 query tables/shortlist must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"sq8 must never shuffle the corpus by join key:\n${p.take(2000)}")
+  }
+
+  test("r6: as-of state aggregations partial-aggregate; threshold rides a broadcast") {
+    val p = plan("cdc_as_of_state")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"as-of threshold must broadcast, not cartesian:\n${p.take(2000)}")
+    // both read-path groupBys must plan partial aggregation (map-side
+    // combine bounds the shuffle at versions-per-key, not corpus size)
+    assert(p.contains("partial_max_by") || p.contains("HashAggregate"),
+      s"as-of read must partial-aggregate:\n${p.take(2000)}")
+  }
 }
