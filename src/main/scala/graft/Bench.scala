@@ -45,7 +45,7 @@ object Bench {
     "pipe_clean_corpus", "mm_media_meta",
     "cdc_as_of_state",
     "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
-    "text_gopher_repetition", "pipe_dsir_select", "text_bm25"
+    "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix"
   )
 
   private def loadavg: Double =
@@ -99,7 +99,8 @@ object Bench {
     val only: Set[String] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
     val cdcSelected =
-      only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter")
+      only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter") ||
+        only.contains("cdc_as_of_state")
     val cdcFix = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val synthT0 = System.nanoTime()
     val cdcOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -120,6 +121,24 @@ object Bench {
                 graft.streaming.TimeMachineSink.mutationCells(stamped))
               .select(col("row_key"), col("column").as("col_name"), col("value"),
                 col("cell_ts"), col("event_id"))
+          }),
+          "cdc_as_of_state" -> ((s: SparkSession, d: String) => {
+            implicit val e = org.apache.spark.sql.Encoders.product[graft.streaming.Op]
+            import org.apache.spark.sql.functions.{broadcast, element_at, expr, max, unix_millis}
+            val ops = s.read.parquet(s"$cdcFix/ops").as[graft.streaming.Op]
+            val stamped = graft.streaming.TransactionAssembler.assembleBatch(ops).toDF()
+            val cells = graft.streaming.TimeMachineSink.organize(
+              graft.streaming.TimeMachineSink.mutationCells(stamped))
+            val thr = SparkEntry.t(s, d, "events").groupBy("user_id")
+              .agg(max(unix_millis(col("ts"))).as("cms"))
+              .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__as_of"))
+            val live = cells.crossJoin(broadcast(thr)).filter(col("cell_ts") <= col("__as_of"))
+            graft.streaming.TimeMachineSink.rowsAsOfCells(live)
+              .select(col("row_key"),
+                element_at(col("cols"), "value").as("value"),
+                element_at(col("cols"), "event_type").as("event_type"),
+                element_at(col("cols"), "row_status").as("row_status"),
+                col("state_ts"))
           }),
           "cdc_raw_adapter" -> ((s: SparkSession, _: String) => {
             implicit val e = org.apache.spark.sql.Encoders.product[graft.model.RawEvent]

@@ -153,22 +153,26 @@ object SparkEntry {
       // point-in-time "time travel": reconstruct every row's state at T
       // from the versioned cell store — the read the reference's HBase
       // time-machine layout answers with timestamped gets (README.md:7-8,
-      // HBaseTimeMachineWriter's versioned cells). T here is the midpoint
-      // of the cell-version timeline so the snapshot is mid-history
+      // HBaseTimeMachineWriter's versioned cells). T here is a point
+      // inside the commit-time span so the snapshot is mid-history
       // (roughly half the rows exist, late rows don't yet, and a row whose
       // 50µs intra-txn band straddles T reconstructs PARTIAL state —
-      // exactly the timestamped-get semantic). Deriving T costs one extra
-      // aggregate pass over the cells; in production T is user-supplied
-      // and the read is the two map-side-partial aggregations of
-      // rowsAsOfCells only — Exchange-free over the bucketed cell table.
+      // exactly the timestamped-get semantic). In production T is
+      // user-supplied and the read is the two map-side-partial
+      // aggregations of rowsAsOfCells only — Exchange-free over the
+      // bucketed cell table.
       val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
       val stamped = TransactionAssembler.assembleBatch(ops).toDF()
       val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
-      // 7/8 of the way through the timeline: commit times are skewed late
-      // in this fixture, so the midpoint would snapshot only a handful of
-      // rows — 7/8 reconstructs roughly half the table mid-history
-      val thr = cells.agg(
-        expr("min(cell_ts) + (max(cell_ts) - min(cell_ts)) * 7 div 8").as("__as_of"))
+      // 7/8 of the way through the commit-time span: commit times are
+      // skewed late in this fixture, so the midpoint would snapshot only a
+      // handful of rows — 7/8 reconstructs roughly half the table
+      // mid-history. The span comes from ONE cheap groupBy over events
+      // (per-key commit times), NOT a second pass over the cell pipeline —
+      // deriving T must never cost another corpus scan of the version store
+      val thr = t(s, d, "events").groupBy("user_id")
+        .agg(max(unix_millis(col("ts"))).as("cms"))
+        .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__as_of"))
       val live = cells.crossJoin(broadcast(thr)).filter(col("cell_ts") <= col("__as_of"))
       TimeMachineSink.rowsAsOfCells(live)
         .select(col("row_key"),
@@ -186,6 +190,32 @@ object SparkEntry {
           col("doc_id"), col("source"),
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))),
+
+    "pipe_topic_mix" -> ((s, d) => {
+      // cluster-mixture curation statistics: every document's embedding is
+      // assigned to its nearest seed centroid (a pure scan-local argmax —
+      // zero shuffles, the sim_ann_ivf kernel), then the corpus mixture is
+      // reported per (topic cluster, language): docs, tokens, chars — the
+      // balancing signal cluster-based curation uses to up/down-weight
+      // domains before sampling (the cluster half of SemDeDup-style
+      // pipelines, Abbas et al. 2023). 100 TB posture: the embeddings ⋈
+      // documents equi-join shuffles once on the shared id (bucket both
+      // tables by id to make it co-located); the aggregate's key space is
+      // k·|langs| — partial map-side, sliver-sized shuffle.
+      val emb = t(s, d, "embeddings")
+      val docs = t(s, d, "documents")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          Similarity.asDouble(col("embedding")).as("cvec"))
+      val assigned = Similarity
+        .ivfAssign(emb, col("vec_id"), col("embedding"), centroids)
+        .select(col("vec_id").as("doc_id"), col("centroid_id"))
+      assigned.join(docs, "doc_id")
+        .groupBy("centroid_id", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.wsTokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
 
     "sample_quota" -> ((s, d) =>
       // balanced subsample: exactly 40 docs per language by md5-rank —
@@ -1660,8 +1690,9 @@ object SparkEntry {
            SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
              commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e),
          live AS (SELECT * FROM cells
-           WHERE cell_ts <= (SELECT min(cell_ts) + (max(cell_ts) - min(cell_ts)) * 7 // 8
-                             FROM cells)),
+           WHERE cell_ts <= (SELECT (min(cms) + (max(cms) - min(cms)) * 7 // 8) * 1000
+                             FROM (SELECT max(epoch_ms(ts)) AS cms
+                                   FROM events GROUP BY user_id))),
          latest AS (SELECT row_key, col_name, value, cell_ts,
              row_number() OVER (PARTITION BY row_key, col_name
                ORDER BY cell_ts DESC, event_id DESC) AS vn
@@ -1854,6 +1885,21 @@ object SparkEntry {
            round(list_dot_product(vv, cv)
              / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
            centroid_id) = 1""",
+
+    "pipe_topic_mix" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         a AS (SELECT vec_id, centroid_id FROM v, c
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+             round(list_dot_product(vv, cv)
+               / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+             centroid_id) = 1)
+         SELECT centroid_id, lang, count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM a JOIN documents d ON d.doc_id = a.vec_id
+         GROUP BY centroid_id, lang""",
 
     "q_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -44,6 +44,25 @@ class SqSpec extends SparkTestBase {
     assert(codes.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("dequantization error is bounded by step/2 on every dimension") {
+    val df = clustered(60)
+    val (lo, step) = Sq.trainBounds(df, col("vec_id"), col("embedding"))
+    val codes = Sq.encode(df, col("vec_id"), col("embedding"), lo, step)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val raw = df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    raw.foreach { case (id, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      val vn = v.map(_ / norm)
+      val cs = codes(id)
+      vn.indices.foreach { j =>
+        val dequant = lo(j) + cs(j) * step(j)
+        assert(math.abs(dequant - vn(j)) <= step(j) / 2 + 1e-9,
+          s"vec $id dim $j: |$dequant - ${vn(j)}| > ${step(j) / 2}")
+      }
+    }
+  }
+
   test("sq8TopK with full-recall shortlist equals brute force on clustered data") {
     val df = clustered(40)
     val queries = df.filter(col("vec_id") < 8)
