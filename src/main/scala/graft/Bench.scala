@@ -43,7 +43,7 @@ object Bench {
     "sim_brute_topk", "sim_ann_ivf", "sim_ann_ivf_exact", "sim_pq_encode",
     "sim_ann_ivfadc", "sim_ann_sq8",
     "pipe_clean_corpus", "mm_media_meta",
-    "cdc_as_of_state",
+    "cdc_as_of_state", "cdc_snapshot_apply",
     "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
     "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix"
   )
@@ -100,7 +100,7 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
     val cdcSelected =
       only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter") ||
-        only.contains("cdc_as_of_state")
+        only.contains("cdc_as_of_state") || only.contains("cdc_snapshot_apply")
     val cdcFix = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val synthT0 = System.nanoTime()
     val cdcOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -112,6 +112,27 @@ object Bench {
           .write.mode("overwrite").parquet(s"$cdcFix/ops")
         graft.operators.EventsAsCdc.rawFromEvents(spark, events)
           .write.mode("overwrite").parquet(s"$cdcFix/raw")
+        // the incremental-apply bench measures the OPERATOR against a
+        // STORED snapshot (its production shape): split-at-cut, snapshot
+        // fold, and batch extraction are part of the untimed fixture
+        locally {
+          import org.apache.spark.sql.functions.{broadcast, expr, max, unix_millis}
+          implicit val e = org.apache.spark.sql.Encoders.product[graft.streaming.Op]
+          val ops = spark.read.parquet(s"$cdcFix/ops").as[graft.streaming.Op]
+          val stamped = graft.streaming.TransactionAssembler.assembleBatch(ops).toDF()
+          val cells = graft.streaming.TimeMachineSink.organize(
+            graft.streaming.TimeMachineSink.mutationCells(stamped))
+          val thr = events.groupBy("user_id")
+            .agg(max(unix_millis(col("ts"))).as("cms"))
+            .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__cut"))
+          val w = cells.crossJoin(broadcast(thr))
+          graft.streaming.TimeMachineSink.latestCellsKeyed(
+              w.filter(col("cell_ts") <= col("__cut")))
+            .write.mode("overwrite").parquet(s"$cdcFix/snapshot")
+          w.filter(col("cell_ts") > col("__cut"))
+            .select("table", "row_key", "column", "value", "cell_ts", "event_id")
+            .write.mode("overwrite").parquet(s"$cdcFix/batch")
+        }
         Map(
           "cdc_time_machine" -> ((s: SparkSession, _: String) => {
             implicit val e = org.apache.spark.sql.Encoders.product[graft.streaming.Op]
@@ -134,6 +155,17 @@ object Bench {
               .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__as_of"))
             val live = cells.crossJoin(broadcast(thr)).filter(col("cell_ts") <= col("__as_of"))
             graft.streaming.TimeMachineSink.rowsAsOfCells(live)
+              .select(col("row_key"),
+                element_at(col("cols"), "value").as("value"),
+                element_at(col("cols"), "event_type").as("event_type"),
+                element_at(col("cols"), "row_status").as("row_status"),
+                col("state_ts"))
+          }),
+          "cdc_snapshot_apply" -> ((s: SparkSession, _: String) => {
+            val snapshot = s.read.parquet(s"$cdcFix/snapshot")
+            val batch = s.read.parquet(s"$cdcFix/batch")
+            graft.streaming.TimeMachineSink.rowsAsOfCells(
+                graft.streaming.TimeMachineSink.applyIncremental(snapshot, batch))
               .select(col("row_key"),
                 element_at(col("cols"), "value").as("value"),
                 element_at(col("cols"), "event_type").as("event_type"),

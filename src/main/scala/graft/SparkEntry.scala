@@ -182,6 +182,35 @@ object SparkEntry {
           col("state_ts"))
     }),
 
+    "cdc_snapshot_apply" -> ((s, d) => {
+      // incremental latest-state maintenance, oracle-gated against the
+      // FULL recompute: history cells (≤ cut) fold into a snapshot once,
+      // the post-cut batch applies via TimeMachineSink.applyIncremental —
+      // touching ONLY the keys the batch touches — and the result must
+      // equal latest-state over the entire history (the oracle computes
+      // exactly that). This is how the "now" view stays fresh at 100 TB:
+      // per batch the shuffle is bounded by the batch's key count, never
+      // the version store. The split-at-cut here is fixture scaffolding
+      // (in production the snapshot is a stored table and the batch
+      // arrives from the stream), so the two passes over the cell
+      // pipeline are a verify-only cost.
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      val thr = t(s, d, "events").groupBy("user_id")
+        .agg(max(unix_millis(col("ts"))).as("cms"))
+        .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__cut"))
+      val w = cells.crossJoin(broadcast(thr))
+      val snapshot = TimeMachineSink.latestCellsKeyed(w.filter(col("cell_ts") <= col("__cut")))
+      val batch = w.filter(col("cell_ts") > col("__cut"))
+      TimeMachineSink.rowsAsOfCells(TimeMachineSink.applyIncremental(snapshot, batch))
+        .select(col("row_key"),
+          element_at(col("cols"), "value").as("value"),
+          element_at(col("cols"), "event_type").as("event_type"),
+          element_at(col("cols"), "row_status").as("row_status"),
+          col("state_ts"))
+    }),
+
     "pipe_source_mix" -> ((s, d) =>
       // dataset mixing: deterministic per-source sampling rates via md5
       // hex-prefix thresholds — reproducible on any cluster layout and
@@ -1697,6 +1726,44 @@ object SparkEntry {
              row_number() OVER (PARTITION BY row_key, col_name
                ORDER BY cell_ts DESC, event_id DESC) AS vn
            FROM live),
+         state AS (SELECT row_key,
+             max(CASE WHEN col_name = 'value' THEN value END) AS value,
+             max(CASE WHEN col_name = 'event_type' THEN value END) AS event_type,
+             max(CASE WHEN col_name = 'row_status' THEN value END) AS row_status,
+             max(cell_ts) AS state_ts
+           FROM latest WHERE vn = 1 GROUP BY row_key)
+         SELECT row_key, value, event_type, row_status, state_ts
+         FROM state WHERE row_status <> 'D'""",
+
+    // the incremental-apply path must reproduce the FULL-history latest
+    // state exactly — so the oracle is simply latest-state over all cells
+    "cdc_snapshot_apply" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ms
+           FROM events),
+         cells AS (
+           SELECT CAST(user_id AS VARCHAR) AS row_key, 'value' AS col_name,
+             CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+             commit_ms * 1000 - 50 + least(rn - 1, 50) AS cell_ts, event_id FROM e
+           WHERE rn = 1 OR value <> pv
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'event_type', event_type,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           WHERE rn = 1 OR event_type <> pt
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'row_status', CASE WHEN rn = 1 THEN 'I' ELSE 'U' END,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e),
+         latest AS (SELECT row_key, col_name, value, cell_ts,
+             row_number() OVER (PARTITION BY row_key, col_name
+               ORDER BY cell_ts DESC, event_id DESC) AS vn
+           FROM cells),
          state AS (SELECT row_key,
              max(CASE WHEN col_name = 'value' THEN value END) AS value,
              max(CASE WHEN col_name = 'event_type' THEN value END) AS event_type,

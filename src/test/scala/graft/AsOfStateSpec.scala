@@ -49,4 +49,47 @@ class AsOfStateSpec extends SparkTestBase {
   test("T before any version: empty state") {
     assert(stateAt(100L * 1000).isEmpty)
   }
+
+  // ---- incremental snapshot maintenance (applyIncremental) ----
+
+  // k1 updated then deleted IN THE BATCH; k2 only in history; k3 first
+  // seen in the batch — the three interesting key classes
+  private def incrementalFixture() = {
+    val hist = Seq(
+      ("u1", 1L, 1000L, 0, 1L, 900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "1")),
+      ("u2", 2L, 2000L, 0, 2L, 1900L, "t", "INSERT", "k2", Map.empty[String, String], Map("a" -> "5"))
+    ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
+    val batch = Seq(
+      ("u3", 3L, 3000L, 0, 3L, 2900L, "t", "UPDATE", "k1", Map("a" -> "1"), Map("a" -> "2")),
+      ("u4", 4L, 4000L, 0, 4L, 3900L, "t", "DELETE", "k1", Map("a" -> "2"), Map.empty[String, String]),
+      ("u5", 5L, 4000L, 0, 5L, 3900L, "t", "INSERT", "k3", Map.empty[String, String], Map("a" -> "7"))
+    ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
+    (TimeMachineSink.organize(TimeMachineSink.mutationCells(hist)),
+      TimeMachineSink.organize(TimeMachineSink.mutationCells(batch)))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("row_key"), element_at(col("cols"), "a").as("a"),
+        element_at(col("cols"), "row_status").as("st"), col("state_ts"))
+      .as[(String, Option[String], String, Long)].collect().sortBy(_._1).toSeq
+
+  test("applyIncremental equals the full recompute: delete erases, batch-only key appears") {
+    val (hist, batch) = incrementalFixture()
+    val snapshot = TimeMachineSink.latestCellsKeyed(hist)
+    val applied = TimeMachineSink.rowsAsOfCells(
+      TimeMachineSink.applyIncremental(snapshot, batch))
+    val full = TimeMachineSink.rowsAsOfCells(hist.unionByName(batch))
+    assert(rows(applied) == rows(full))
+    // and the semantics are right: k1 deleted, k2 untouched passthrough,
+    // k3 born in the batch
+    assert(rows(applied).map(_._1) == Seq("k2", "k3"))
+  }
+
+  test("applyIncremental with an empty batch is the identity on the snapshot") {
+    val (hist, batch) = incrementalFixture()
+    val snapshot = TimeMachineSink.latestCellsKeyed(hist)
+    val applied = TimeMachineSink.rowsAsOfCells(
+      TimeMachineSink.applyIncremental(snapshot, batch.filter(col("event_id") < 0)))
+    assert(rows(applied) == rows(TimeMachineSink.rowsAsOfCells(hist)))
+  }
 }

@@ -185,6 +185,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"sq8 must never shuffle the corpus by join key:\n${p.take(2000)}")
   }
 
+  test("r6: incremental snapshot apply plans no cross product; key joins hash/broadcast") {
+    val p = plan("cdc_snapshot_apply")
+    assert(!p.contains("CartesianProduct"),
+      s"snapshot apply must not plan a cross product:\n${p.take(2000)}")
+  }
+
   test("r6: as-of state aggregations partial-aggregate; threshold rides a broadcast") {
     val p = plan("cdc_as_of_state")
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
