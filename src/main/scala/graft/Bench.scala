@@ -45,7 +45,8 @@ object Bench {
     "pipe_clean_corpus", "mm_media_meta",
     "cdc_as_of_state", "cdc_snapshot_apply",
     "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
-    "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix"
+    "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix",
+    "text_char_entropy"
   )
 
   private def loadavg: Double =

@@ -752,6 +752,18 @@ object SparkEntry {
         Text.wsTokenCount(col("text")).as("ws_tokens"),
         Text.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
+    "text_char_entropy" -> ((s, d) =>
+      // Shannon entropy of each doc's code-point distribution — the
+      // gibberish/boilerplate quality signal used alongside the Gopher
+      // gates (near 0 = repeated-character spam; anomalously high =
+      // encoded binary posing as text). ONE codegen'd scan-local pass
+      // (CharEntropyExpr); rounded to 6 decimals so the arbitrary-order
+      // DuckDB groupBy sum hash-matches (cosine-score contract)
+      t(s, d, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_h"),
+          round(Text.charEntropy(col("text")), 6).as("entropy_r6"))),
+
     "text_quality" -> ((s, d) =>
       Text.qualityMetrics(t(s, d, "documents"), col("text"))
         .select("doc_id", "n_chars_m", "n_tokens", "alpha_ppm", "stopword_ppm")),
@@ -2033,6 +2045,16 @@ object SparkEntry {
            len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
          FROM documents""",
+
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+           unnest([substring(text, i, 1) for i in range(1, length(text) + 1)]) AS c
+         FROM documents WHERE length(text) > 0),
+         cnt AS (SELECT doc_id, any_value(n) AS n, c, count(*) AS k
+                 FROM ch GROUP BY doc_id, c)
+         SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_chars_h,
+           round(sum(-(CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n)), 6) AS entropy_r6
+         FROM cnt GROUP BY doc_id""",
 
     "text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,

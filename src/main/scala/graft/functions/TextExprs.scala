@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode normalization as a native expression — the canonicalization
@@ -381,5 +381,73 @@ object RepetitionStatsExpr {
       n += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Shannon entropy of a document's code-point distribution — the classic
+  * gibberish/boilerplate signal (near-zero for repeated-character spam,
+  * anomalously high for encoded binary-in-text; used alongside the Gopher
+  * gates in crawl-cleaning pipelines). One codegen'd pass per row; terms
+  * sum in code-point order, so the value is deterministic across the
+  * cluster. Consumers round to 6 decimals before any cross-engine
+  * comparison (the DuckDB oracle sums its groupBy in arbitrary order —
+  * identical to the last ulp only after rounding, same contract as the
+  * cosine scores). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropyExpr.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyExpr.entropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}
+
+object CharEntropyExpr {
+  def entropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    // ASCII fast path + sorted map for the long tail: iteration order is
+    // code-point order either way, so the sum order is deterministic
+    val ascii = new Array[Long](128)
+    var rest: java.util.TreeMap[Integer, Long] = null
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (rest == null) rest = new java.util.TreeMap[Integer, Long]()
+        val prev = rest.get(cp)
+        rest.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val dn = n.toDouble
+    var h = 0.0
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) { val p = ascii(c) / dn; h -= p * math.log(p) }
+      c += 1
+    }
+    if (rest != null) {
+      val it = rest.values().iterator()
+      while (it.hasNext) { val p = it.next() / dn; h -= p * math.log(p) }
+    }
+    h
   }
 }

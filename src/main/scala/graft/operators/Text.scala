@@ -36,6 +36,15 @@ object Text {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 
+  /** Shannon entropy of the code-point distribution (native kernel,
+    * [[graft.functions.CharEntropyExpr]]) — the gibberish/boilerplate
+    * signal: near 0 for repeated-character spam, anomalously high for
+    * binary-in-text. Round to 6 decimals before cross-engine compare. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(graft.functions.CharEntropyExpr(GraftBridge.toExpr(text)))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, and single punctuation each
     * count as one token — a deterministic proxy for subword tokenizers. */
   def bpeTokenCount(text: Column): Column =

@@ -398,4 +398,20 @@ class PureSpec extends AnyFunSuite {
   test("micro timestamp = commitMs*1000 + seq*100") {
     assert(graft.model.TxnInfo("u", 1, 1700000000123L, 7).microTimestamp == 1700000000123000L + 700L)
   }
+
+  // --- char entropy kernel (CharEntropyExpr) ---
+
+  test("char entropy: 0 for constant text, ln(k) for uniform, code points count once") {
+    import graft.functions.CharEntropyExpr.entropy
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(entropy(u("")) == 0.0)
+    assert(entropy(u("aaaa")) == 0.0)
+    assert(math.abs(entropy(u("abcd")) - math.log(4)) < 1e-12)
+    // 2 symbols at 50/50 -> ln 2 regardless of length
+    assert(math.abs(entropy(u("abab")) - math.log(2)) < 1e-12)
+    // a multi-byte code point is ONE symbol: é and a at 50/50 -> ln 2
+    assert(math.abs(entropy(u("aéaé")) - math.log(2)) < 1e-12)
+    // supplementary-plane (surrogate pair) counts once too
+    assert(math.abs(entropy(u("a😀")) - math.log(2)) < 1e-12)
+  }
 }
