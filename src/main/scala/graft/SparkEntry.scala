@@ -211,6 +211,44 @@ object SparkEntry {
           col("state_ts"))
     }),
 
+    "cdc_scd2" -> ((s, d) => {
+      // SCD Type-2 dimension build: the versioned cell store rendered as a
+      // validity-interval table (one row per version, [valid_from,
+      // valid_to), open interval flagged current) — the warehouse-facing
+      // shape of the time machine's "state at any point in time". One
+      // Exchange: every carry-forward window and the lead() share the
+      // (table,row_key)×(cell_ts,event_id) sort.
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      TimeMachineSink.scd2Intervals(cells, Seq("value", "event_type"))
+        .select(col("row_key"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("value"), col("event_type"))
+    }),
+
+    "cdc_snapshot_diff" -> ((s, d) => {
+      // audit diff between two points in time: rows added/removed/changed
+      // from state(T1) to state(T2), reconstructed ONLY for keys with a
+      // version inside (T1,T2] — the diff costs O(changed keys), never a
+      // full-table rebuild. Oracle-gated against the full two-state diff
+      // (untouched keys reconstruct equal states and drop as unchanged).
+      // This is the reference's ValidationService compare (source vs
+      // target row sets) re-expressed as a first-class temporal operator.
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      val thr = t(s, d, "events").groupBy("user_id")
+        .agg(max(unix_millis(col("ts"))).as("cms"))
+        .agg(expr("(min(cms) + (max(cms) - min(cms)) * 4 div 8) * 1000").as("__t1"),
+          expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__t2"))
+      val w = cells.crossJoin(broadcast(thr))
+      TimeMachineSink.snapshotDiff(w, col("__t1"), col("__t2"),
+          Seq("value", "event_type"))
+        .select(col("row_key"), col("change_type"),
+          col("old_value"), col("new_value"),
+          col("old_event_type"), col("new_event_type"))
+    }),
+
     "pipe_source_mix" -> ((s, d) =>
       // dataset mixing: deterministic per-source sampling rates via md5
       // hex-prefix thresholds — reproducible on any cluster layout and
@@ -1784,6 +1822,103 @@ object SparkEntry {
            FROM latest WHERE vn = 1 GROUP BY row_key)
          SELECT row_key, value, event_type, row_status, state_ts
          FROM state WHERE row_status <> 'D'""",
+
+    "cdc_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ms
+           FROM events),
+         cells AS (
+           SELECT CAST(user_id AS VARCHAR) AS row_key, 'value' AS col_name,
+             CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+             commit_ms * 1000 - 50 + least(rn - 1, 50) AS cell_ts, event_id FROM e
+           WHERE rn = 1 OR value <> pv
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'event_type', event_type,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           WHERE rn = 1 OR event_type <> pt
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'row_status', CASE WHEN rn = 1 THEN 'I' ELSE 'U' END,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e),
+         ver AS (SELECT row_key, cell_ts, event_id,
+             max(CASE WHEN col_name = 'value' THEN value END) AS d_value,
+             max(CASE WHEN col_name = 'event_type' THEN value END) AS d_type,
+             max(CASE WHEN col_name = 'row_status' THEN value END) AS d_status
+           FROM cells GROUP BY 1, 2, 3),
+         iv AS (SELECT row_key, cell_ts AS valid_from,
+             lead(cell_ts) OVER wv AS valid_to,
+             last_value(d_value IGNORE NULLS) OVER wv AS value,
+             last_value(d_type IGNORE NULLS) OVER wv AS event_type,
+             last_value(d_status IGNORE NULLS) OVER wv AS row_status
+           FROM ver
+           WINDOW wv AS (PARTITION BY row_key ORDER BY cell_ts, event_id))
+         SELECT row_key, valid_from, valid_to, valid_to IS NULL AS is_current,
+           value, event_type
+         FROM iv WHERE row_status <> 'D'""",
+
+    "cdc_snapshot_diff" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ms
+           FROM events),
+         cells AS (
+           SELECT CAST(user_id AS VARCHAR) AS row_key, 'value' AS col_name,
+             CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+             commit_ms * 1000 - 50 + least(rn - 1, 50) AS cell_ts, event_id FROM e
+           WHERE rn = 1 OR value <> pv
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'event_type', event_type,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           WHERE rn = 1 OR event_type <> pt
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'row_status', CASE WHEN rn = 1 THEN 'I' ELSE 'U' END,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e),
+         spans AS (SELECT max(epoch_ms(ts)) AS cms FROM events GROUP BY user_id),
+         thr AS (SELECT (min(cms) + (max(cms) - min(cms)) * 4 // 8) * 1000 AS t1,
+                        (min(cms) + (max(cms) - min(cms)) * 7 // 8) * 1000 AS t2
+                 FROM spans),
+         st1 AS (SELECT row_key,
+             max(CASE WHEN col_name = 'value' THEN value END) AS value,
+             max(CASE WHEN col_name = 'event_type' THEN value END) AS event_type,
+             max(CASE WHEN col_name = 'row_status' THEN value END) AS row_status
+           FROM (SELECT row_key, col_name, value,
+               row_number() OVER (PARTITION BY row_key, col_name
+                 ORDER BY cell_ts DESC, event_id DESC) AS vn
+             FROM cells WHERE cell_ts <= (SELECT t1 FROM thr))
+           WHERE vn = 1 GROUP BY row_key),
+         st2 AS (SELECT row_key,
+             max(CASE WHEN col_name = 'value' THEN value END) AS value,
+             max(CASE WHEN col_name = 'event_type' THEN value END) AS event_type,
+             max(CASE WHEN col_name = 'row_status' THEN value END) AS row_status
+           FROM (SELECT row_key, col_name, value,
+               row_number() OVER (PARTITION BY row_key, col_name
+                 ORDER BY cell_ts DESC, event_id DESC) AS vn
+             FROM cells WHERE cell_ts <= (SELECT t2 FROM thr))
+           WHERE vn = 1 GROUP BY row_key),
+         o AS (SELECT * FROM st1 WHERE row_status <> 'D'),
+         n AS (SELECT * FROM st2 WHERE row_status <> 'D'),
+         d AS (SELECT coalesce(o.row_key, n.row_key) AS row_key,
+             CASE WHEN o.row_key IS NULL THEN 'A'
+                  WHEN n.row_key IS NULL THEN 'R'
+                  WHEN o.value IS DISTINCT FROM n.value
+                    OR o.event_type IS DISTINCT FROM n.event_type THEN 'C'
+             END AS change_type,
+             o.value AS old_value, n.value AS new_value,
+             o.event_type AS old_event_type, n.event_type AS new_event_type
+           FROM o FULL OUTER JOIN n ON o.row_key = n.row_key)
+         SELECT * FROM d WHERE change_type IS NOT NULL""",
 
     "mysql_unsigned_decode" ->
       """WITH s AS (SELECT event_id, (event_id % 300) - 150 AS s FROM events)

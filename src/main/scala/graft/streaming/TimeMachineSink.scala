@@ -249,6 +249,91 @@ object TimeMachineSink {
   def rowsAsOf(spark: SparkSession, sinkDir: String, asOfMicros: Long): DataFrame =
     rowsAsOfCells(spark.read.parquet(sinkDir).filter(col("cell_ts") <= asOfMicros))
 
+  /** SCD Type-2 dimension build from the versioned cell store: one interval
+    * row per (row_key, version) carrying the FULL row state during
+    * [valid_from, valid_to), with `valid_to` null (and `is_current` true)
+    * on the open interval — the classic slowly-changing-dimension shape a
+    * warehouse derives from exactly the change history the reference's
+    * HBase time machine stores as versioned cells
+    * (HBaseTimeMachineWriter's per-version cells; README.md:7-8 "look at
+    * the database state as it was at any point in time" — this is that
+    * answer as a TABLE of validity intervals rather than one timestamped
+    * get).
+    *
+    * Shape at 100 TB: ONE shuffle — everything after the per-version
+    * grouping is window passes over the same (table, row_key) partitioning
+    * and (cell_ts, event_id) ordering, so Spark plans a single Exchange +
+    * single Sort and runs every carry-forward and the lead() in the same
+    * sorted pass. Over the bucketed cell table ([[writeBucketed]]) even
+    * that Exchange disappears. Cost ∝ version count, never versions².
+    *
+    * Delete semantics: a DELETE version closes the preceding interval (it
+    * participates in lead()) but opens none — during its own validity the
+    * row does not exist. A later re-insert opens a fresh interval, so
+    * delete→reinsert histories produce a gap, exactly the timestamped-get
+    * behavior of [[rowsAsOf]] at any T inside the gap.
+    *
+    * `attrs` are the tracked attribute columns; a version that didn't
+    * touch an attribute inherits it from the last version that did
+    * (last-non-null carry-forward — cells only store CHANGED columns,
+    * [[mutationCells]]). */
+  def scd2Intervals(cells: DataFrame, attrs: Seq[String]): DataFrame = {
+    val ver = cells.groupBy("table", "row_key", "cell_ts", "event_id")
+      .agg(map_from_entries(collect_list(struct(col("column"), col("value")))).as("delta"))
+    val w = Window.partitionBy("table", "row_key")
+      .orderBy(col("cell_ts"), col("event_id"))
+    val carried = (attrs :+ "row_status").foldLeft(ver) { (df, a) =>
+      df.withColumn(a, last(element_at(col("delta"), a), ignoreNulls = true).over(w))
+    }
+    carried
+      .withColumn("valid_from", col("cell_ts"))
+      .withColumn("valid_to", lead(col("cell_ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .filter(col("row_status") =!= "D")
+      .select(Seq(col("table"), col("row_key"), col("valid_from"),
+        col("valid_to"), col("is_current")) ++ attrs.map(col): _*)
+  }
+
+  /** Point-in-time DIFF between the row states at `t1` and `t2` (micros,
+    * t1 < t2): which rows were added ('A'), removed ('R'), or changed
+    * ('C'), with old/new values for the tracked attributes. Untouched and
+    * net-unchanged rows are absent.
+    *
+    * The 100 TB posture is the key move: only keys with at least one
+    * version in (t1, t2] can differ, so both state reconstructions are
+    * scoped to that `touched` key set FIRST (left_semi) — the diff costs
+    * O(changed keys), never a full-table state rebuild, the same
+    * bounded-by-the-batch argument as [[applyIncremental]]. Equivalence to
+    * the full two-state diff is the oracle gate (`cdc_snapshot_diff`):
+    * untouched keys reconstruct identical states and a full diff drops
+    * them as unchanged.
+    *
+    * Inputs carry the thresholds as columns (`t1Col`/`t2Col`, typically a
+    * broadcast 1-row threshold join, the [[rowsAsOfCells]] calling
+    * convention) so threshold derivation never costs a second scan. */
+  def snapshotDiff(cells: DataFrame, t1Col: Column, t2Col: Column,
+                   attrs: Seq[String]): DataFrame = {
+    val touched = cells.filter(col("cell_ts") > t1Col && col("cell_ts") <= t2Col)
+      .select("table", "row_key").distinct()
+    val scoped = cells.join(touched, Seq("table", "row_key"), "left_semi")
+    def stateAt(t: Column, pfx: String): DataFrame = {
+      val s = rowsAsOfCells(scoped.filter(col("cell_ts") <= t))
+      s.select(Seq(col("table"), col("row_key"), lit(true).as(s"${pfx}_live")) ++
+        attrs.map(a => element_at(col("cols"), a).as(s"${pfx}_$a")): _*)
+    }
+    val o = stateAt(t1Col, "old")
+    val n = stateAt(t2Col, "new")
+    val anyChanged = attrs.map(a => !(col(s"old_$a") <=> col(s"new_$a")))
+      .reduce(_ || _)
+    o.join(n, Seq("table", "row_key"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_live").isNull, "A")
+          .when(col("new_live").isNull, "R")
+          .when(anyChanged, "C"))
+      .filter(col("change_type").isNotNull)
+      .drop("old_live", "new_live")
+  }
+
   /** As-of read over an already time-filtered cell set (caller applies
     * `cell_ts <= T`, as a literal or a broadcast 1-row threshold join —
     * either way the predicate reaches the scan). Two keyed aggregations,

@@ -200,4 +200,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_max_by") || p.contains("HashAggregate"),
       s"as-of read must partial-aggregate:\n${p.take(2000)}")
   }
+
+  test("r6: scd2 intervals run every window pass over ONE exchange+sort") {
+    val p = plan("cdc_scd2")
+    // all carry-forward windows and the lead() share the same
+    // (table,row_key)×(cell_ts,event_id) partitioning/ordering — Spark must
+    // plan exactly one shuffle for the window stack (the per-version
+    // groupBy's exchange is reused by every Window above it)
+    // (the per-version groupBy's 4-key exchange is separate and expected —
+    // match only the 2-key (table,row_key) window partitioning)
+    val windowExchanges =
+      "Exchange hashpartitioning\\(table#\\d+, row_key#\\d+, \\d+\\)".r.findAllIn(p).size
+    assert(windowExchanges <= 1,
+      s"scd2 window stack re-shuffles ($windowExchanges row_key exchanges):\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r6: snapshot diff scopes both state rebuilds to the touched key set") {
+    val p = plan("cdc_snapshot_diff")
+    // the touched-keys semi-join must be present on both state legs, and
+    // nothing may plan a cross product (thresholds ride the broadcast)
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"diff must semi-join both state legs on touched keys:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.TimeMachineSink
+
+/** SCD Type-2 interval build ([[TimeMachineSink.scd2Intervals]]) and
+  * point-in-time diff ([[TimeMachineSink.snapshotDiff]]) over the versioned
+  * cell store — the delete/reinsert paths the parquet fixture (no DELETEs)
+  * cannot exercise: a DELETE closes the preceding interval but opens none
+  * (a validity gap), a reinsert opens a fresh current interval, and the
+  * diff classifies add/remove/change against states at T1/T2. */
+class Scd2DiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // k1: INSERT a=1 @1s, UPDATE a=2 @2s, DELETE @3s, re-INSERT a=3 @4s.
+  // k2: INSERT a=9 @2s, never touched again.
+  private def cells() = {
+    val stamped = Seq(
+      ("u1", 1L, 1000L, 0, 1L, 900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "1")),
+      ("u2", 2L, 2000L, 0, 2L, 1900L, "t", "UPDATE", "k1", Map("a" -> "1"), Map("a" -> "2")),
+      ("u3", 3L, 3000L, 0, 3L, 2900L, "t", "DELETE", "k1", Map("a" -> "2"), Map.empty[String, String]),
+      ("u4", 4L, 4000L, 0, 4L, 3900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "3")),
+      ("u5", 5L, 2000L, 0, 5L, 1900L, "t", "INSERT", "k2", Map.empty[String, String], Map("a" -> "9"))
+    ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
+    TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+  }
+
+  private def ts(ms: Long): Long = ms * 1000 - 50
+
+  test("scd2Intervals: versioned intervals with a delete gap and a current reinsert") {
+    val iv = TimeMachineSink.scd2Intervals(cells(), Seq("a"))
+      .select(col("row_key"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("a"))
+      .as[(String, Long, Option[Long], Boolean, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(iv == Seq(
+      ("k1", ts(1000), Some(ts(2000)), false, "1"),
+      ("k1", ts(2000), Some(ts(3000)), false, "2"),
+      // the DELETE version [3s, 4s) is a gap — no interval row
+      ("k1", ts(4000), None, true, "3"),
+      ("k2", ts(2000), None, true, "9")))
+  }
+
+  test("scd2Intervals: attribute carried forward across a version that didn't touch it") {
+    // add a second attribute b set only at insert time; the update at 2s
+    // changes a but not b, so b must carry into the [2s,3s) interval
+    val stamped = Seq(
+      ("u1", 1L, 1000L, 0, 1L, 900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "1", "b" -> "x")),
+      ("u2", 2L, 2000L, 0, 2L, 1900L, "t", "UPDATE", "k1", Map("a" -> "1", "b" -> "x"), Map("a" -> "2", "b" -> "x"))
+    ).toDF("txnUuid", "xxid", "commitTsMs", "chunk", "eventId", "tsMs", "table", "kind", "rowKey", "before", "after")
+    val iv = TimeMachineSink.scd2Intervals(
+        TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped)), Seq("a", "b"))
+      .select(col("valid_from"), col("a"), col("b"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(iv == Seq((ts(1000), "1", "x"), (ts(2000), "2", "x")))
+  }
+
+  private def diff(t1Ms: Long, t2Ms: Long): Seq[(String, String, Option[String], Option[String])] =
+    TimeMachineSink.snapshotDiff(cells(), lit(t1Ms * 1000), lit(t2Ms * 1000), Seq("a"))
+      .select(col("row_key"), col("change_type"), col("old_a"), col("new_a"))
+      .as[(String, String, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+
+  test("snapshotDiff: update classifies C, fresh insert classifies A") {
+    assert(diff(1500, 2500) == Seq(
+      ("k1", "C", Some("1"), Some("2")),
+      ("k2", "A", None, Some("9"))))
+  }
+
+  test("snapshotDiff: delete classifies R; untouched keys are absent") {
+    assert(diff(2500, 3500) == Seq(("k1", "R", Some("2"), None)))
+  }
+
+  test("snapshotDiff: delete + reinsert across the window is a change, not a remove") {
+    assert(diff(2500, 4500) == Seq(("k1", "C", Some("2"), Some("3"))))
+  }
+
+  test("snapshotDiff: empty window diffs empty") {
+    assert(diff(4500, 5000).isEmpty)
+  }
+}
