@@ -370,6 +370,19 @@ object SparkEntry {
           col("value"), saltBuckets = 8)
         .select(col("key").as("event_type"), col("total").cast("string").as("total"))),
 
+    "sketch_distinct_kmv" -> ((s, d) =>
+      // KMV theta sketch as a native TypedImperativeAggregate: O(k)
+      // mergeable state, map-side partials carry one <=k-entry sketch per
+      // group per task — never the value set. EXACT below k distinct
+      // (that's the oracle gate: == COUNT(DISTINCT) at this fixture's
+      // cardinality); the above-k estimator path and its ~1/sqrt(k) error
+      // are pinned by KmvSketchSpec. The hash input is Spark's codegen'd
+      // xxhash64, so the kernel stays in whole-stage codegen up to the agg.
+      t(s, d, "events").groupBy("event_type")
+        .agg(graft.functions.KmvDistinctAgg.kmvDistinct(
+            xxhash64(col("user_id")), 16384).as("approx_users"),
+          count(lit(1)).as("n_events"))),
+
     "q_pivot" -> ((s, d) =>
       // native relational pivot with explicit values (stable schema — the
       // only scale-safe form: value discovery is a driver-side scan)
@@ -1593,6 +1606,15 @@ object SparkEntry {
     "skew_salted_agg" ->
       """SELECT event_type,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
+         FROM events GROUP BY event_type""",
+
+    // KMV is exact below k=16384 distinct members per group — at this
+    // fixture's cardinality the sketch IS count(distinct); the estimator
+    // path above k is spec-gated (KmvSketchSpec) since no SQL oracle can
+    // reproduce a sketch estimate
+    "sketch_distinct_kmv" ->
+      """SELECT event_type, count(DISTINCT user_id) AS approx_users,
+           count(*) AS n_events
          FROM events GROUP BY event_type""",
 
     "q_pivot" ->
