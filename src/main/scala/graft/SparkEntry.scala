@@ -1172,6 +1172,18 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
     }),
 
+    "sim_maxsim" -> ((s, d) => {
+      // late-interaction retrieval: multi-vector MaxSim scoring (each doc
+      // embedding sliced into 4 token sub-vectors), top-10 per query — the
+      // 16-cosine interaction matrix is one scan-local nested-HOF
+      // projection, shortlist via the bounded top-k aggregate
+      val emb = t(s, d, "embeddings")
+      Similarity.maxSimTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        numTokens = 4, k = 10)
+    }),
+
     "sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val centroids = emb.filter(col("vec_id") < 8)
@@ -2716,6 +2728,23 @@ object SparkEntry {
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    "sim_maxsim" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ch AS (SELECT vec_id, [v[1:16], v[17:32], v[33:48], v[49:64]] AS cs FROM c),
+         q AS (SELECT vec_id AS query_id, cs AS qcs FROM ch WHERE vec_id < 5),
+         tok AS (
+           SELECT q.query_id, d.vec_id, g1.qi,
+             round(max(list_dot_product(q.qcs[g1.qi], d.cs[g2.dj])
+               / (sqrt(list_dot_product(q.qcs[g1.qi], q.qcs[g1.qi]))
+                  * sqrt(list_dot_product(d.cs[g2.dj], d.cs[g2.dj])))), 6) AS mx
+           FROM q, ch d, generate_series(1, 4) AS g1(qi), generate_series(1, 4) AS g2(dj)
+           WHERE d.vec_id <> q.query_id
+           GROUP BY q.query_id, d.vec_id, g1.qi),
+         s AS (SELECT query_id, vec_id, round(sum(mx), 6) AS maxsim
+               FROM tok GROUP BY query_id, vec_id)
+         SELECT query_id, vec_id, maxsim FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) <= 10""",
 
     "pipe_clean_corpus" ->
       """WITH RECURSIVE scored AS (

@@ -58,6 +58,46 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 
+  /** ColBERT-style late-interaction MaxSim (Khattab & Zaharia SIGIR '20):
+    * documents and queries are MULTI-vector (one sub-vector per "token");
+    * score(q, d) = Σ_i max_j cos(q_i, d_j) — each query token matches its
+    * best document token, summed. Here the token decomposition slices the
+    * stored embedding into `numTokens` equal sub-vectors (the fixture's
+    * stand-in for a per-token encoder's output matrix — the operator is
+    * agnostic to where the sub-vectors came from).
+    *
+    * Shape at 100 TB: the whole interaction matrix (numTokens² cosines per
+    * pair) is ONE scan-local projection built from nested higher-order
+    * functions — no explode, no shuffle of token vectors — the query side
+    * broadcasts, and the per-query shortlist is the bounded partial top-k
+    * aggregate (k·partitions rows shuffle, never the corpus). Chunk norms
+    * are computed once per row; each cosine is rounded at 6 digits before
+    * the max so engine float-noise cannot reorder the argmax. */
+  def maxSimTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                 queries: DataFrame, queryId: Column, queryVec: Column,
+                 numTokens: Int, k: Int): DataFrame = {
+    def chunksOf(v: Column): Column = {
+      val sub = (size(v) / numTokens).cast("int")
+      transform(sequence(lit(0), lit(numTokens - 1)),
+        i => slice(v, i * sub + 1, sub))
+    }
+    def normsOf(cs: Column): Column = transform(cs, c => sqrt(dot(c, c)))
+    val c = corpus.select(corpusId.as("vec_id"), chunksOf(asDouble(corpusVec)).as("dcs"))
+      .withColumn("dns", normsOf(col("dcs")))
+    val q = queries.select(queryId.as("query_id"), chunksOf(asDouble(queryVec)).as("qcs"))
+      .withColumn("qns", normsOf(col("qcs")))
+    val perToken = transform(col("qcs"), (qc, qi) =>
+      round(array_max(transform(col("dcs"), (dc, dj) =>
+        dot(qc, dc) / (element_at(col("qns"), qi + 1) * element_at(col("dns"), dj + 1)))), 6))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("maxsim",
+        round(aggregate(perToken, lit(0.0), (acc, x) => acc + x), 6))
+      .groupBy("query_id")
+      .agg(topKByScore(col("maxsim"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("maxsim"))
+  }
+
   /** Random-hyperplane signature: sign bits of dot(v, h_i) for planes derived
     * deterministically from xxhash64(seed=i, dim=j) — no stored plane matrix,
     * reproducible across the cluster, no driver state. `planeOffset` selects

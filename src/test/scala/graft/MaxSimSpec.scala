@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Late-interaction MaxSim ([[Similarity.maxSimTopK]]): per-query-token
+  * best-document-token semantics on constructed vectors where the
+  * interaction matrix is known in closed form. */
+class MaxSimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4-dim vectors, 2 tokens of 2 dims. Basis chunks: ex=(1,0), ey=(0,1).
+  private val docs = Seq(
+    // doc 1: tokens (ex, ey) — orthogonal pair
+    (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+    // doc 2: tokens (ex, ex)
+    (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+    // doc 3: tokens (-ex, -ey) — anti-aligned
+    (3L, Array(-1.0f, 0.0f, 0.0f, -1.0f)),
+    // query row (excluded from results by id)
+    (9L, Array(1.0f, 0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  private def scores(): Map[Long, Double] =
+    Similarity.maxSimTopK(docs, col("vec_id"), col("embedding"),
+        docs.filter(col("vec_id") === 9), col("vec_id"), col("embedding"),
+        numTokens = 2, k = 10)
+      .select(col("vec_id"), col("maxsim"))
+      .as[(Long, Double)].collect().toMap
+
+  test("maxsim: each query token takes its best document token") {
+    val s = scores()
+    // query tokens (ex, ey):
+    // doc1: ex matches ex (1) + ey matches ey (1) = 2
+    // doc2: ex→ex (1) + ey→best of (ex,ex) (0) = 1
+    // doc3: ex→best(-ex,-ey)=0 + ey→best(-ex,-ey)=0 = 0
+    assert(s == Map(1L -> 2.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
+  test("maxsim: k bounds the shortlist with (score desc, id asc) order") {
+    val top = Similarity.maxSimTopK(docs, col("vec_id"), col("embedding"),
+        docs.filter(col("vec_id") === 9), col("vec_id"), col("embedding"),
+        numTokens = 2, k = 2)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+}

@@ -224,4 +224,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"diff must semi-join both state legs on touched keys:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("r6: maxsim interaction matrix is scan-local; queries broadcast; shortlist bounded") {
+    val p = plan("sim_maxsim")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the numTokens² cosine matrix must stay a projection: the only
+    // Generate is the final top-k explode
+    assert("Generate".r.findAllIn(p).size <= 1,
+      s"token matrix exploded:\n${p.take(3000)}")
+    assert(p.contains("top_k_by_score"))
+  }
 }
