@@ -1433,6 +1433,27 @@ object SparkEntry {
           element_at(col("img.hist"), 4).as("h3"))
     }),
 
+    "mm_phash" -> ((s, d) => {
+      // perceptual near-dup over REAL decoded images: each doc's first 64
+      // bytes become an 8×8 grayscale PNG, ImageIO decodes it back, and
+      // the integer-exact average-hash (aHash) buckets perceptual
+      // duplicates — the image analog of simhash dedup. The oracle
+      // recomputes the hash straight from the text bytes (ASCII corpus:
+      // byte ≡ char; 8×8 input makes the downscale the identity), so the
+      // PNG encode → decode → hash path is correctness-gated end to end.
+      import s.implicits._
+      val withPng = t(s, d, "documents")
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, Multimodal.ImageCodec.buildPng(8, 8,
+            java.util.Arrays.copyOf(text.getBytes("US-ASCII"), 64)))
+        }.toDF("doc_id", "payload")
+      Multimodal.perceptualHash(withPng, "payload")
+        .groupBy("ahash")
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+    }),
+
     "mm_frame_sample" -> ((s, d) => {
       // deterministic frame sampling over a DECODED media container: each
       // doc becomes an 8×(4·n_frames) film-strip PNG (n_frames from
@@ -2786,6 +2807,18 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
            count(*) AS dup_count
          FROM documents GROUP BY 1""",
+
+    "mm_phash" ->
+      """WITH b AS (SELECT doc_id,
+           list_transform(range(1, 65), i -> ascii(substr(text, CAST(i AS INT), 1))) AS px
+         FROM documents WHERE length(text) >= 64),
+         h AS (SELECT doc_id,
+           list_aggregate(list_transform(px,
+             p -> CASE WHEN p * 64 >= list_sum(px) THEN '1' ELSE '0' END),
+             'string_agg', '') AS ahash
+         FROM b)
+         SELECT ahash, min(doc_id) AS canonical_id, count(*) AS dup_count
+         FROM h GROUP BY ahash""",
 
     "mm_wav_meta" ->
       """WITH d AS (SELECT doc_id,

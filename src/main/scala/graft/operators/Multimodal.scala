@@ -133,6 +133,41 @@ object Multimodal {
       Img(w, h, sum, hist)
     }
 
+    /** Perceptual average-hash (aHash) of a decoded image: downscale to an
+      * 8×8 luma grid by integer block-averaging, then bit i = 1 iff
+      * grid_i ≥ mean — compared as `grid_i·64 ≥ Σgrid` so the whole hash is
+      * integer-exact (no float mean). Returned as a 64-char '0'/'1' string
+      * (stable, engine-agnostic text form). Two images whose hashes sit
+      * within a small Hamming distance are perceptual near-dups — the
+      * image analog of SimHash over tokens, and the standard cheap
+      * pre-filter before pixel-level verification. For an image that is
+      * already 8×8 the downscale is the identity, which is what makes the
+      * encode→decode→hash round trip SQL-oracle-able on byte-built
+      * fixtures. */
+    def aHash(bytes: Array[Byte]): Option[String] = readImage(bytes).map { img =>
+      val raster = img.getRaster
+      val w = img.getWidth; val h = img.getHeight
+      val blockSum = new Array[Long](64)
+      val blockCnt = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val i = by * 8 + (x * 8 / w)
+          blockSum(i) += luma(raster, x, y); blockCnt(i) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val grid = Array.tabulate(64)(i => if (blockCnt(i) == 0) 0L else blockSum(i) / blockCnt(i))
+      val total = grid.sum
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < 64) { sb.append(if (grid(i) * 64 >= total) '1' else '0'); i += 1 }
+      sb.toString
+    }
+
     /** Per-frame gray sums of a vertical film strip: frame f covers rows
       * [f*frameH, (f+1)*frameH). Trailing rows short of a full frame are
       * dropped, mirroring a container with a truncated last frame. */
@@ -378,6 +413,22 @@ object Multimodal {
         val decoded = ImageCodec.decode(r.getAs[Array[Byte]](binIdx))
         Row.fromSeq(r.toSeq :+ decoded.map(i =>
           Row(i.width, i.height, i.graySum, i.hist.toSeq)).orNull)
+      }
+    }(enc)
+  }
+
+  /** Append the perceptual average-hash of a binary image column as a
+    * 64-char bit-string column `ahash` (null when the payload doesn't
+    * decode). Same `mapPartitions` batch shape as [[extractFeatures]] —
+    * payload bytes feed the partition-local decoder and never shuffle;
+    * downstream near-dup grouping shuffles only (id, 64-char hash). */
+  def perceptualHash(df: DataFrame, binColName: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("ahash", org.apache.spark.sql.types.StringType))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ ImageCodec.aHash(r.getAs[Array[Byte]](binIdx)).orNull)
       }
     }(enc)
   }

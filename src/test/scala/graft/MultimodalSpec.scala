@@ -209,6 +209,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(idx == Seq(0, 3, 6, 9))
   }
 
+  test("aHash: integer-exact on 8x8; block-downscale on larger; near-dup robust") {
+    import graft.operators.Multimodal.ImageCodec
+    // 8x8 checker of 0s and 200s: mean = 100, so bits are exactly the
+    // bright cells
+    val checker = Array.tabulate(64)(i => if ((i + i / 8) % 2 == 0) 200.toByte else 0.toByte)
+    val h8 = ImageCodec.aHash(ImageCodec.buildPng(8, 8, checker)).get
+    assert(h8.count(_ == '1') == 32)
+    assert(h8 == (0 until 64).map(i => if ((i + i / 8) % 2 == 0) '1' else '0').mkString)
+    // 16x16 upscale of the same pattern (each cell 2x2) block-averages back
+    // to the identical 8x8 grid → identical hash: scale invariance
+    val big = Array.tabulate(256) { i =>
+      val (x, y) = (i % 16, i / 16); if ((x / 2 + y / 2) % 2 == 0) 200.toByte else 0.toByte
+    }
+    assert(ImageCodec.aHash(ImageCodec.buildPng(16, 16, big)).get == h8)
+    // single-pixel nudge flips at most that one bit: perceptual robustness
+    val nudged = checker.clone(); nudged(0) = 190.toByte
+    val hn = ImageCodec.aHash(ImageCodec.buildPng(8, 8, nudged)).get
+    assert(h8.zip(hn).count { case (a, b) => a != b } <= 1)
+    // undecodable payload → None
+    assert(ImageCodec.aHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("avro presenter reproduces the reference type mapping + meta fields") {
     val table = TableSchemaV("db", "organisms", 0, Seq(
       ColumnSpec("id", "int(11)", nullable = false, "PRI", None, None),
