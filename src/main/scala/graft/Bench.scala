@@ -46,7 +46,8 @@ object Bench {
     "cdc_as_of_state", "cdc_snapshot_apply",
     "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
     "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix",
-    "text_char_entropy"
+    "text_char_entropy",
+    "cdc_scd2", "cdc_snapshot_diff", "sketch_distinct_kmv", "sim_maxsim", "mm_phash"
   )
 
   private def loadavg: Double =
@@ -101,7 +102,8 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
     val cdcSelected =
       only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter") ||
-        only.contains("cdc_as_of_state") || only.contains("cdc_snapshot_apply")
+        only.contains("cdc_as_of_state") || only.contains("cdc_snapshot_apply") ||
+        only.contains("cdc_scd2") || only.contains("cdc_snapshot_diff")
     val cdcFix = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val synthT0 = System.nanoTime()
     val cdcOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -172,6 +174,34 @@ object Bench {
                 element_at(col("cols"), "event_type").as("event_type"),
                 element_at(col("cols"), "row_status").as("row_status"),
                 col("state_ts"))
+          }),
+          "cdc_scd2" -> ((s: SparkSession, _: String) => {
+            implicit val e = org.apache.spark.sql.Encoders.product[graft.streaming.Op]
+            val ops = s.read.parquet(s"$cdcFix/ops").as[graft.streaming.Op]
+            val stamped = graft.streaming.TransactionAssembler.assembleBatch(ops).toDF()
+            val cells = graft.streaming.TimeMachineSink.organize(
+              graft.streaming.TimeMachineSink.mutationCells(stamped))
+            graft.streaming.TimeMachineSink.scd2Intervals(cells, Seq("value", "event_type"))
+              .select(col("row_key"), col("valid_from"), col("valid_to"),
+                col("is_current"), col("value"), col("event_type"))
+          }),
+          "cdc_snapshot_diff" -> ((s: SparkSession, d: String) => {
+            implicit val e = org.apache.spark.sql.Encoders.product[graft.streaming.Op]
+            import org.apache.spark.sql.functions.{broadcast, expr, max, unix_millis}
+            val ops = s.read.parquet(s"$cdcFix/ops").as[graft.streaming.Op]
+            val stamped = graft.streaming.TransactionAssembler.assembleBatch(ops).toDF()
+            val cells = graft.streaming.TimeMachineSink.organize(
+              graft.streaming.TimeMachineSink.mutationCells(stamped))
+            val thr = SparkEntry.t(s, d, "events").groupBy("user_id")
+              .agg(max(unix_millis(col("ts"))).as("cms"))
+              .agg(expr("(min(cms) + (max(cms) - min(cms)) * 4 div 8) * 1000").as("__t1"),
+                expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__t2"))
+            val w = cells.crossJoin(broadcast(thr))
+            graft.streaming.TimeMachineSink.snapshotDiff(w, col("__t1"), col("__t2"),
+                Seq("value", "event_type"))
+              .select(col("row_key"), col("change_type"),
+                col("old_value"), col("new_value"),
+                col("old_event_type"), col("new_event_type"))
           }),
           "cdc_raw_adapter" -> ((s: SparkSession, _: String) => {
             implicit val e = org.apache.spark.sql.Encoders.product[graft.model.RawEvent]

@@ -299,39 +299,55 @@ object TimeMachineSink {
     * ('C'), with old/new values for the tracked attributes. Untouched and
     * net-unchanged rows are absent.
     *
-    * The 100 TB posture is the key move: only keys with at least one
-    * version in (t1, t2] can differ, so both state reconstructions are
-    * scoped to that `touched` key set FIRST (left_semi) — the diff costs
-    * O(changed keys), never a full-table state rebuild, the same
-    * bounded-by-the-batch argument as [[applyIncremental]]. Equivalence to
-    * the full two-state diff is the oracle gate (`cdc_snapshot_diff`):
-    * untouched keys reconstruct identical states and a full diff drops
-    * them as unchanged.
+    * The 100 TB posture: ONE scan of the version store, no joins. Both
+    * states are reconstructed per (table, row_key, column) in a single
+    * conditional aggregation — `max_by` with a null ordering key below
+    * each threshold (max_by skips null-ordered rows, so the same pass
+    * yields the latest-≤t1 and latest-≤t2 winners) — then one pivot back
+    * to rows, kept only where some version landed in (t1, t2] (only those
+    * keys can differ; untouched keys reconstruct equal states and a full
+    * diff would drop them as unchanged — that equivalence is the oracle
+    * gate of `cdc_snapshot_diff`). Both aggregations partial map-side:
+    * the shuffle carries two winners per key-column per input partition,
+    * never the version history; over the bucketed cell table
+    * ([[writeBucketed]]) they are Exchange-free.
     *
     * Inputs carry the thresholds as columns (`t1Col`/`t2Col`, typically a
     * broadcast 1-row threshold join, the [[rowsAsOfCells]] calling
     * convention) so threshold derivation never costs a second scan. */
   def snapshotDiff(cells: DataFrame, t1Col: Column, t2Col: Column,
                    attrs: Seq[String]): DataFrame = {
-    val touched = cells.filter(col("cell_ts") > t1Col && col("cell_ts") <= t2Col)
-      .select("table", "row_key").distinct()
-    val scoped = cells.join(touched, Seq("table", "row_key"), "left_semi")
-    def stateAt(t: Column, pfx: String): DataFrame = {
-      val s = rowsAsOfCells(scoped.filter(col("cell_ts") <= t))
-      s.select(Seq(col("table"), col("row_key"), lit(true).as(s"${pfx}_live")) ++
-        attrs.map(a => element_at(col("cols"), a).as(s"${pfx}_$a")): _*)
+    def latestLe(t: Column): Column =
+      max_by(struct(col("value")), when(col("cell_ts") <= t,
+        struct(col("cell_ts"), col("event_id"))))
+    val perCol = cells.groupBy("table", "row_key", "column")
+      .agg(latestLe(t1Col).as("o"), latestLe(t2Col).as("n"),
+        max(when(col("cell_ts") > t1Col && col("cell_ts") <= t2Col, 1)
+          .otherwise(0)).as("tc"))
+    val perRow = perCol.groupBy("table", "row_key")
+      .agg(map_from_entries(collect_list(when(col("o").isNotNull,
+          struct(col("column"), col("o.value"))))).as("om"),
+        map_from_entries(collect_list(when(col("n").isNotNull,
+          struct(col("column"), col("n.value"))))).as("nm"),
+        max(col("tc")).as("touched"))
+      .filter(col("touched") === 1)
+    def live(m: String): Column = {
+      val st = element_at(col(m), "row_status")
+      st.isNotNull && st =!= "D"
     }
-    val o = stateAt(t1Col, "old")
-    val n = stateAt(t2Col, "new")
-    val anyChanged = attrs.map(a => !(col(s"old_$a") <=> col(s"new_$a")))
+    val anyChanged = attrs.map(a =>
+        !(element_at(col("om"), a) <=> element_at(col("nm"), a)))
       .reduce(_ || _)
-    o.join(n, Seq("table", "row_key"), "full_outer")
+    perRow
       .withColumn("change_type",
-        when(col("old_live").isNull, "A")
-          .when(col("new_live").isNull, "R")
-          .when(anyChanged, "C"))
+        when(!live("om") && live("nm"), "A")
+          .when(live("om") && !live("nm"), "R")
+          .when(live("om") && live("nm") && anyChanged, "C"))
       .filter(col("change_type").isNotNull)
-      .drop("old_live", "new_live")
+      .select(Seq(col("table"), col("row_key"), col("change_type")) ++
+        attrs.flatMap(a => Seq(
+          when(live("om"), element_at(col("om"), a)).as(s"old_$a"),
+          when(live("nm"), element_at(col("nm"), a)).as(s"new_$a"))): _*)
   }
 
   /** As-of read over an already time-filtered cell set (caller applies

@@ -216,13 +216,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("r6: snapshot diff scopes both state rebuilds to the touched key set") {
+  test("r6: snapshot diff reconstructs both states in ONE scan — no state joins") {
     val p = plan("cdc_snapshot_diff")
-    // the touched-keys semi-join must be present on both state legs, and
-    // nothing may plan a cross product (thresholds ride the broadcast)
-    assert("LeftSemi".r.findAllIn(p).size >= 2,
-      s"diff must semi-join both state legs on touched keys:\n${p.take(3000)}")
-    assert(!p.contains("CartesianProduct"))
+    // both thresholds resolve inside one conditional aggregation pass: the
+    // only join allowed is the broadcast threshold ride-along; the version
+    // store must not be scanned per state or joined state-vs-state
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"diff must not join state legs:\n${p.take(3000)}")
+    assert(p.contains("partial_max_by"),
+      s"per-column winners must partial-aggregate map-side:\n${p.take(3000)}")
+    // one (table,row_key,column) exchange + one (table,row_key) exchange
+    assert("Exchange hashpartitioning\\(table".r.findAllIn(p).size <= 2,
+      s"diff re-shuffles:\n${p.take(3000)}")
   }
 
   test("r6: maxsim interaction matrix is scan-local; queries broadcast; shortlist bounded") {
