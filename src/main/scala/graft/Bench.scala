@@ -47,7 +47,8 @@ object Bench {
     "text_gopher_filter", "dedup_url", "dedup_semantic", "text_c4_clean",
     "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix",
     "text_char_entropy",
-    "cdc_scd2", "cdc_snapshot_diff", "sketch_distinct_kmv", "sim_maxsim", "mm_phash"
+    "cdc_scd2", "cdc_snapshot_diff", "sketch_distinct_kmv", "sim_maxsim", "mm_phash",
+    "dedup_containment"
   )
 
   private def loadavg: Double =

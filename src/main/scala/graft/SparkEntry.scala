@@ -1025,6 +1025,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"), 3, 800000L)),
 
+    "dedup_containment" -> ((s, d) =>
+      // asymmetric doc-in-doc duplication: exact inverted-index join on
+      // hashed 3-grams, C >= 0.9 — the class symmetric Jaccard misses
+      Dedup.containmentPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        n = 3, thresholdPpm = 900000L)),
+
     "dedup_minhash_lsh" -> ((s, d) =>
       // 16 bands x 4 rows: P(candidate) at the 0.8 threshold = 1-(1-J^4)^16
       // => recall ~0.9998 at J=0.8, ~1-4e-8 at J=0.9 (the data's true pairs
@@ -2634,6 +2640,18 @@ object SparkEntry {
            CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    "dedup_containment" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / least(len(a.s), len(b.s))) AS BIGINT) AS containment_ppm
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / least(len(a.s), len(b.s))) AS BIGINT) >= 900000""",
 
     "dedup_minhash_lsh" ->
       """WITH docs AS (SELECT doc_id,

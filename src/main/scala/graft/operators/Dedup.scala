@@ -147,6 +147,59 @@ object Dedup {
       .select("a_id", "b_id", "jaccard_ppm")
   }
 
+  /** Asymmetric CONTAINMENT near-dup: C(A,B) = |S(A)∩S(B)| / min(|S(A)|,
+    * |S(B)|) over distinct n-gram sets — catches a small document embedded
+    * in a large one (quoted articles, boilerplate-wrapped reposts), the
+    * duplication class symmetric Jaccard structurally misses: a 100-gram
+    * doc fully contained in a 10,000-gram doc has J ≈ 0.01 but C = 1.0.
+    * (Broder's containment measure, "On the resemblance and containment
+    * of documents", SEQUENCES '97.)
+    *
+    * Formulation is the EXACT inverted-index join, not a cartesian: grams
+    * hash to 64-bit (one codegen'd [[spanHashes]] pass), postings
+    * self-join on the gram hash, intersection sizes fall out of ONE
+    * count aggregation, and set sizes ride the posting rows so no second
+    * join is needed. Pair volume is Σ_g df(g)² — at corpus scale
+    * ubiquitous boilerplate grams dominate that sum while carrying no
+    * discriminative signal, so `maxDf > 0` drops grams appearing in more
+    * than maxDf docs (the standard postings-pruning trade; changes output
+    * only for pairs whose overlap is mostly ubiquitous grams). Default 0
+    * keeps the oracle-exact form. Size-ratio pruning is deliberately NOT
+    * applied: unequal sizes are the point of containment.
+    *
+    * Measured ×10 (SCALE.md): wall grows ~97× — but on that fixture the
+    * TRUE pair count itself grows ~100× (near-dup clusters deepen 10×),
+    * so the join is output-bound, not waste-bound. When candidate volume
+    * (not output) dominates — heavy boilerplate, few true dups — the
+    * exactness-preserving upgrade is prefix filtering from the
+    * set-similarity-join literature (index only each doc's (1−t)·|S|+1
+    * globally-rarest grams; pigeonhole guarantees no pair ≥ t is lost —
+    * Chaudhuri et al. ICDE '06, Xiao et al. WWW '08), which `maxDf`
+    * approximates without the df-sort. */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int,
+                       thresholdPpm: Long, maxDf: Long = 0L): DataFrame = {
+    val docs = tokenized(df, idCol, textCol)
+      .select(col("id"), array_distinct(spanHashes(col("__toks"), n)).as("gh"))
+      .withColumn("sz", size(col("gh")))
+    val grams0 = docs.select(col("id"), col("sz"), explode(col("gh")).as("g"))
+    val grams =
+      if (maxDf <= 0) grams0
+      else {
+        val hot = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("g")
+        grams0.join(broadcast(hot), Seq("g"), "left_anti")
+      }
+    grams.select(col("g"), col("id").as("a_id"), col("sz").as("a_sz"))
+      .join(grams.select(col("g"), col("id").as("b_id"), col("sz").as("b_sz")), "g")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz").agg(count(lit(1)).as("inter"))
+      .withColumn("containment_ppm",
+        floor(col("inter").cast("double") * lit(1000000.0d) /
+          least(col("a_sz"), col("b_sz"))).cast("long"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select("a_id", "b_id", "containment_ppm")
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → band-bucket →
     * candidate join → exact verify. The only quadratic work happens inside
     * LSH buckets (expected O(1) sizes); everything else is linear scans plus

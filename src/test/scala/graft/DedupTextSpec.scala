@@ -39,6 +39,43 @@ class DedupTextSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("containment: small doc embedded in a big one scores C=1 where Jaccard misses") {
+    val big = base + " " + unrelated + " plus much more filler text stretching the gram set very far beyond"
+    val cdocs = Seq((0L, base), (1L, big), (2L, unrelated)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cdocs, col("doc_id"), col("text"), 3, 900000L)
+      .select(col("a_id"), col("b_id"), col("containment_ppm"))
+      .as[(Long, Long, Long)].collect().toSet
+    // base's grams all appear inside big -> C = 1.0; unrelated's grams do
+    // too (big embeds both) — but base vs unrelated share nothing
+    assert(cont.map(p => (p._1, p._2)) == Set((0L, 1L), (1L, 2L)))
+    assert(cont.forall(_._3 == 1000000L))
+    // the same pairs are INVISIBLE to symmetric Jaccard at any useful bar
+    val jac = Dedup.ngramJaccardPairs(cdocs, col("doc_id"), col("text"), 3, 500000L)
+      .as[(Long, Long, Long)].collect()
+    assert(jac.isEmpty)
+  }
+
+  test("containment maxDf knob drops ubiquitous-gram pairs only") {
+    // two docs overlap ONLY via a boilerplate sentence shared by all four
+    val boiler = "subscribe to our newsletter for the latest updates and offers every single day"
+    val cdocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta " + boiler),
+      (1L, "one two three four five six seven " + boiler),
+      (2L, boiler), (3L, boiler)).toDF("doc_id", "text")
+    val full = Dedup.containmentPairs(cdocs, col("doc_id"), col("text"), 3, 900000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // 2 and 3 ARE the boilerplate: fully contained in everything
+    assert(full.map(p => (p._1, p._2)) ==
+      Set((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+    // dropping grams present in >3 docs removes the boilerplate signal;
+    // only the identical pair (2,3) — intersecting on df<=3 grams too —
+    // could survive, and with every shared gram pruned nothing does
+    val pruned = Dedup.containmentPairs(cdocs, col("doc_id"), col("text"), 3,
+        900000L, maxDf = 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pruned.isEmpty)
+  }
+
   test("simhash: near-dup within small hamming distance, unrelated far") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
