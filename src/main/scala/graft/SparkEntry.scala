@@ -226,6 +226,27 @@ object SparkEntry {
           col("is_current"), col("value"), col("event_type"))
     }),
 
+    "cdc_scd2_apply" -> ((s, d) => {
+      // incremental SCD2 maintenance, oracle-gated against the full
+      // rebuild: intervals from history (<= cut) fold the post-cut cell
+      // batch via applyScd2 — only the batch's keys recompute, closed
+      // history streams through — and the result must equal scd2Intervals
+      // over the entire history (the oracle computes exactly that).
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      val thr = t(s, d, "events").groupBy("user_id")
+        .agg(max(unix_millis(col("ts"))).as("cms"))
+        .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__cut"))
+      val w = cells.crossJoin(broadcast(thr))
+      val hist = TimeMachineSink.scd2Intervals(
+        w.filter(col("cell_ts") <= col("__cut")), Seq("value", "event_type"))
+      val batch = w.filter(col("cell_ts") > col("__cut"))
+      TimeMachineSink.applyScd2(hist, batch, Seq("value", "event_type"))
+        .select(col("row_key"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("value"), col("event_type"))
+    }),
+
     "cdc_snapshot_diff" -> ((s, d) => {
       // audit diff between two points in time: rows added/removed/changed
       // from state(T1) to state(T2), reconstructed ONLY for keys with a
@@ -1885,6 +1906,45 @@ object SparkEntry {
          FROM state WHERE row_status <> 'D'""",
 
     "cdc_scd2" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS pt,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS commit_ms
+           FROM events),
+         cells AS (
+           SELECT CAST(user_id AS VARCHAR) AS row_key, 'value' AS col_name,
+             CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value,
+             commit_ms * 1000 - 50 + least(rn - 1, 50) AS cell_ts, event_id FROM e
+           WHERE rn = 1 OR value <> pv
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'event_type', event_type,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           WHERE rn = 1 OR event_type <> pt
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), 'row_status', CASE WHEN rn = 1 THEN 'I' ELSE 'U' END,
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e
+           UNION ALL
+           SELECT CAST(user_id AS VARCHAR), '_transaction_uuid', CAST(user_id AS VARCHAR),
+             commit_ms * 1000 - 50 + least(rn - 1, 50), event_id FROM e),
+         ver AS (SELECT row_key, cell_ts, event_id,
+             max(CASE WHEN col_name = 'value' THEN value END) AS d_value,
+             max(CASE WHEN col_name = 'event_type' THEN value END) AS d_type,
+             max(CASE WHEN col_name = 'row_status' THEN value END) AS d_status
+           FROM cells GROUP BY 1, 2, 3),
+         iv AS (SELECT row_key, cell_ts AS valid_from,
+             lead(cell_ts) OVER wv AS valid_to,
+             last_value(d_value IGNORE NULLS) OVER wv AS value,
+             last_value(d_type IGNORE NULLS) OVER wv AS event_type,
+             last_value(d_status IGNORE NULLS) OVER wv AS row_status
+           FROM ver
+           WINDOW wv AS (PARTITION BY row_key ORDER BY cell_ts, event_id))
+         SELECT row_key, valid_from, valid_to, valid_to IS NULL AS is_current,
+           value, event_type
+         FROM iv WHERE row_status <> 'D'""",
+
+    "cdc_scd2_apply" ->
       """WITH e AS (
            SELECT user_id, event_id, value, event_type,
              row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,

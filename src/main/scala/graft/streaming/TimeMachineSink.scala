@@ -148,6 +148,24 @@ object TimeMachineSink {
     untouched.unionByName(merged)
   }
 
+  /** foreachBatch body of a MAINTAINED SCD2 view: the interval-table twin
+    * of [[maintainSnapshot]] — same versioned-dir layout (`v=<batchId>`
+    * holds the complete interval table AFTER that batch), same
+    * apply-onto-highest-version-strictly-below + rewrite-own-version
+    * contract, so at-least-once foreachBatch redelivery is exactly-once. */
+  def maintainScd2(stamped: DataFrame, snapDir: String, batchId: Long,
+                   attrs: Seq[String]): Unit = {
+    val s = stamped.sparkSession
+    val batchCells = organize(mutationCells(stamped))
+      .select("table", "row_key", "column", "value", "cell_ts", "event_id")
+    val base = snapshotVersions(snapDir).filter(_ < batchId).lastOption
+    val applied = base match {
+      case Some(v) => applyScd2(s.read.parquet(s"$snapDir/v=$v"), batchCells, attrs)
+      case None    => scd2Intervals(batchCells, attrs)
+    }
+    applied.write.mode("overwrite").parquet(s"$snapDir/v=$batchId")
+  }
+
   // ----- streaming maintained snapshot (materialized latest-state view) -----
 
   private def snapshotVersions(snapDir: String): Seq[Long] = {
@@ -291,7 +309,51 @@ object TimeMachineSink {
       .withColumn("is_current", col("valid_to").isNull)
       .filter(col("row_status") =!= "D")
       .select(Seq(col("table"), col("row_key"), col("valid_from"),
-        col("valid_to"), col("is_current")) ++ attrs.map(col): _*)
+        col("valid_to"), col("is_current"), col("row_status"),
+        col("event_id").as("version_event_id")) ++ attrs.map(col): _*)
+  }
+
+  /** Incremental SCD2 maintenance: fold one new cell batch into a stored
+    * interval table ([[scd2Intervals]] output schema) touching ONLY the
+    * batch's keys — the interval-table analog of [[applyIncremental]].
+    *
+    * For each touched key, its OPEN interval collapses into one synthetic
+    * "seed" cell per attribute at (valid_from, version_event_id) — the
+    * full carried-forward state at that instant — and [[scd2Intervals]]
+    * re-runs over seed ∪ batch. Closed intervals never recompute (history
+    * strictly before the open version cannot change under the source's
+    * per-key commit order), untouched keys stream through via one
+    * left_anti. Provably ≡ the full-history rebuild for in-order batches:
+    * carry-forward state at any t ≥ open.valid_from depends only on the
+    * state AT open.valid_from plus later deltas — that equivalence is the
+    * oracle gate of `cdc_scd2_apply` and is spec-pinned including batch
+    * deletes, reinserts, and keys first seen in the batch.
+    *
+    * Per batch the shuffle is bounded by the batch's key count; over an
+    * interval table bucketed by row_key the key joins are co-located. */
+  def applyScd2(intervals: DataFrame, batchCells: DataFrame, attrs: Seq[String]): DataFrame = {
+    val cols = Seq("table", "row_key", "valid_from", "valid_to", "is_current",
+      "row_status", "version_event_id") ++ attrs
+    val iv = intervals.select(cols.map(col): _*)
+    val touched = batchCells.select("table", "row_key").distinct()
+    val untouched = iv.join(touched, Seq("table", "row_key"), "left_anti")
+    val touchedIv = iv.join(touched, Seq("table", "row_key"), "left_semi")
+    val closed = touchedIv.filter(!col("is_current"))
+    // open interval → one synthetic cell per non-null column of its state
+    // (attrs + row_status), stamped at its own (valid_from, event_id)
+    val seedCols = attrs.map(a => struct(lit(a).as("column"), col(a).as("value"))) :+
+      struct(lit("row_status").as("column"), col("row_status").as("value"))
+    val seeds = touchedIv.filter(col("is_current"))
+      .select(col("table"), col("row_key"), col("valid_from").as("cell_ts"),
+        col("version_event_id").as("event_id"),
+        explode(array(seedCols: _*)).as("c"))
+      .filter(col("c.value").isNotNull)
+      .select(col("table"), col("row_key"), col("c.column").as("column"),
+        col("c.value").as("value"), col("cell_ts"), col("event_id"))
+    val rebuilt = scd2Intervals(
+      seeds.unionByName(batchCells.select("table", "row_key", "column",
+        "value", "cell_ts", "event_id")), attrs)
+    untouched.unionByName(closed).unionByName(rebuilt.select(cols.map(col): _*))
   }
 
   /** Point-in-time DIFF between the row states at `t1` and `t2` (micros,
