@@ -48,7 +48,7 @@ object Bench {
     "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix",
     "text_char_entropy",
     "cdc_scd2", "cdc_snapshot_diff", "sketch_distinct_kmv", "sim_maxsim", "mm_phash",
-    "dedup_containment"
+    "dedup_containment", "dedup_incremental_lsh", "cdc_scd2_apply"
   )
 
   private def loadavg: Double =
@@ -104,7 +104,8 @@ object Bench {
     val cdcSelected =
       only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter") ||
         only.contains("cdc_as_of_state") || only.contains("cdc_snapshot_apply") ||
-        only.contains("cdc_scd2") || only.contains("cdc_snapshot_diff")
+        only.contains("cdc_scd2") || only.contains("cdc_snapshot_diff") ||
+        only.contains("cdc_scd2_apply")
     val cdcFix = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val synthT0 = System.nanoTime()
     val cdcOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -136,6 +137,11 @@ object Bench {
           w.filter(col("cell_ts") > col("__cut"))
             .select("table", "row_key", "column", "value", "cell_ts", "event_id")
             .write.mode("overwrite").parquet(s"$cdcFix/batch")
+          // the SCD2-apply bench likewise measures the fold against a
+          // STORED interval table (its production shape)
+          graft.streaming.TimeMachineSink.scd2Intervals(
+              w.filter(col("cell_ts") <= col("__cut")), Seq("value", "event_type"))
+            .write.mode("overwrite").parquet(s"$cdcFix/scd2hist")
         }
         Map(
           "cdc_time_machine" -> ((s: SparkSession, _: String) => {
@@ -183,6 +189,13 @@ object Bench {
             val cells = graft.streaming.TimeMachineSink.organize(
               graft.streaming.TimeMachineSink.mutationCells(stamped))
             graft.streaming.TimeMachineSink.scd2Intervals(cells, Seq("value", "event_type"))
+              .select(col("row_key"), col("valid_from"), col("valid_to"),
+                col("is_current"), col("value"), col("event_type"))
+          }),
+          "cdc_scd2_apply" -> ((s: SparkSession, _: String) => {
+            graft.streaming.TimeMachineSink.applyScd2(
+                s.read.parquet(s"$cdcFix/scd2hist"),
+                s.read.parquet(s"$cdcFix/batch"), Seq("value", "event_type"))
               .select(col("row_key"), col("valid_from"), col("valid_to"),
                 col("is_current"), col("value"), col("event_type"))
           }),

@@ -1079,6 +1079,18 @@ object SparkEntry {
         .select(col("doc_id"), col("fp"))
     }),
 
+    "dedup_incremental_lsh" -> ((s, d) => {
+      // incremental NEAR-dup (the daily-crawl shape): the new batch signs
+      // only itself, probes the standing band index, exact-verifies — the
+      // corpus is never re-paired. Output = all batch-touching near-dup
+      // pairs; oracle = all-pairs Jaccard restricted to batch-touching.
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupIncremental(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        col("doc_id"), col("text"),
+        n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L)
+    }),
+
     "dedup_paragraph" -> ((s, d) =>
       // sub-document exact dedup (MassiveText "repeated passage" rule):
       // 10-token chunks, corpus-wide keep-first, reassemble in doc order
@@ -2700,6 +2712,19 @@ object SparkEntry {
            CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    "dedup_incremental_lsh" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE (a.doc_id >= 250 OR b.doc_id >= 250)
+           AND CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
 
     "dedup_containment" ->
       """WITH docs AS (SELECT doc_id,

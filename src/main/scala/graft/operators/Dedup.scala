@@ -223,6 +223,45 @@ object Dedup {
     jaccardVerify(cands, docs, "id", "sh", thresholdPpm)
   }
 
+  /** INCREMENTAL MinHash+LSH near-dup: new-batch pairs only, against a
+    * standing index — the daily-crawl shape of [[minhashNearDupPairs]].
+    * The corpus's band rows and shingle sets are a stored index (here
+    * recomputed from `indexDocs`; in production they persist as bucketed
+    * tables and the batch's rows APPEND to them); each batch signs only
+    * its own docs, probes the band index, and exact-verifies the
+    * candidates. Emitted pairs have at least one batch side — the full
+    * pair set is the stored pairs ∪ this output, so the corpus is never
+    * re-paired: per batch the work is O(batch bands ⋈ matching buckets),
+    * not O(corpus²) and not even O(corpus). Same recall argument as the
+    * batch form (identical bands/threshold); output ≡ the all-pairs
+    * result restricted to batch-touching pairs, which is the oracle gate
+    * (`dedup_incremental_lsh`). */
+  def minhashNearDupIncremental(indexDocs: DataFrame, batchDocs: DataFrame,
+                                idCol: Column, textCol: Column, n: Int,
+                                numHashes: Int, bands: Int, thresholdPpm: Long): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rows = numHashes / bands
+    def signed(df: DataFrame) = tokenized(df, idCol, textCol)
+      .select(col("id"), shinglesOfTokens(col("__toks"), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val idx = signed(indexDocs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val neu = signed(batchDocs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxBands = lshBands(idx, col("id"), col("sig"), bands, rows)
+    val newBands = lshBands(neu, col("id"), col("sig"), bands, rows)
+    // probe side = batch only; build side = index ∪ batch (batch-batch
+    // pairs must surface too). Normalize to a<b before dedup so a pair
+    // seen from both directions collapses.
+    val probe = newBands.select(col("band_id"), col("band_hash"), col("doc_id").as("p_id"))
+    val build = idxBands.unionByName(newBands)
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("q_id"))
+    val cands = probe.join(build, Seq("band_id", "band_hash"))
+      .filter(col("p_id") =!= col("q_id"))
+      .select(least(col("p_id"), col("q_id")).as("a_id"),
+        greatest(col("p_id"), col("q_id")).as("b_id"))
+      .distinct()
+    jaccardVerify(cands, idx.unionByName(neu), "id", "sh", thresholdPpm)
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bits — near-dups differ in few bits. Native expression
     * ([[graft.functions.SimHash64Expr]]): one codegen'd pass over the token

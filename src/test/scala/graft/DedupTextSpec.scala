@@ -39,6 +39,26 @@ class DedupTextSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("incremental LSH equals batch-touching all-pairs; index-index pairs never emit") {
+    // index: base + its near-dup (an index-internal pair that must NOT
+    // emit); batch: another near-dup of base + an unrelated doc
+    val nearDup2 = base.replace("quick", "swift")
+    val cdocs = Seq((0L, base), (1L, nearDup), (10L, nearDup2), (11L, unrelated))
+      .toDF("doc_id", "text")
+    val inc = Dedup.minhashNearDupIncremental(
+        cdocs.filter(col("doc_id") < 10), cdocs.filter(col("doc_id") >= 10),
+        col("doc_id"), col("text"), 3, 64, 16, 700000L)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    // the batch near-dup of base emits; the index-internal pair (0,1) must
+    // not, even though it clears the threshold
+    assert(inc.contains((0L, 10L)) && !inc.contains((0L, 1L)))
+    // invariant vs the batch form: exactly the batch-touching subset
+    val full = Dedup.minhashNearDupPairs(cdocs, col("doc_id"), col("text"), 3, 64, 16, 700000L)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(full.contains((0L, 1L))) // the suppressed pair IS a real near-dup
+    assert(inc == full.filter(p => p._1 >= 10 || p._2 >= 10))
+  }
+
   test("containment: small doc embedded in a big one scores C=1 where Jaccard misses") {
     val big = base + " " + unrelated + " plus much more filler text stretching the gram set very far beyond"
     val cdocs = Seq((0L, base), (1L, big), (2L, unrelated)).toDF("doc_id", "text")
