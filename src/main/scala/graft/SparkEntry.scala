@@ -456,6 +456,22 @@ object SparkEntry {
                FROM customer_v c""")
     }),
 
+    "q_lateral" -> ((s, d) => {
+      // LATERAL correlated subquery (multi-column, aggregated) — Catalyst
+      // decorrelates the per-row subquery into one aggregate + join, so
+      // the plan is a single supplier aggregation joined to nation, never
+      // a per-row re-execution
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      s.sql("""SELECT n.n_name, l.n_sup, l.total_bal
+               FROM nation_v n,
+               LATERAL (SELECT count(*) AS n_sup,
+                          CAST(sum(s_acctbal) AS DECIMAL(18,2)) AS total_bal
+                        FROM supplier_v s
+                        WHERE s.s_nationkey = n.n_nationkey) l""")
+        .withColumn("total_bal", col("total_bal").cast("string"))
+    }),
+
     "cdc_raw_adapter" -> ((s, d) => {
       // the raw binlog event layer end-to-end (reference RawEventType.java:
       // 4-43): events synthesized as serialized GTID/TABLE_MAP/ROWS/XID
@@ -1514,6 +1530,34 @@ object SparkEntry {
           element_at(col("sums"), col("frame_idx") + 1).as("frame_sum"))
     }),
 
+    "mm_scene_cuts" -> ((s, d) => {
+      // scene-cut detection over a DECODED film strip: consecutive-frame
+      // luma-sum deltas above threshold mark cuts — the shot-boundary
+      // primitive of video curation, computed scan-local from the same
+      // per-frame sums the strip decoder emits (no frame explode before
+      // the cut filter; only detected cuts leave the projection)
+      import s.implicits._
+      val strips = t(s, d, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val nf = 1 + (id % 12).toInt
+          (id, Multimodal.ImageCodec.buildPng(8, 4 * nf, text.getBytes("US-ASCII")))
+        }.toDF("doc_id", "payload")
+      val withSums = Multimodal.decodeFilmStrip(strips, "payload", frameH = 4)
+        .select(col("doc_id"), col("strip.n_frames").as("nf"),
+          col("strip.frame_sums").as("sums"))
+      val deltas = when(col("nf") > 1,
+        transform(sequence(lit(1), col("nf") - 1),
+          i => struct(i.as("idx"),
+            abs(element_at(col("sums"), i + 1) - element_at(col("sums"), i)).as("delta"))))
+        .otherwise(array().cast("array<struct<idx:int,delta:bigint>>"))
+      withSums
+        .select(col("doc_id"),
+          explode(filter(deltas, c => c.getField("delta") > 300)).as("c"))
+        .select(col("doc_id"), col("c.idx").as("cut_idx"), col("c.delta").as("delta"))
+    }),
+
     "mm_jpeg_meta" -> ((s, d) => {
       // the LOSSY arm: encode each doc as a real JPEG (JDK encoder), sniff
       // the FFD8 magic with the metadata operator, decode with the JDK
@@ -1715,6 +1759,14 @@ object SparkEntry {
       """SELECT c_custkey,
            (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
          FROM customer c""",
+
+    "q_lateral" ->
+      """SELECT n.n_name, l.n_sup, CAST(l.total_bal AS VARCHAR) AS total_bal
+         FROM nation n,
+         LATERAL (SELECT count(*) AS n_sup,
+                    CAST(sum(s_acctbal) AS DECIMAL(18,2)) AS total_bal
+                  FROM supplier s
+                  WHERE s.s_nationkey = n.n_nationkey) l""",
 
     "cdc_raw_adapter" ->
       """SELECT 'srv1:' || CAST(user_id AS VARCHAR) AS txn_uuid,
@@ -3170,6 +3222,23 @@ object SparkEntry {
          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
            CAST(sum(b) AS BIGINT) AS frame_sum
          FROM px GROUP BY doc_id, frame_idx""",
+
+    "mm_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n,
+           CAST(1 + doc_id % 12 AS BIGINT) AS nf
+         FROM documents WHERE length(text) >= 1),
+         fr AS (SELECT doc_id, text, n, unnest(range(0, nf)) AS fi FROM d),
+         px AS (SELECT doc_id, fi,
+           unnest([ascii(substring(text, CAST(p % n AS INT) + 1, 1))
+             for p in range(fi*32, (fi+1)*32)]) AS b
+         FROM fr),
+         sums AS (SELECT doc_id, fi, CAST(sum(b) AS BIGINT) AS fs
+                  FROM px GROUP BY doc_id, fi),
+         lagd AS (SELECT doc_id, fi,
+             abs(fs - lag(fs) OVER (PARTITION BY doc_id ORDER BY fi)) AS delta
+           FROM sums)
+         SELECT doc_id, CAST(fi AS INT) AS cut_idx, CAST(delta AS BIGINT) AS delta
+         FROM lagd WHERE delta > 300""",
 
     "mm_resize" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n,
