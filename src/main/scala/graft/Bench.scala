@@ -48,7 +48,8 @@ object Bench {
     "text_gopher_repetition", "pipe_dsir_select", "text_bm25", "pipe_topic_mix",
     "text_char_entropy",
     "cdc_scd2", "cdc_snapshot_diff", "sketch_distinct_kmv", "sim_maxsim", "mm_phash",
-    "dedup_containment", "dedup_incremental_lsh", "cdc_scd2_apply"
+    "dedup_containment", "dedup_incremental_lsh", "cdc_scd2_apply",
+    "sketch_heavy_hitters", "mm_scene_cuts", "q_lateral"
   )
 
   private def loadavg: Double =

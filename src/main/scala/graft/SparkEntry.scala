@@ -391,6 +391,18 @@ object SparkEntry {
           col("value"), saltBuckets = 8)
         .select(col("key").as("event_type"), col("total").cast("string").as("total"))),
 
+    "sketch_heavy_hitters" -> ((s, d) =>
+      // SpaceSaving top-k frequency sketch (Metwally ICDT '05) as a native
+      // mergeable aggregate: one pass, <=m counters per map task — never a
+      // corpus-wide groupBy on the value. Exact while distinct <= m (the
+      // oracle regime: == exact GROUP BY top-10); the N/m overestimate
+      // bound above is spec-pinned.
+      t(s, d, "events")
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(
+          col("user_id"), m = 8192, k = 10).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.value").as("user_id"), col("h.cnt").as("cnt"))),
+
     "sketch_distinct_kmv" -> ((s, d) =>
       // KMV theta sketch as a native TypedImperativeAggregate: O(k)
       // mergeable state, map-side partials carry one <=k-entry sketch per
@@ -1723,6 +1735,13 @@ object SparkEntry {
       """SELECT event_type,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
          FROM events GROUP BY event_type""",
+
+    // SpaceSaving is exact below m=8192 distinct values — at this
+    // fixture's cardinality the sketch's top-10 IS the exact GROUP BY
+    // top-10 (ties broken count desc, user_id asc in both engines)
+    "sketch_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+         QUALIFY row_number() OVER (ORDER BY cnt DESC, user_id) <= 10""",
 
     // KMV is exact below k=16384 distinct members per group — at this
     // fixture's cardinality the sketch IS count(distinct); the estimator

@@ -1,0 +1,197 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** SpaceSaving heavy-hitters buffer (Metwally, Agrawal & El Abbadi,
+  * ICDT '05): at most `m` (value → count, maxErr) counters. While fewer
+  * than m distinct values have been seen the counts are EXACT (maxErr 0);
+  * once full, a new value evicts the minimum counter and inherits its
+  * count as overestimation error — any value with true frequency
+  * > N/m is guaranteed present, and every reported count overestimates
+  * by at most its maxErr.
+  *
+  * Merge is counter-wise sum (count and maxErr add; a value missing from
+  * one side contributes that side's minimum count as additional potential
+  * error only when that side was full — tracked via `evictedFloor`), then
+  * a trim back to the m largest. In the exact regime (global distinct ≤ m)
+  * merge never trims and never introduces error, which is what makes the
+  * aggregate oracle-gateable against exact GROUP BY counts. */
+final class SpaceSavingBuf(val m: Int) {
+  val counts = new java.util.HashMap[Long, Long]()
+  val errs = new java.util.HashMap[Long, Long]()
+  // largest count ever evicted (0 while exact); new entries start from it
+  var evictedFloor: Long = 0L
+
+  private def minEntry(): Long = {
+    // O(m) min scan on eviction only; m is small (sketch contract)
+    var minK = 0L; var minV = Long.MaxValue
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // deterministic tie-break: evict the LARGEST key among minima so
+      // results are stable across traversal orders
+      if (e.getValue < minV || (e.getValue == minV && e.getKey > minK)) {
+        minV = e.getValue; minK = e.getKey
+      }
+    }
+    minK
+  }
+
+  def add(v: Long, by: Long = 1L, err: Long = 0L): Unit = {
+    if (counts.containsKey(v)) {
+      counts.put(v, counts.get(v) + by)
+      if (err > 0) errs.put(v, errs.getOrDefault(v, 0L) + err)
+      ()
+    } else if (counts.size < m) {
+      counts.put(v, evictedFloor + by)
+      val e = evictedFloor + err
+      if (e > 0) errs.put(v, e)
+      ()
+    } else {
+      val mk = minEntry()
+      val mv = counts.get(mk)
+      counts.remove(mk); errs.remove(mk)
+      evictedFloor = math.max(evictedFloor, mv)
+      counts.put(v, mv + by)
+      errs.put(v, mv + err)
+      ()
+    }
+  }
+
+  def mergeFrom(other: SpaceSavingBuf): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(e.getKey, e.getValue, other.errs.getOrDefault(e.getKey, 0L))
+    }
+    evictedFloor = math.max(evictedFloor, other.evictedFloor)
+    // trim back to m by (count desc, key asc)
+    if (counts.size > m) {
+      val arr = new Array[(Long, Long)](counts.size)
+      var i = 0
+      val it2 = counts.entrySet().iterator()
+      while (it2.hasNext) { val e = it2.next(); arr(i) = (e.getKey, e.getValue); i += 1 }
+      val keep = arr.sortBy { case (k, c) => (-c, k) }.take(m).map(_._1).toSet
+      arr.foreach { case (k, _) =>
+        if (!keep.contains(k)) { counts.remove(k); errs.remove(k); () }
+      }
+    }
+  }
+
+  /** Top-k by (count desc, value asc): (value, count, maxErr) triples. */
+  def topK(k: Int): Array[(Long, Long, Long)] = {
+    val arr = new Array[(Long, Long, Long)](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      arr(i) = (e.getKey, e.getValue, errs.getOrDefault(e.getKey, 0L)); i += 1
+    }
+    arr.sortBy { case (v, c, _) => (-c, v) }.take(k)
+  }
+
+  def serialize(): Array[Byte] = {
+    val n = counts.size
+    val buf = ByteBuffer.allocate(8 + 4 + 24 * n)
+    buf.putLong(evictedFloor)
+    buf.putInt(n)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.putLong(e.getKey); buf.putLong(e.getValue)
+      buf.putLong(errs.getOrDefault(e.getKey, 0L))
+    }
+    buf.array()
+  }
+}
+
+object SpaceSavingBuf {
+  def deserialize(bytes: Array[Byte], m: Int): SpaceSavingBuf = {
+    val buf = ByteBuffer.wrap(bytes)
+    val b = new SpaceSavingBuf(m)
+    b.evictedFloor = buf.getLong
+    val n = buf.getInt
+    var i = 0
+    while (i < n) {
+      val k = buf.getLong; val c = buf.getLong; val e = buf.getLong
+      b.counts.put(k, c)
+      if (e > 0) b.errs.put(k, e)
+      i += 1
+    }
+    b
+  }
+}
+
+/** `heavy_hitters(value, m, k)` → `array<struct<value: bigint, cnt:
+  * bigint, max_err: bigint>>` — the top-k most frequent values by the
+  * SpaceSaving sketch with m counters. EXACT (max_err 0) while distinct ≤
+  * m — the oracle-gateable regime — and the classic ε = N/m overestimate
+  * above; mergeable O(m) state, so the shuffle carries ≤m counters per
+  * group per map task regardless of stream size. Complements
+  * [[KmvDistinctAgg]] (distinct count) on the frequency side. */
+case class HeavyHittersAgg(
+    value: Expression,
+    m: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuf] {
+  require(m >= 8 && k >= 1 && k <= m, "need m >= 8 and 1 <= k <= m")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = false
+  override def prettyName: String = "heavy_hitters"
+  override def dataType: DataType = ArrayType(
+    new StructType().add("value", LongType, nullable = false)
+      .add("cnt", LongType, nullable = false)
+      .add("max_err", LongType, nullable = false),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (value.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint value, got ${value.dataType.simpleString}")
+
+  override def createAggregationBuffer(): SpaceSavingBuf = new SpaceSavingBuf(m)
+
+  override def update(buffer: SpaceSavingBuf, input: InternalRow): SpaceSavingBuf = {
+    val v = value.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: SpaceSavingBuf, other: SpaceSavingBuf): SpaceSavingBuf = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: SpaceSavingBuf): Any =
+    new GenericArrayData(buffer.topK(k).map { case (v, c, e) => InternalRow(v, c, e) })
+
+  override def serialize(buffer: SpaceSavingBuf): Array[Byte] = buffer.serialize()
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuf =
+    SpaceSavingBuf.deserialize(bytes, m)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HeavyHittersAgg =
+    copy(value = newChildren.head)
+}
+
+object HeavyHittersAgg {
+  def heavyHitters(value: Column, m: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.toCol(HeavyHittersAgg(GraftBridge.toExpr(value), m, k).toAggregateExpression())
+  }
+}

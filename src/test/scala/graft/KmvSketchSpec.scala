@@ -79,6 +79,62 @@ class KmvSketchSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  // ---- SpaceSaving heavy hitters ----
+
+  test("spacesaving: exact below capacity, zero error") {
+    val b = new graft.functions.SpaceSavingBuf(64)
+    (0L until 1000L).foreach(i => b.add(i % 20))
+    val top = b.topK(3)
+    assert(top.toSeq == Seq((0L, 50L, 0L), (1L, 50L, 0L), (2L, 50L, 0L)))
+  }
+
+  test("spacesaving: true heavy hitter survives eviction pressure, error bounded by N/m") {
+    val m = 32
+    val b = new graft.functions.SpaceSavingBuf(m)
+    var n = 0L
+    // hot value 999 every 3rd insert, cold long-tail values once each
+    (0L until 3000L).foreach { i =>
+      if (i % 3 == 0) b.add(999L) else b.add(100000L + i); n += 1
+    }
+    val top = b.topK(1).head
+    assert(top._1 == 999L, s"heavy hitter evicted: $top")
+    // reported >= true count, overestimate bounded by N/m
+    assert(top._2 >= 1000L && top._2 - 1000L <= n / m)
+    assert(top._3 <= n / m)
+  }
+
+  test("spacesaving: merge of split streams equals single-pass in the exact regime") {
+    val whole = new graft.functions.SpaceSavingBuf(256)
+    val l = new graft.functions.SpaceSavingBuf(256)
+    val r = new graft.functions.SpaceSavingBuf(256)
+    (0L until 5000L).foreach { i =>
+      val v = i % 100
+      whole.add(v); if (i % 2 == 0) l.add(v) else r.add(v)
+    }
+    l.mergeFrom(r)
+    assert(l.topK(100).toSeq == whole.topK(100).toSeq)
+  }
+
+  test("spacesaving: serialization round trip") {
+    val b = new graft.functions.SpaceSavingBuf(16)
+    (0L until 500L).foreach(i => b.add(i % 40)) // forces evictions
+    val back = graft.functions.SpaceSavingBuf.deserialize(b.serialize(), 16)
+    assert(back.topK(16).toSeq == b.topK(16).toSeq)
+    assert(back.evictedFloor == b.evictedFloor)
+  }
+
+  test("spacesaving distributed: exact top-k across 8 partitions matches GROUP BY") {
+    val df = spark.range(0, 30000).repartition(8)
+      .select((col("id") % 300).as("v"))
+    val got = df.agg(graft.functions.HeavyHittersAgg.heavyHitters(col("v"), 1024, 5).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.value"), col("h.cnt"), col("h.max_err"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall(_._3 == 0L))
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((0L, 100L), (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L)))
+  }
+
   test("distributed estimator: 50k distinct through k=512 lands within 20%") {
     val df = spark.range(0, 50000).repartition(16).select(col("id").as("v"))
     val est = df.agg(KmvDistinctAgg.kmvDistinct(xxhash64(col("v")), 512).as("d"))
