@@ -391,6 +391,14 @@ object SparkEntry {
           col("value"), saltBuckets = 8)
         .select(col("key").as("event_type"), col("total").cast("string").as("total"))),
 
+    "text_chunk_windows" -> ((s, d) =>
+      // RAG passage chunking: 64-token windows every 48 tokens (25%
+      // overlap) — one scan-local projection + chunk explode, no shuffle
+      graft.operators.Text.chunkWindows(t(s, d, "documents"),
+          col("doc_id"), col("text"), window = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_text"), col("n_tokens"))),
+
     "sketch_heavy_hitters" -> ((s, d) =>
       // SpaceSaving top-k frequency sketch (Metwally ICDT '05) as a native
       // mergeable aggregate: one pass, <=m counters per map task — never a
@@ -1735,6 +1743,18 @@ object SparkEntry {
       """SELECT event_type,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
          FROM events GROUP BY event_type""",
+
+    "text_chunk_windows" ->
+      """WITH d AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         c AS (SELECT doc_id, w, len(w) AS n,
+           unnest(range(0, (greatest(len(w) - 1, 0) // 48) + 1)) AS ci
+         FROM d)
+         SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           array_to_string(w[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text,
+           CAST(least(64, n - ci*48) AS BIGINT) AS n_tokens
+         FROM c""",
 
     // SpaceSaving is exact below m=8192 distinct values — at this
     // fixture's cardinality the sketch's top-10 IS the exact GROUP BY

@@ -298,6 +298,28 @@ object Text {
     * Spark's xxhash64 (codegen'd) rather than a Scala UDF. */
   def rollingFingerprint(text: Column): Column = xxhash64(normalized(text))
 
+  /** Overlapping token-window chunking — the retrieval-prep (RAG) passage
+    * splitter: windows of `window` tokens starting every `stride` tokens
+    * (stride < window ⇒ overlap, so a fact straddling a boundary lands
+    * whole in at least one chunk). One scan-local projection + the chunk
+    * explode — no shuffle; chunk starts are the multiples of `stride`
+    * strictly inside the document, the final window may be short. Output:
+    * (id, chunk_idx, chunk_text, n_tokens). */
+  def chunkWindows(df: DataFrame, idCol: Column, textCol: Column,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = split(normalized(textCol), " ")
+    df.select(idCol.as("id"), toks.as("__toks"), size(toks).as("__n"))
+      .select(col("id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          greatest(floor((col("__n") - 1) / stride).cast("int"), lit(0)) * stride,
+          lit(stride))).as("__start"))
+      .select(col("id"), (col("__start") / stride).cast("int").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ").as("chunk_text"),
+        least(lit(window), col("__n") - col("__start")).cast("long").as("n_tokens"))
+  }
+
   /** Corpus-fit bigram language-model score — the LM-perplexity quality gate
     * of a cleaning pipeline (CCNet-style), self-trained on the corpus it
     * scores. Per document: mean over its bigrams of the add-one-smoothed

@@ -39,6 +39,26 @@ class DedupTextSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("chunkWindows: stride overlap, short tail, single-chunk doc, coverage invariant") {
+    val words = (1 to 150).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq((0L, words), (1L, "just five little words here")).toDF("doc_id", "text")
+    val ch = Text.chunkWindows(cdocs, col("doc_id"), col("text"), window = 64, stride = 48)
+      .select(col("id"), col("chunk_idx"), col("chunk_text"), col("n_tokens"))
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val d0 = ch.filter(_._1 == 0L)
+    // starts at 0,48,96,144 — 4 chunks; sizes 64,64,54,6
+    assert(d0.map(_._2) == Seq(0, 1, 2, 3))
+    assert(d0.map(_._4) == Seq(64L, 64L, 54L, 6L))
+    assert(d0(0)._3.startsWith("w1 ") && d0(1)._3.startsWith("w49 ")
+      && d0(3)._3 == "w145 w146 w147 w148 w149 w150")
+    // overlap: chunk 1 re-covers tokens 49..64 of chunk 0
+    assert(d0(0)._3.endsWith(" w64") && d0(1)._3.contains("w64"))
+    // every token appears in at least one chunk
+    assert((1 to 150).forall(i => d0.exists(_._3.split(" ").contains(s"w$i"))))
+    // short doc: one chunk, whole text
+    assert(ch.filter(_._1 == 1L) == Seq((1L, 0, "just five little words here", 5L)))
+  }
+
   test("incremental LSH equals batch-touching all-pairs; index-index pairs never emit") {
     // index: base + its near-dup (an index-internal pair that must NOT
     // emit); batch: another near-dup of base + an unrelated doc
