@@ -1259,6 +1259,48 @@ object SparkEntry {
         numTokens = 4, k = 10)
     }),
 
+    "sim_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: reciprocal-rank fusion (Cormack & Clarke SIGIR
+      // '09) of the BM25 text leg and the dense cosine leg — the standard
+      // way production search merges lexical and vector rankings without
+      // score calibration. Both legs are k-bounded before the fuse, so the
+      // fusion join touches <=2k rows regardless of corpus size.
+      import org.apache.spark.sql.expressions.Window
+      val qTerms = Seq("stream", "hash", "vector")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(operators.Text.normalized(col("text")), " ").as("toks"))
+      val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl"))
+      val tf = toks
+        .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val bmTop = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+        .withColumn("bm25_ppm", floor(lit(1000000.0d) *
+          (log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(2.2d)) /
+            (col("tf") + lit(1.2d) * (lit(1.0d) - lit(0.75d)
+              + lit(0.75d) * col("dl") / col("avgdl"))))).cast("long"))
+        .groupBy("doc_id").agg(sum(col("bm25_ppm")).as("bm"))
+        .orderBy(col("bm").desc, col("doc_id")).limit(20)
+      val tRank = bmTop.withColumn("rank_t",
+        row_number().over(Window.orderBy(col("bm").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_t"))
+      val emb = t(s, d, "embeddings")
+      val vRank = graft.operators.Similarity.bruteForceTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") === 0), col("vec_id"), col("embedding"), 20)
+        .withColumn("rank_v",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("rank_v"))
+      tRank.join(vRank, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0d) / (lit(60) + col("rank_t")), lit(0.0d)) +
+            coalesce(lit(1.0d) / (lit(60) + col("rank_v")), lit(0.0d)), 9))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("rrf"))
+    }),
+
     "sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val centroids = emb.filter(col("vec_id") < 8)
@@ -2943,6 +2985,39 @@ object SparkEntry {
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    "sim_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+         FROM documents),
+         stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+         tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+             SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks) u
+           WHERE term IN ('stream','hash','vector') GROUP BY doc_id, term),
+         dd AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT doc_id,
+             CAST(floor(1000000.0 *
+               (ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) AS BIGINT) AS bm25_ppm
+           FROM tf JOIN dd USING (term) CROSS JOIN stats),
+         bmtop AS (SELECT doc_id, CAST(sum(bm25_ppm) AS BIGINT) AS bm
+           FROM sc GROUP BY doc_id ORDER BY bm DESC, doc_id LIMIT 20),
+         tr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY bm DESC, doc_id) AS rank_t FROM bmtop),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+         vt AS (SELECT vec_id,
+             round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+           FROM c, q WHERE vec_id <> 0
+           ORDER BY cos_sim DESC, vec_id LIMIT 20),
+         vr AS (SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank_v FROM vt)
+         SELECT doc_id,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_t), 0)
+             + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_v), 0), 9) AS rrf
+         FROM tr FULL OUTER JOIN vr USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     "sim_maxsim" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
