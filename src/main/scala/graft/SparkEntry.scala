@@ -476,6 +476,21 @@ object SparkEntry {
                FROM customer_v c""")
     }),
 
+    "q_recursive_cte" -> ((s, d) => {
+      // WITH RECURSIVE (Spark 4's recursive CTE): walk a synthetic decimal
+      // org hierarchy (parent = key div 10) from every customer to its
+      // root, emitting the root and depth — the transitive-closure shape
+      // (BOM explosion, org chart, graph reachability) that iterative
+      // UnionLoop execution covers and plain SQL cannot express
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""WITH RECURSIVE anc(k, node, depth) AS (
+                 SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), CAST(0 AS INT)
+                 FROM customer_v
+                 UNION ALL
+                 SELECT k, node DIV 10, CAST(depth + 1 AS INT) FROM anc WHERE node >= 10)
+               SELECT k AS c_custkey, node AS root, depth FROM anc WHERE node < 10""")
+    }),
+
     "q_lateral" -> ((s, d) => {
       // LATERAL correlated subquery (multi-column, aggregated) — Catalyst
       // decorrelates the per-row subquery into one aggregate + join, so
@@ -1840,6 +1855,14 @@ object SparkEntry {
       """SELECT c_custkey,
            (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
          FROM customer c""",
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc(k, node, depth) AS (
+           SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), CAST(0 AS INT)
+           FROM customer
+           UNION ALL
+           SELECT k, node // 10, CAST(depth + 1 AS INT) FROM anc WHERE node >= 10)
+         SELECT k AS c_custkey, node AS root, depth FROM anc WHERE node < 10""",
 
     "q_lateral" ->
       """SELECT n.n_name, l.n_sup, CAST(l.total_bal AS VARCHAR) AS total_bal
