@@ -1530,6 +1530,26 @@ object SparkEntry {
           col("wav.duration_ms").as("duration_ms"))
     }),
 
+    "mm_wav_rms" -> ((s, d) => {
+      // sample-level audio features from a REAL decoded PCM data chunk
+      // (past container metadata): n_samples, sum of |sample| (integer
+      // mean-abs loudness numerator), peak — the oracle recomputes every
+      // field from the text bytes that became the 16-bit LE samples, so
+      // the chunk-walk + sample decode is correctness-gated
+      import s.implicits._
+      val withWav = t(s, d, "documents")
+        .filter(length(col("text")) >= (lit(1) + col("doc_id") % 2) * 2)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val ch = 1 + (id % 2).toInt
+          val sr = 8000 * (1 + (id % 3).toInt)
+          (id, Multimodal.buildWav(ch, sr, 16, text.getBytes("US-ASCII")))
+        }.toDF("doc_id", "payload")
+      Multimodal.wavPcmStats(withWav, "payload")
+        .select(col("doc_id"), col("pcm.n_samples").as("n_samples"),
+          col("pcm.sum_abs").as("sum_abs"), col("pcm.peak").as("peak"))
+    }),
+
     "mm_payload_dedup" -> ((s, d) =>
       // exact dedup on the OPAQUE BINARY payload (the multimodal analog of
       // text fingerprint dedup): md5 over raw bytes, hash-agg clusters —
@@ -3111,6 +3131,22 @@ object SparkEntry {
          FROM b)
          SELECT ahash, min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM h GROUP BY ahash""",
+
+    "mm_wav_rms" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n,
+           CAST(1 + doc_id % 2 AS INT) AS ch
+         FROM documents),
+         s AS (SELECT doc_id, text,
+           ((n // (ch*2)) * (ch*2)) // 2 AS nsamp
+         FROM d WHERE n >= ch*2),
+         px AS (SELECT doc_id, nsamp,
+           unnest([ascii(substring(text, CAST(2*i AS INT) + 1, 1))
+                   + 256 * ascii(substring(text, CAST(2*i AS INT) + 2, 1))
+                   for i in range(0, nsamp)]) AS v
+         FROM s)
+         SELECT doc_id, CAST(max(nsamp) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_abs, CAST(max(v) AS BIGINT) AS peak
+         FROM px GROUP BY doc_id""",
 
     "mm_wav_meta" ->
       """WITH d AS (SELECT doc_id,

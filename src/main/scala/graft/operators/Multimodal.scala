@@ -332,6 +332,50 @@ object Multimodal {
            if ch > 0 && sr > 0 && bps > 0)
         yield Wav(af, ch, sr, bps, dl)
     }
+
+    final case class PcmStats(nSamples: Long, sumAbs: Long, peak: Long)
+
+    /** Sample-level PCM statistics from the decoded data chunk — the
+      * feature-extraction step past container metadata: count, Σ|sample|
+      * (the integer numerator of mean-abs amplitude; RMS-class loudness
+      * without a float in sight) and peak |sample|. 16-bit LE PCM only
+      * (the format [[graft.operators.Multimodal.buildWav]] emits); other
+      * widths return None rather than mis-reading. */
+    def pcmStats(bytes: Array[Byte]): Option[PcmStats] = {
+      if (bytes == null || bytes.length < 44 ||
+          tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var pos = 12
+      var bps = -1
+      var data: Option[(Int, Long)] = None // (offset, len)
+      while (pos + 8 <= bytes.length && (bps < 0 || data.isEmpty)) {
+        val id = tag(bytes, pos)
+        val size = u32(bytes, pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " if size >= 16 && body + 16 <= bytes.length =>
+            bps = u16(bytes, body + 14)
+          case "data" =>
+            data = Some((body, math.min(size, (bytes.length - body).toLong)))
+          case _ => ()
+        }
+        if (size > bytes.length - body) pos = bytes.length
+        else pos = body + size.toInt + (size.toInt & 1)
+      }
+      if (bps != 16) return None
+      data.map { case (off, len) =>
+        val n = len / 2
+        var i = 0L; var sum = 0L; var peak = 0L
+        while (i < n) {
+          val p = off + 2 * i.toInt
+          val raw = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+          val s = if (raw >= 0x8000) raw - 0x10000 else raw
+          val a = math.abs(s).toLong
+          sum += a; if (a > peak) peak = a
+          i += 1
+        }
+        PcmStats(n, sum, peak)
+      }
+    }
   }
 
   /** Decode WAV payloads via `mapPartitions`; appends a `wav` struct
@@ -429,6 +473,26 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         Row.fromSeq(r.toSeq :+ ImageCodec.aHash(r.getAs[Array[Byte]](binIdx)).orNull)
+      }
+    }(enc)
+  }
+
+  /** Sample-level PCM feature extraction via `mapPartitions`; appends a
+    * `pcm` struct (n_samples, sum_abs, peak) — null for undecodable or
+    * non-16-bit payloads. Payload bytes never shuffle. */
+  def wavPcmStats(df: DataFrame, binColName: String): DataFrame = {
+    val pcmType = StructType(Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val outSchema = StructType(df.schema.fields :+ StructField("pcm", pcmType))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = WavCodec.pcmStats(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ decoded.map(p =>
+          Row(p.nSamples, p.sumAbs, p.peak)).orNull)
       }
     }(enc)
   }

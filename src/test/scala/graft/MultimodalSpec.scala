@@ -209,6 +209,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(idx == Seq(0, 3, 6, 9))
   }
 
+  test("pcmStats: signed 16-bit decode, peak/sum, non-16-bit and garbage rejected") {
+    import graft.operators.Multimodal
+    // samples: +1000, -1000, 0, -32768 → LE bytes
+    val samples = Seq(1000, -1000, 0, -32768)
+    val data = samples.flatMap { s =>
+      val u = s & 0xFFFF; Seq((u & 0xFF).toByte, ((u >> 8) & 0xFF).toByte)
+    }.toArray
+    val wav = Multimodal.buildWav(1, 8000, 16, data)
+    val pcm = Multimodal.WavCodec.pcmStats(wav).get
+    assert(pcm.nSamples == 4)
+    assert(pcm.sumAbs == 1000L + 1000L + 0L + 32768L)
+    assert(pcm.peak == 32768L)
+    // 8-bit payload → None (refuse rather than mis-read)
+    assert(Multimodal.WavCodec.pcmStats(Multimodal.buildWav(1, 8000, 8, data)).isEmpty)
+    assert(Multimodal.WavCodec.pcmStats(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("aHash: integer-exact on 8x8; block-downscale on larger; near-dup robust") {
     import graft.operators.Multimodal.ImageCodec
     // 8x8 checker of 0s and 200s: mean = 100, so bits are exactly the
