@@ -391,6 +391,21 @@ object SparkEntry {
           col("value"), saltBuckets = 8)
         .select(col("key").as("event_type"), col("total").cast("string").as("total"))),
 
+    "text_bpe_pair_counts" -> ((s, d) =>
+      // the counting core of one BPE merge round (Sennrich et al. ACL '16):
+      // global adjacent-symbol-pair frequencies at the character stage,
+      // top-20 — two scan-local explodes then one hash-agg (map-side
+      // combined; the pair vocabulary is alphabet², tiny), top-k bounded.
+      // A full tokenizer trainer iterates this exact aggregation, merging
+      // the winner into the symbol stream each round.
+      t(s, d, "documents")
+        .select(explode(split(operators.Text.normalized(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)),
+
     "text_chunk_windows" -> ((s, d) =>
       // RAG passage chunking: 64-token windows every 48 tokens (25%
       // overlap) — one scan-local projection + chunk explode, no shuffle
@@ -1820,6 +1835,16 @@ object SparkEntry {
       """SELECT event_type,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
          FROM events GROUP BY event_type""",
+
+    "text_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+         FROM documents),
+         p AS (SELECT unnest([substring(w, CAST(i AS INT), 2)
+             for i in range(1, len(w))]) AS pair
+           FROM w WHERE len(w) >= 2)
+         SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+         QUALIFY row_number() OVER (ORDER BY cnt DESC, pair) <= 20""",
 
     "text_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
