@@ -230,6 +230,38 @@ class PlanShapeSpec extends SparkTestBase {
       s"diff re-shuffles:\n${p.take(3000)}")
   }
 
+  test("r6s3: containment + incremental LSH plan as hash joins, never cartesian") {
+    Seq("dedup_containment", "dedup_incremental_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a cross product")
+    }
+  }
+
+  test("r6s3: sketch aggregates partial-aggregate map-side") {
+    Seq("sketch_distinct_kmv", "sketch_heavy_hitters").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_kmv_distinct") || p.contains("partial_heavy_hitters")
+        || "ObjectHashAggregate.*partial".r.findFirstIn(p).isDefined,
+        s"$q must plan a partial (map-side) sketch phase:\n${p.take(2000)}")
+    }
+  }
+
+  test("r6s3: chunk windows and bpe pair counts stay shuffle-free up to the final agg") {
+    val pc = plan("text_chunk_windows")
+    assert(!pc.contains("Exchange"), s"chunking must not shuffle:\n${pc.take(2000)}")
+    val pb = plan("text_bpe_pair_counts")
+    // explodes + ONE aggregation exchange (pair groupBy), nothing else
+    assert("Exchange".r.findAllIn(pb).size <= 2, s"bpe pair counts over-shuffles:\n${pb.take(2000)}")
+  }
+
+  test("r6s3: hybrid RRF legs are k-bounded before the fusion join") {
+    val p = plan("sim_hybrid_rrf")
+    assert(p.contains("TakeOrdered") || p.contains("top_k_by_score"),
+      s"rrf legs must bound before fusing:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("r6: maxsim interaction matrix is scan-local; queries broadcast; shortlist bounded") {
     val p = plan("sim_maxsim")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
