@@ -126,6 +126,44 @@ class Scd2DiffSpec extends SparkTestBase {
     assert(ivRows(applied) == ivRows(iv))
   }
 
+  test("property: state at any T equals the SCD2 interval covering T (random histories)") {
+    val rnd = new scala.util.Random(42)
+    // random per-key histories with inserts, updates, deletes, reinserts
+    var ev = 0L
+    val rows = (0 until 4).flatMap { ki =>
+      val key = s"k$ki"
+      var alive = false
+      (0 until (3 + rnd.nextInt(5))).map { j =>
+        ev += 1
+        val ts = 1000L * (j + 1) + ki * 37
+        val (kind, before, after) =
+          if (!alive) { alive = true; ("INSERT", Map.empty[String, String], Map("a" -> rnd.nextInt(100).toString)) }
+          else if (rnd.nextDouble() < 0.25) { alive = false; ("DELETE", Map("a" -> "x"), Map.empty[String, String]) }
+          else ("UPDATE", Map("a" -> "x"), Map("a" -> rnd.nextInt(100).toString))
+        (s"u$ev", ev, ts, 0, ev, ts - 100, "t", kind, key, before, after)
+      }
+    }
+    val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stampedOf(rows)))
+      .persist()
+    val iv = TimeMachineSink.scd2Intervals(cells, Seq("a"))
+      .select(col("row_key"), col("valid_from"), col("valid_to"), col("a"))
+      .as[(String, Long, Option[Long], String)].collect().toSeq
+    val versionTimes = cells.select(col("cell_ts")).distinct().as[Long].collect().sorted
+    // probe exactly at versions, between versions, before all, after all
+    val probes = versionTimes ++ versionTimes.map(_ + 1) ++
+      Seq(versionTimes.head - 1, versionTimes.last + 1000000)
+    probes.foreach { t =>
+      val asOf = TimeMachineSink.rowsAsOfCells(cells.filter(col("cell_ts") <= t))
+        .select(col("row_key"), element_at(col("cols"), "a"))
+        .as[(String, String)].collect().toMap
+      val fromIv = iv.filter(r => r._2 <= t && r._3.forall(_ > t))
+        .map(r => r._1 -> r._4).toMap
+      assert(asOf == fromIv, s"divergence at T=$t: asOf=$asOf iv=$fromIv")
+    }
+    cells.unpersist()
+    ()
+  }
+
   test("maintainScd2: versioned fold, same-id redelivery idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scd2-view").toString
     TimeMachineSink.maintainScd2(stampedOf(histStamped), dir, 0L, Seq("a"))

@@ -460,4 +460,52 @@ class StreamingSpec extends SparkTestBase {
     val dirs = new java.io.File(snap).listFiles().filter(_.getName.startsWith("v="))
     assert(dirs.length == 1 && state() == Map("k1" -> "2"))
   }
+
+  test("maintained SCD2 view: streaming interval fold tracks history across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val snap = Files.createTempDirectory("scd2dir").toString
+    val ckpt = Files.createTempDirectory("scd2ck").toString
+    val mem = MemoryStream[Op]
+    val q = TransactionAssembler.assemble(mem.toDS()).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StampedOp], id: Long) =>
+        TimeMachineSink.maintainScd2(b.toDF(), snap, id, Seq("a"))
+      }
+      .start()
+    mem.addData(op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("COMMIT", "t1", 3))
+    q.processAllAvailable()
+    def intervals(): Seq[(String, Boolean, String)] = {
+      val vs = new java.io.File(snap).listFiles()
+        .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+      spark.read.parquet(s"$snap/v=${vs.max}")
+        .select(col("row_key"), col("is_current"), col("a"))
+        .as[(String, Boolean, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    }
+    assert(intervals() == Seq(("k1", true, "1")))
+    // batch 2 (later commit ts): update k1 — the open interval closes, a
+    // new current one opens; history is now two intervals
+    mem.addData(op("BEGIN", "t2", 4, ts = 1704067209000L),
+      op("UPDATE", "t2", 5, before = Map("a" -> "1"), after = Map("a" -> "2"),
+        ts = 1704067209000L),
+      op("COMMIT", "t2", 6, ts = 1704067209000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(intervals() == Seq(("k1", false, "1"), ("k1", true, "2")))
+    // the maintained view equals the full batch rebuild over all ops
+    val allOps = Seq(
+      op("BEGIN", "t1", 1), op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("COMMIT", "t1", 3),
+      op("BEGIN", "t2", 4, ts = 1704067209000L),
+      op("UPDATE", "t2", 5, before = Map("a" -> "1"), after = Map("a" -> "2"),
+        ts = 1704067209000L),
+      op("COMMIT", "t2", 6, ts = 1704067209000L))
+    val full = TimeMachineSink.scd2Intervals(
+      TimeMachineSink.organize(TimeMachineSink.mutationCells(
+        TransactionAssembler.assembleBatch(allOps.toDS()).toDF())), Seq("a"))
+      .select(col("row_key"), col("is_current"), col("a"))
+      .as[(String, Boolean, String)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(intervals() == full)
+  }
 }
