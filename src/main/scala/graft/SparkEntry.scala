@@ -16,6 +16,32 @@ import graft.streaming.{TimeMachineSink, TransactionAssembler}
   */
 object SparkEntry {
 
+  /** UniMax allocation as ONE engine-neutral SQL text (runs verbatim on
+    * Spark and the DuckDB oracle): languages sorted by cap ascending; the
+    * capped set is a prefix, so one row_number + running-cap-sum window
+    * finds the waterfilling split point kk and the capped budget cumk;
+    * capped languages take their cap, the rest split the remainder
+    * evenly. Budget = 0.8×corpus, cap = 1 epoch. */
+  private[graft] val unimaxSql: String =
+    """WITH sz AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS c0
+         FROM documents GROUP BY lang),
+       tot AS (SELECT sum(c0) * 0.8 AS budget, CAST(count(*) AS INT) AS n FROM sz),
+       o AS (SELECT lang, c0 * 1.0 AS cap,
+           CAST(row_number() OVER (ORDER BY c0 * 1.0, lang) AS INT) AS r,
+           coalesce(sum(c0 * 1.0) OVER (ORDER BY c0 * 1.0, lang
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pre
+         FROM sz),
+       k AS (SELECT
+           coalesce(max(CASE WHEN cap * (n - r + 1) <= budget - pre THEN r END), 0) AS kk,
+           coalesce(max(CASE WHEN cap * (n - r + 1) <= budget - pre THEN pre + cap END), 0.0) AS cumk
+         FROM o CROSS JOIN tot),
+       a AS (SELECT lang, r, cap, budget,
+           CASE WHEN r <= kk THEN cap ELSE (budget - cumk) / (n - kk) END AS alloc
+         FROM o CROSS JOIN tot CROSS JOIN k)
+       SELECT lang, CAST(floor(alloc) AS BIGINT) AS tokens_alloc,
+         round(alloc / budget, 9) AS weight
+       FROM a"""
+
   /** Table loader. The driver's parquet uses TIMESTAMP(NANOS) for `events.ts`
     * (Spark 4 rejects nanos unless read as raw longs) and unadjusted-UTC ms
     * timestamps elsewhere (which would infer as TIMESTAMP_NTZ); normalize both
@@ -268,6 +294,18 @@ object SparkEntry {
         .select(col("row_key"), col("change_type"),
           col("old_value"), col("new_value"),
           col("old_event_type"), col("new_event_type"))
+    }),
+
+    "pipe_unimax_weights" -> ((s, d) => {
+      // UniMax language-budget allocation (Chung et al. ICLR '23):
+      // distribute a token budget uniformly across languages subject to a
+      // per-language epoch cap — small languages get their full cap, the
+      // rest split the remainder evenly. The iterative waterfilling has a
+      // closed form over languages sorted by cap: the capped set is a
+      // prefix, found with ONE window pass (row_number + running cap sum)
+      // — no loop, no driver iteration; identical SQL runs on the oracle.
+      t(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql(SparkEntry.unimaxSql.replace("documents", "documents_v"))
     }),
 
     "pipe_source_mix" -> ((s, d) =>
@@ -1732,6 +1770,8 @@ object SparkEntry {
            max(event_id) AS last_event,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value
          FROM events GROUP BY user_id""",
+
+    "pipe_unimax_weights" -> unimaxSql,
 
     "pipe_source_mix" ->
       """SELECT source, count(*) AS n_kept FROM documents
