@@ -330,7 +330,15 @@ object TimeMachineSink {
     * deletes, reinserts, and keys first seen in the batch.
     *
     * Per batch the shuffle is bounded by the batch's key count; over an
-    * interval table bucketed by row_key the key joins are co-located. */
+    * interval table bucketed by row_key the key joins are co-located.
+    *
+    * Contract: batches arrive in per-key commit order (the binlog
+    * guarantee) and respect row integrity — in particular no UPDATE for a
+    * key whose current state is deleted without an intervening re-INSERT.
+    * A source violating that (impossible for a MySQL binlog: the server
+    * cannot update a nonexistent row) would diverge from the full
+    * rebuild, because attributes from before the delete are intentionally
+    * not carried into the gap. */
   def applyScd2(intervals: DataFrame, batchCells: DataFrame, attrs: Seq[String]): DataFrame = {
     val cols = Seq("table", "row_key", "valid_from", "valid_to", "is_current",
       "row_status", "version_event_id") ++ attrs
