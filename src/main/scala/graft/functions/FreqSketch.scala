@@ -17,11 +17,10 @@ import org.apache.spark.sql.types._
   * > N/m is guaranteed present, and every reported count overestimates
   * by at most its maxErr.
   *
-  * Merge is counter-wise sum (count and maxErr add; a value missing from
-  * one side contributes that side's minimum count as additional potential
-  * error only when that side was full — tracked via `evictedFloor`), then
-  * a trim back to the m largest. In the exact regime (global distinct ≤ m)
-  * merge never trims and never introduces error, which is what makes the
+  * Merge is counter-wise ([[SpaceSavingBuf.mergeFrom]]): each entry of
+  * the other sketch re-inserts with its count and error, evicting at the
+  * current minimum when full. In the exact regime (global distinct ≤ m)
+  * merge introduces no error and no eviction, which is what makes the
   * aggregate oracle-gateable against exact GROUP BY counts. */
 final class SpaceSavingBuf(val m: Int) {
   val counts = new java.util.HashMap[Long, Long]()
@@ -79,6 +78,14 @@ final class SpaceSavingBuf(val m: Int) {
 
   private[functions] def restoreBucket(c: Long, k: Long): Unit = bucketAdd(c, k)
 
+  /** Counter-wise merge: every entry of `other` feeds [[add]] with its
+    * count and accumulated error, so the size-≤m invariant holds
+    * throughout (add evicts at the current minimum when full — no
+    * post-hoc trim exists or is needed). Below global capacity
+    * (distinct ≤ m) the merge is exact and order-free — the oracle
+    * regime; above it, which survivors the evictions keep depends on
+    * entry order (inherent to parallel SpaceSaving merging), while the
+    * overestimate bound count ≤ true + maxErr is order-independent. */
   def mergeFrom(other: SpaceSavingBuf): Unit = {
     val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
@@ -86,19 +93,6 @@ final class SpaceSavingBuf(val m: Int) {
       add(e.getKey, e.getValue, other.errs.getOrDefault(e.getKey, 0L))
     }
     evictedFloor = math.max(evictedFloor, other.evictedFloor)
-    // trim back to m by (count desc, key asc)
-    if (counts.size > m) {
-      val arr = new Array[(Long, Long)](counts.size)
-      var i = 0
-      val it2 = counts.entrySet().iterator()
-      while (it2.hasNext) { val e = it2.next(); arr(i) = (e.getKey, e.getValue); i += 1 }
-      val keep = arr.sortBy { case (k, c) => (-c, k) }.take(m).map(_._1).toSet
-      arr.foreach { case (k, c) =>
-        if (!keep.contains(k)) {
-          bucketRemove(c, k); counts.remove(k); errs.remove(k); ()
-        }
-      }
-    }
   }
 
   /** Top-k by (count desc, value asc): (value, count, maxErr) triples. */

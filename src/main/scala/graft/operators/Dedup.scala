@@ -244,6 +244,13 @@ object Dedup {
     def signed(df: DataFrame) = tokenized(df, idCol, textCol)
       .select(col("id"), shinglesOfTokens(col("__toks"), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Persist lifecycle is caller-managed (the [[minhashNearDupPairs]]
+    // posture): both signed sides feed the band build AND the verify join,
+    // so without the persist the shingle+signature stage re-executes per
+    // consumer. In a long-lived per-batch loop, clear the cache between
+    // batches (Verify/Bench do) or swap the persist for a checkpoint to
+    // storage — at 100 TB the index side IS a stored table and only `neu`
+    // is cached, at batch size.
     val idx = signed(indexDocs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val neu = signed(batchDocs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idxBands = lshBands(idx, col("id"), col("sig"), bands, rows)

@@ -154,14 +154,26 @@ object TimeMachineSink {
     * apply-onto-highest-version-strictly-below + rewrite-own-version
     * contract, so at-least-once foreachBatch redelivery is exactly-once. */
   def maintainScd2(stamped: DataFrame, snapDir: String, batchId: Long,
-                   attrs: Seq[String]): Unit = {
+                   attrs: Seq[String]): Unit =
+    maintainVersioned(stamped, snapDir, batchId)(
+      bootstrap = scd2Intervals(_, attrs),
+      fold = applyScd2(_, _, attrs))
+
+  /** The shared versioned-dir fold skeleton of [[maintainSnapshot]] and
+    * [[maintainScd2]]: derive the batch's cells, apply onto the highest
+    * version STRICTLY BELOW the batch id (or bootstrap when none),
+    * (over)write the batch's own version dir — one place for the
+    * redelivery-idempotence contract. */
+  private def maintainVersioned(stamped: DataFrame, snapDir: String, batchId: Long)(
+      bootstrap: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame): Unit = {
     val s = stamped.sparkSession
     val batchCells = organize(mutationCells(stamped))
       .select("table", "row_key", "column", "value", "cell_ts", "event_id")
     val base = snapshotVersions(snapDir).filter(_ < batchId).lastOption
     val applied = base match {
-      case Some(v) => applyScd2(s.read.parquet(s"$snapDir/v=$v"), batchCells, attrs)
-      case None    => scd2Intervals(batchCells, attrs)
+      case Some(v) => fold(s.read.parquet(s"$snapDir/v=$v"), batchCells)
+      case None    => bootstrap(batchCells)
     }
     applied.write.mode("overwrite").parquet(s"$snapDir/v=$batchId")
   }
@@ -193,17 +205,9 @@ object TimeMachineSink {
     * Iceberg/Delta — would rewrite only touched files per version; the
     * versioned-dir form keeps the engine dependency-free and is where a
     * format plugs in.) */
-  def maintainSnapshot(stamped: DataFrame, snapDir: String, batchId: Long): Unit = {
-    val s = stamped.sparkSession
-    val batchCells = organize(mutationCells(stamped))
-      .select("table", "row_key", "column", "value", "cell_ts", "event_id")
-    val base = snapshotVersions(snapDir).filter(_ < batchId).lastOption
-    val applied = base match {
-      case Some(v) => applyIncremental(s.read.parquet(s"$snapDir/v=$v"), batchCells)
-      case None    => latestCellsKeyed(batchCells)
-    }
-    applied.write.mode("overwrite").parquet(s"$snapDir/v=$batchId")
-  }
+  def maintainSnapshot(stamped: DataFrame, snapDir: String, batchId: Long): Unit =
+    maintainVersioned(stamped, snapDir, batchId)(
+      bootstrap = latestCellsKeyed, fold = applyIncremental)
 
   /** Current rows of a maintained snapshot (highest version, pivoted,
     * deletes dropped). Empty if no version exists yet. */
@@ -317,28 +321,28 @@ object TimeMachineSink {
     * interval table ([[scd2Intervals]] output schema) touching ONLY the
     * batch's keys — the interval-table analog of [[applyIncremental]].
     *
-    * For each touched key, its OPEN interval collapses into one synthetic
+    * For each touched key, its LAST interval collapses into one synthetic
     * "seed" cell per attribute at (valid_from, version_event_id) — the
-    * full carried-forward state at that instant — and [[scd2Intervals]]
-    * re-runs over seed ∪ batch. Closed intervals never recompute (history
-    * strictly before the open version cannot change under the source's
-    * per-key commit order), untouched keys stream through via one
-    * left_anti. Provably ≡ the full-history rebuild for in-order batches:
-    * carry-forward state at any t ≥ open.valid_from depends only on the
-    * state AT open.valid_from plus later deltas — that equivalence is the
-    * oracle gate of `cdc_scd2_apply` and is spec-pinned including batch
-    * deletes, reinserts, and keys first seen in the batch.
+    * full carried-forward state at that instant — plus, when that
+    * interval was closed by a DELETE (closed with no open successor), a
+    * synthetic row_status=D cell at the close instant, so the rebuild
+    * reproduces the full history's per-column carry-forward ACROSS the
+    * delete gap. [[scd2Intervals]] then re-runs over seeds ∪ batch;
+    * earlier closed intervals never recompute (history strictly before
+    * the seed version cannot change under the source's per-key commit
+    * order), untouched keys stream through via one left_anti. Provably ≡
+    * the full-history rebuild for in-order batches: carry-forward state
+    * at any t ≥ seed.valid_from depends only on the state AT
+    * seed.valid_from, the delete marker, and later deltas — that
+    * equivalence is the oracle gate of `cdc_scd2_apply` and is spec-
+    * pinned including batch deletes, reinserts (also partial re-INSERTs
+    * after a delete, the cross-gap carry case), and keys first seen in
+    * the batch.
     *
     * Per batch the shuffle is bounded by the batch's key count; over an
     * interval table bucketed by row_key the key joins are co-located.
-    *
     * Contract: batches arrive in per-key commit order (the binlog
-    * guarantee) and respect row integrity — in particular no UPDATE for a
-    * key whose current state is deleted without an intervening re-INSERT.
-    * A source violating that (impossible for a MySQL binlog: the server
-    * cannot update a nonexistent row) would diverge from the full
-    * rebuild, because attributes from before the delete are intentionally
-    * not carried into the gap. */
+    * guarantee). */
   def applyScd2(intervals: DataFrame, batchCells: DataFrame, attrs: Seq[String]): DataFrame = {
     val cols = Seq("table", "row_key", "valid_from", "valid_to", "is_current",
       "row_status", "version_event_id") ++ attrs
@@ -346,22 +350,39 @@ object TimeMachineSink {
     val touched = batchCells.select("table", "row_key").distinct()
     val untouched = iv.join(touched, Seq("table", "row_key"), "left_anti")
     val touchedIv = iv.join(touched, Seq("table", "row_key"), "left_semi")
-    val closed = touchedIv.filter(!col("is_current"))
-    // open interval → one synthetic cell per non-null column of its state
-    // (attrs + row_status), stamped at its own (valid_from, event_id)
+    // The seed is each touched key's LAST interval — open or closed. A key
+    // whose last interval is CLOSED with no open successor was closed by a
+    // DELETE (only delete versions close without opening), so its seed
+    // additionally carries a synthetic row_status=D cell at the close
+    // instant: the rebuild then reproduces the full history's
+    // carry-forward ACROSS the delete gap (a re-INSERT that leaves a
+    // column unset inherits the pre-delete value — exactly what
+    // rowsAsOfCells answers, since cell versioning is per-column and a
+    // delete marker does not tombstone older cells).
+    val wSeed = Window.partitionBy("table", "row_key")
+      .orderBy(col("valid_from").desc, col("version_event_id").desc)
+    val ranked = touchedIv.withColumn("__r", row_number().over(wSeed))
+    val seedIv = ranked.filter(col("__r") === 1).drop("__r")
+    val keptIv = ranked.filter(col("__r") > 1).drop("__r")
     val seedCols = attrs.map(a => struct(lit(a).as("column"), col(a).as("value"))) :+
       struct(lit("row_status").as("column"), col("row_status").as("value"))
-    val seeds = touchedIv.filter(col("is_current"))
+    val stateSeeds = seedIv
       .select(col("table"), col("row_key"), col("valid_from").as("cell_ts"),
         col("version_event_id").as("event_id"),
         explode(array(seedCols: _*)).as("c"))
       .filter(col("c.value").isNotNull)
       .select(col("table"), col("row_key"), col("c.column").as("column"),
         col("c.value").as("value"), col("cell_ts"), col("event_id"))
+    val deleteSeeds = seedIv.filter(col("valid_to").isNotNull)
+      .select(col("table"), col("row_key"), lit("row_status").as("column"),
+        lit("D").as("value"), col("valid_to").as("cell_ts"),
+        col("version_event_id").as("event_id"))
     val rebuilt = scd2Intervals(
-      seeds.unionByName(batchCells.select("table", "row_key", "column",
-        "value", "cell_ts", "event_id")), attrs)
-    untouched.unionByName(closed).unionByName(rebuilt.select(cols.map(col): _*))
+      stateSeeds.unionByName(deleteSeeds)
+        .unionByName(batchCells.select("table", "row_key", "column",
+          "value", "cell_ts", "event_id")), attrs)
+    untouched.unionByName(keptIv.select(cols.map(col): _*))
+      .unionByName(rebuilt.select(cols.map(col): _*))
   }
 
   /** Point-in-time DIFF between the row states at `t1` and `t2` (micros,

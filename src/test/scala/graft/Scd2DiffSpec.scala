@@ -119,6 +119,34 @@ class Scd2DiffSpec extends SparkTestBase {
       ("k3", ts(4000), None, true, "7")))
   }
 
+  test("applyScd2 carries unset columns across a delete gap on partial re-INSERT (== full rebuild)") {
+    // history: k1 INSERT {a=1, b=x} then DELETE — the stored interval
+    // table has NO open interval for k1. batch: re-INSERT setting ONLY a.
+    // Cell versioning is per-column (a delete marker does not tombstone
+    // older cells), so the full rebuild carries b=x across the gap — the
+    // incremental fold must too (the review-found divergence this pins).
+    val hist = Seq(
+      ("u1", 1L, 1000L, 0, 1L, 900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "1", "b" -> "x")),
+      ("u2", 2L, 2000L, 0, 2L, 1900L, "t", "DELETE", "k1", Map("a" -> "1", "b" -> "x"), Map.empty[String, String]))
+    val batch = Seq(
+      ("u3", 3L, 3000L, 0, 3L, 2900L, "t", "INSERT", "k1", Map.empty[String, String], Map("a" -> "2")))
+    val hc = TimeMachineSink.organize(TimeMachineSink.mutationCells(stampedOf(hist)))
+    val bc = TimeMachineSink.organize(TimeMachineSink.mutationCells(stampedOf(batch)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("row_key"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("a"), col("b"))
+        .as[(String, Long, Option[Long], Boolean, String, Option[String])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val applied = TimeMachineSink.applyScd2(
+      TimeMachineSink.scd2Intervals(hc, Seq("a", "b")), bc, Seq("a", "b"))
+    val full = TimeMachineSink.scd2Intervals(hc.unionByName(bc), Seq("a", "b"))
+    assert(rows(applied) == rows(full))
+    assert(rows(applied) == Seq(
+      ("k1", ts(1000), Some(ts(2000)), false, "1", Some("x")),
+      // gap [2s, 3s); reinsert carries b across it, per-column versioning
+      ("k1", ts(3000), None, true, "2", Some("x"))))
+  }
+
   test("applyScd2 with an empty batch is the identity") {
     val hist = TimeMachineSink.organize(TimeMachineSink.mutationCells(stampedOf(histStamped)))
     val iv = TimeMachineSink.scd2Intervals(hist, Seq("a"))
