@@ -95,6 +95,21 @@ object GraftExtensions {
     },
     entry("mysql_geometry_wkt", classOf[MysqlGeometryWktExpr]) { args =>
       MysqlGeometryWktExpr(arity("mysql_geometry_wkt", 1)(args).head)
+    },
+    // aggregates: the analyzer wraps a bare AggregateFunction returned by
+    // a registry builder into its AggregateExpression, same as built-ins
+    entry("kmv_distinct", classOf[graft.functions.KmvDistinctAgg]) { args =>
+      val Seq(h, k) = arity("kmv_distinct", 2)(args)
+      graft.functions.KmvDistinctAgg(h, intLit("kmv_distinct", "k", k))
+    },
+    entry("heavy_hitters", classOf[graft.functions.HeavyHittersAgg]) { args =>
+      val Seq(v, m, k) = arity("heavy_hitters", 3)(args)
+      graft.functions.HeavyHittersAgg(v,
+        intLit("heavy_hitters", "m", m), intLit("heavy_hitters", "k", k))
+    },
+    entry("top_k_by_score", classOf[graft.functions.TopKByScoreAgg]) { args =>
+      val Seq(s, i, k) = arity("top_k_by_score", 3)(args)
+      graft.functions.TopKByScoreAgg(s, i, intLit("top_k_by_score", "k", k))
     }
   )
 

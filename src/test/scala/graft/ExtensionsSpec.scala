@@ -86,6 +86,35 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("minhash_sig"))
   }
 
+  test("sketch aggregates from SQL equal the Column API and exact references") {
+    spark.range(0, 5000).selectExpr("id", "id % 700 AS v", "id % 2 AS g")
+      .createOrReplaceTempView("ext_sk")
+    // KMV below k: exact == count(distinct)
+    val kmv = spark.sql(
+      "SELECT g, kmv_distinct(xxhash64(v), 2048) AS d FROM ext_sk GROUP BY g")
+      .as[(Long, Long)].collect().toMap
+    val exact = spark.sql("SELECT g, count(DISTINCT v) FROM ext_sk GROUP BY g")
+      .as[(Long, Long)].collect().toMap
+    assert(kmv == exact)
+    // SpaceSaving below m: top-3 == exact GROUP BY top-3
+    val hh = spark.sql(
+      """SELECT h.value, h.cnt FROM (
+        |  SELECT explode(heavy_hitters(v, 1024, 3)) AS h FROM ext_sk)""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    val top = spark.sql(
+      """SELECT v, count(*) AS c FROM ext_sk GROUP BY v
+        |ORDER BY c DESC, v LIMIT 3""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(hh == top)
+    // bounded top-k aggregate from SQL
+    val tk = spark.sql(
+      """SELECT t.id, t.score FROM (
+        |  SELECT explode(top_k_by_score(CAST(v AS DOUBLE), id, 2)) AS t FROM ext_sk)""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    // score ties break toward the smaller id: v=699 at ids 699 and 1399
+    assert(tk == Seq((699L, 699.0), (1399L, 699.0)))
+  }
+
   test("installed optimizer rule rewrites latest-state windows in pure SQL") {
     Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 5L))
       .toDF("ev", "key", "ts").createOrReplaceTempView("ext_ls")
