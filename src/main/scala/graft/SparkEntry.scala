@@ -296,6 +296,27 @@ object SparkEntry {
           col("old_event_type"), col("new_event_type"))
     }),
 
+    "pipe_ccnet_buckets" -> ((s, d) => {
+      // CCNet's head/middle/tail split (Wenzek et al. LREC '20): bucket
+      // every document by corpus-tercile thresholds of its LM quality
+      // score — head trains first, tail is filtered or down-weighted. The
+      // thresholds are TWO scalars from one exact-percentile aggregate
+      // (at 100 TB: approx_percentile, same shape) broadcast back over
+      // the scored stream; scoreless docs (<2 tokens) go to tail.
+      val scores = operators.Text.lmBigramScore(
+        t(s, d, "documents"), col("doc_id"), col("text"))
+      val thr = scores.agg(
+        percentile(col("lm_ppm").cast("double"), lit(1.0 / 3)).as("t1"),
+        percentile(col("lm_ppm").cast("double"), lit(2.0 / 3)).as("t2"))
+      scores.crossJoin(broadcast(thr))
+        .withColumn("bucket",
+          when(col("lm_ppm").isNull, "tail")
+            .when(col("lm_ppm") >= col("t2"), "head")
+            .when(col("lm_ppm") >= col("t1"), "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lm_ppm"), col("bucket"))
+    }),
+
     "pipe_unimax_weights" -> ((s, d) => {
       // UniMax language-budget allocation (Chung et al. ICLR '23):
       // distribute a token budget uniformly across languages subject to a
@@ -1770,6 +1791,38 @@ object SparkEntry {
            max(event_id) AS last_event,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total_value
          FROM events GROUP BY user_id""",
+
+    "pipe_ccnet_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         bi AS (
+           SELECT doc_id, t[CAST(u.i AS INT)] AS w1, t[CAST(u.i AS INT) + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+         doc_bi AS (
+           SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, sum(k) AS c2 FROM doc_bi GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(k) AS c1 FROM doc_bi GROUP BY 1),
+         v AS (SELECT count(DISTINCT w2) AS v FROM doc_bi),
+         scored AS (
+           SELECT doc_id, k,
+             floor((c2.c2 + 1) * 1000000.0 / (c1.c1 + v.v)) AS s
+           FROM doc_bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+         per_doc AS (
+           SELECT doc_id, CAST(floor(sum(s * k) / sum(k)) AS BIGINT) AS lm_ppm
+           FROM scored GROUP BY doc_id),
+         alldocs AS (SELECT d.doc_id, p.lm_ppm
+           FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+         thr AS (SELECT
+             quantile_cont(CAST(lm_ppm AS DOUBLE), CAST(1 AS DOUBLE)/3) AS t1,
+             quantile_cont(CAST(lm_ppm AS DOUBLE), CAST(2 AS DOUBLE)/3) AS t2
+           FROM alldocs)
+         SELECT doc_id, lm_ppm,
+           CASE WHEN lm_ppm IS NULL THEN 'tail'
+                WHEN lm_ppm >= t2 THEN 'head'
+                WHEN lm_ppm >= t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM alldocs CROSS JOIN thr""",
 
     "pipe_unimax_weights" -> unimaxSql,
 
