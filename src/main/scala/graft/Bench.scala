@@ -50,7 +50,7 @@ object Bench {
     "cdc_scd2", "cdc_snapshot_diff", "sketch_distinct_kmv", "sim_maxsim", "mm_phash",
     "dedup_containment", "dedup_incremental_lsh", "cdc_scd2_apply",
     "sketch_heavy_hitters", "mm_scene_cuts", "q_lateral", "text_chunk_windows",
-    "sim_hybrid_rrf", "q_recursive_cte", "mm_wav_rms", "text_bpe_pair_counts", "pipe_unimax_weights", "pipe_ccnet_buckets"
+    "sim_hybrid_rrf", "q_recursive_cte", "mm_wav_rms", "text_bpe_pair_counts", "pipe_unimax_weights", "pipe_ccnet_buckets", "sim_mips_topk"
   )
 
   private def loadavg: Double =

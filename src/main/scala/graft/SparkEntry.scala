@@ -1348,6 +1348,14 @@ object SparkEntry {
         numTokens = 4, k = 10)
     }),
 
+    "sim_mips_topk" -> ((s, d) => {
+      // max-inner-product retrieval through the norm-augmentation
+      // reduction — MIPS rides the cosine stack (see Similarity.mipsTopK)
+      val emb = t(s, d, "embeddings")
+      Similarity.mipsTopK(emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+    }),
+
     "sim_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: reciprocal-rank fusion (Cormack & Clarke SIGIR
       // '09) of the BM25 text leg and the dense cosine leg — the standard
@@ -3144,6 +3152,20 @@ object SparkEntry {
          SELECT query_id, vec_id,
            round(list_dot_product(cv, qv)
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM c, q WHERE vec_id <> query_id
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    "sim_mips_topk" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM c0),
+         c AS (SELECT vec_id,
+             list_append(v, sqrt(greatest(m2 - list_dot_product(v, v), CAST(0 AS DOUBLE)))) AS va
+           FROM c0 CROSS JOIN m),
+         q AS (SELECT vec_id AS query_id, list_append(v, CAST(0 AS DOUBLE)) AS qa
+           FROM c0 WHERE vec_id < 5)
+         SELECT query_id, vec_id,
+           round(list_dot_product(va, qa)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(qa, qa))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
 

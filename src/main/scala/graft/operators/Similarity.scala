@@ -98,6 +98,31 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("maxsim"))
   }
 
+  /** Maximum-inner-product search via the asymmetric norm-augmentation
+    * reduction (Shrivastava & Li NeurIPS '14; Neyshabur & Srebro ICML '15
+    * simple-LSH form): corpus vectors append sqrt(M² − |x|²) (M = max
+    * corpus norm, ONE scalar aggregate broadcast back), queries append 0 —
+    * then cos(q', x') is monotone in q·x, so EVERY cosine operator in this
+    * file (brute force, hyperplane LSH, IVF, the compressed scans) ranks
+    * by inner product unchanged. That is the point of the reduction: MIPS
+    * (recommendation retrieval, un-normalized embedding search) rides the
+    * cosine infrastructure instead of needing its own index family.
+    * Returns top-k per query by the transformed cosine (ranking ≡ raw
+    * inner product; oracle-gated by reconstructing the same augmented
+    * vectors in SQL). */
+  def mipsTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+               queries: DataFrame, queryId: Column, queryVec: Column, k: Int): DataFrame = {
+    val c0 = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("v"))
+    val m2 = c0.agg(max(dot(col("v"), col("v"))).as("__m2"))
+    val aug = c0.crossJoin(broadcast(m2))
+      .select(col("vec_id"),
+        concat(col("v"),
+          array(sqrt(greatest(col("__m2") - dot(col("v"), col("v")), lit(0.0))))).as("va"))
+    val qa = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+      .select(col("query_id"), concat(col("qv"), array(lit(0.0d))).as("qa"))
+    bruteForceTopK(aug, col("vec_id"), col("va"), qa, col("query_id"), col("qa"), k)
+  }
+
   /** Random-hyperplane signature: sign bits of dot(v, h_i) for planes derived
     * deterministically from xxhash64(seed=i, dim=j) — no stored plane matrix,
     * reproducible across the cluster, no driver state. `planeOffset` selects

@@ -37,6 +37,20 @@ class MaxSimSpec extends SparkTestBase {
     assert(s == Map(1L -> 2.0, 2L -> 1.0, 3L -> 0.0))
   }
 
+  test("mips: norm-augmented ranking follows inner product where cosine disagrees") {
+    // q=(1,0): cosine ranks a=(0.9,0) first (cos 1.0 vs 0.707), but inner
+    // product ranks b=(2,2) first (2.0 vs 0.9) — MIPS must follow dot
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.0f)),
+      (2L, Array(2.0f, 2.0f)),
+      (9L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(vecs, col("vec_id"), col("embedding"),
+        vecs.filter(col("vec_id") === 9), col("vec_id"), col("embedding"), 10)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L))
+  }
+
   test("maxsim: k bounds the shortlist with (score desc, id asc) order") {
     val top = Similarity.maxSimTopK(docs, col("vec_id"), col("embedding"),
         docs.filter(col("vec_id") === 9), col("vec_id"), col("embedding"),
