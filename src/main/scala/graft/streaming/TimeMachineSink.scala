@@ -148,6 +148,57 @@ object TimeMachineSink {
     untouched.unionByName(merged)
   }
 
+  /** Incremental maintenance of a materialized GROUP-BY aggregate view
+    * (count + sum) over the live row state — the classic delta rule of
+    * Gupta & Mumick, "Maintenance of Materialized Views" (IEEE DE Bull.
+    * '95): each touched row retracts its OLD contribution (−1, −old_value)
+    * and asserts its NEW one (+1, +new_value); groups whose count reaches
+    * zero vanish. Handles inserts, updates (including group-key moves —
+    * the retract/assert pair lands in two different groups), and deletes
+    * (assert side filtered out as dead) in one uniform rule.
+    *
+    * 100 TB posture: per batch the work is two bounded joins against the
+    * TOUCHED key set (never the full snapshot scan — `left_semi` against
+    * the batch's keys) plus a final merge whose cardinality is the GROUP
+    * count, not the row count. The stored aggregate is never recomputed
+    * from history.
+    *
+    * @param storedAgg  materialized view: (grp, cnt, sum_value)
+    * @param snapshotCells latest-cells snapshot the view was computed from
+    * @param batchCells new cell batch (strictly after the snapshot's
+    *                   high-water mark)
+    * @param groupCol   row-state column holding the group key
+    * @param valueCol   row-state column holding the summed value (cast to
+    *                   decimal(18,2) — exact, engine-portable addition)
+    */
+  def maintainAggregate(
+      storedAgg: DataFrame,
+      snapshotCells: DataFrame,
+      batchCells: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val batch = batchCells.select("table", "row_key", "column", "value", "cell_ts", "event_id")
+    val touched = batch.select("table", "row_key").distinct()
+    val touchedOld = snapshotCells.join(touched, Seq("table", "row_key"), "left_semi")
+    val oldRows = rowsAsOfCells(touchedOld)
+    val newRows = rowsAsOfCells(touchedOld.unionByName(batch))
+    def contrib(rows: DataFrame, sign: Int): DataFrame = {
+      val v = element_at(col("cols"), valueCol).cast("decimal(18,2)")
+      rows.select(
+        element_at(col("cols"), groupCol).as("grp"),
+        lit(sign.toLong).as("d_cnt"),
+        (if (sign < 0) -v else v).as("d_sum"))
+    }
+    storedAgg
+      .select(col("grp"), col("cnt").as("d_cnt"),
+        col("sum_value").cast("decimal(18,2)").as("d_sum"))
+      .unionByName(contrib(oldRows, -1))
+      .unionByName(contrib(newRows, 1))
+      .groupBy("grp")
+      .agg(sum(col("d_cnt")).as("cnt"), sum(col("d_sum")).as("sum_value"))
+      .filter(col("cnt") > 0)
+  }
+
   /** foreachBatch body of a MAINTAINED SCD2 view: the interval-table twin
     * of [[maintainSnapshot]] — same versioned-dir layout (`v=<batchId>`
     * holds the complete interval table AFTER that batch), same
