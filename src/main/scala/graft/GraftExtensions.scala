@@ -39,6 +39,14 @@ object GraftExtensions {
       s"$fn: $arg must be a STRING literal, got $other")
   }
 
+  private def doubleLit(fn: String, arg: String, e: Expression): Double = e match {
+    case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => d
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(i: Int, IntegerType) => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got $other")
+  }
+
   private def arity(fn: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n argument(s), got ${args.length}")
@@ -110,6 +118,29 @@ object GraftExtensions {
     entry("top_k_by_score", classOf[graft.functions.TopKByScoreAgg]) { args =>
       val Seq(s, i, k) = arity("top_k_by_score", 3)(args)
       graft.functions.TopKByScoreAgg(s, i, intLit("top_k_by_score", "k", k))
+    },
+    entry("kmv_sketch", classOf[graft.functions.KmvSketchAgg]) { args =>
+      val Seq(h, k) = arity("kmv_sketch", 2)(args)
+      graft.functions.KmvSketchAgg(h, intLit("kmv_sketch", "k", k))
+    },
+    entry("kmv_estimate", classOf[graft.functions.KmvEstimateExpr]) { args =>
+      graft.functions.KmvEstimateExpr(arity("kmv_estimate", 1)(args).head)
+    },
+    entry("kmv_union", classOf[graft.functions.KmvUnionExpr]) { args =>
+      val Seq(a, b) = arity("kmv_union", 2)(args)
+      graft.functions.KmvUnionExpr(a, b)
+    },
+    entry("kmv_intersect_est", classOf[graft.functions.KmvIntersectEstExpr]) { args =>
+      val Seq(a, b) = arity("kmv_intersect_est", 2)(args)
+      graft.functions.KmvIntersectEstExpr(a, b)
+    },
+    // variadic: kll_quantiles(value, k, q1[, q2, ...]) -> array<double>
+    entry("kll_quantiles", classOf[graft.functions.KllQuantileAgg]) { args =>
+      if (args.length < 3) throw new IllegalArgumentException(
+        "kll_quantiles expects (value, k, q1[, q2, ...]), got " + args.length)
+      graft.functions.KllQuantileAgg(args.head,
+        intLit("kll_quantiles", "k", args(1)),
+        args.drop(2).map(doubleLit("kll_quantiles", "q", _)))
     }
   )
 

@@ -237,6 +237,33 @@ object SparkEntry {
           col("state_ts"))
     }),
 
+    "cdc_agg_maintain" -> ((s, d) => {
+      // incremental materialized-aggregate maintenance (Gupta & Mumick's
+      // delta rule): a stored per-group (count, sum) view over the live
+      // row state folds a post-cut cell batch via retract/assert deltas —
+      // touching ONLY the batch's keys and merging at GROUP cardinality —
+      // and must equal the aggregate over the full-history latest state
+      // (the oracle computes exactly that). This is the 100 TB "keep the
+      // dashboard fresh" path: per batch, no history re-scan, no
+      // corpus-sized shuffle. The split-at-cut is fixture scaffolding
+      // (production reads the stored view and the stream's batch).
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      val thr = t(s, d, "events").groupBy("user_id")
+        .agg(max(unix_millis(col("ts"))).as("cms"))
+        .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__cut"))
+      val w = cells.crossJoin(broadcast(thr))
+      val snapshot = TimeMachineSink.latestCellsKeyed(w.filter(col("cell_ts") <= col("__cut")))
+      val storedAgg = TimeMachineSink.rowsAsOfCells(snapshot)
+        .select(element_at(col("cols"), "event_type").as("grp"),
+          element_at(col("cols"), "value").cast("decimal(18,2)").as("v"))
+        .groupBy("grp").agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_value"))
+      val batch = w.filter(col("cell_ts") > col("__cut"))
+      TimeMachineSink.maintainAggregate(storedAgg, snapshot, batch, "event_type", "value")
+        .select(col("grp").as("event_type"), col("cnt"), col("sum_value"))
+    }),
+
     "cdc_scd2" -> ((s, d) => {
       // SCD Type-2 dimension build: the versioned cell store rendered as a
       // validity-interval table (one row per version, [valid_from,
@@ -484,6 +511,45 @@ object SparkEntry {
           col("user_id"), m = 8192, k = 10).as("hh"))
         .select(explode(col("hh")).as("h"))
         .select(col("h.value").as("user_id"), col("h.cnt").as("cnt"))),
+
+    "sketch_kmv_setops" -> ((s, d) => {
+      // Sketch-as-column theta set operations (the DataSketches / Theta-
+      // Sketch-Framework architecture, PODS '16): ONE scan builds two
+      // cohort sketches via null-skipping conditional inputs; union and
+      // intersection cardinalities are then scalar folds over the sketch
+      // VALUES — at 100 TB this is the pre-aggregated-sketch-table pattern
+      // (store O(k) bytes per cell, answer any cohort-overlap question
+      // without re-scanning the corpus). Exact below k=16384 distinct per
+      // cohort (the oracle gate); theta estimator above is spec-pinned.
+      import graft.functions.KmvSetOps._
+      t(s, d, "events")
+        .agg(
+          kmvSketch(when(col("event_type") === "click" && col("value") >= 60,
+            xxhash64(col("user_id"))), 16384).as("sa"),
+          kmvSketch(when(col("event_type") === "purchase" && col("value") >= 60,
+            xxhash64(col("user_id"))), 16384).as("sb"))
+        .select(
+          kmvEstimate(col("sa")).as("n_click_users"),
+          kmvEstimate(col("sb")).as("n_purchase_users"),
+          kmvEstimate(kmvUnion(col("sa"), col("sb"))).as("n_union"),
+          kmvIntersectEst(col("sa"), col("sb")).as("n_intersect"))
+    }),
+
+    "sketch_quantiles" -> ((s, d) =>
+      // KLL quantile ladder (Karnin FOCS '16) as a native mergeable
+      // aggregate: O(k) doubles per group per map task, never the value
+      // stream. EXACT below the level-0 capacity (the oracle gate: == the
+      // SQL ceil(q*n) order statistic at this fixture's ~2k rows/group);
+      // the compaction path and its rank-error bound are pinned by
+      // KllSketchSpec, and at sf0.1 (~20k rows/group) the bench exercises
+      // the real compacting regime.
+      t(s, d, "events").groupBy("event_type")
+        .agg(graft.functions.KllQuantileAgg.kllQuantiles(
+            col("value"), 4096, Seq(0.5, 0.9, 0.99)).as("qs"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"),
+          col("qs")(0).as("p50"), col("qs")(1).as("p90"),
+          col("qs")(2).as("p99"), col("n_events"))),
 
     "sketch_distinct_kmv" -> ((s, d) =>
       // KMV theta sketch as a native TypedImperativeAggregate: O(k)
@@ -1970,6 +2036,43 @@ object SparkEntry {
     // fixture's cardinality the sketch IS count(distinct); the estimator
     // path above k is spec-gated (KmvSketchSpec) since no SQL oracle can
     // reproduce a sketch estimate
+    // KMV sketches are exact below k=16384 distinct per cohort — at this
+    // fixture's cardinality the union/intersection estimates ARE the exact
+    // set-operation cardinalities; the theta estimator above k is
+    // spec-gated (KmvSetOpsSpec)
+    "sketch_kmv_setops" ->
+      """SELECT
+           count(DISTINCT CASE WHEN event_type = 'click' AND value >= 60
+             THEN user_id END) AS n_click_users,
+           count(DISTINCT CASE WHEN event_type = 'purchase' AND value >= 60
+             THEN user_id END) AS n_purchase_users,
+           count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+             AND value >= 60 THEN user_id END) AS n_union,
+           CAST(count(DISTINCT CASE WHEN event_type = 'click' AND value >= 60
+               THEN user_id END)
+             + count(DISTINCT CASE WHEN event_type = 'purchase' AND value >= 60
+               THEN user_id END)
+             - count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+               AND value >= 60 THEN user_id END) AS BIGINT) AS n_intersect
+         FROM events""",
+
+    // KLL is exact below its level-0 capacity (4096) — at this fixture's
+    // ~2k rows per event_type the sketch's answer IS the discrete
+    // ceil(q*n)-rank order statistic; the compaction regime above capacity
+    // is spec-gated (KllSketchSpec) since no SQL oracle can reproduce a
+    // sketch estimate
+    "sketch_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+           max(CASE WHEN rn = CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(greatest(1, ceil(0.9 * n)) AS BIGINT) THEN value END) AS p90,
+           max(CASE WHEN rn = CAST(greatest(1, ceil(0.99 * n)) AS BIGINT) THEN value END) AS p99,
+           max(n) AS n_events
+         FROM r GROUP BY event_type""",
+
     "sketch_distinct_kmv" ->
       """SELECT event_type, count(DISTINCT user_id) AS approx_users,
            count(*) AS n_events
@@ -2183,6 +2286,19 @@ object SparkEntry {
 
     // the incremental-apply path must reproduce the FULL-history latest
     // state exactly — so the oracle is simply latest-state over all cells
+    // the maintained aggregate must equal the full recompute over the
+    // latest live state; in this cell synthesis the latest version per
+    // row_key is the row with the greatest event_id (cell_ts is monotone
+    // in per-user event order, event_id breaks the capped ties)
+    "cdc_agg_maintain" ->
+      """WITH latest AS (
+           SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events)
+         SELECT event_type, count(*) AS cnt,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM latest WHERE rn = 1 GROUP BY event_type""",
+
     "cdc_snapshot_apply" ->
       """WITH e AS (
            SELECT user_id, event_id, value, event_type,

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{KllBuf, KllQuantileAgg}
+
+/** KLL quantile ladder ([[graft.functions.KllQuantileAgg]]): exactness
+  * below level-0 capacity, bounded rank error in the compacting regime,
+  * merge ≡ single-pass in the exact regime, the distributed path against
+  * an exact SQL order statistic, and the SQL registration. */
+class KllSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rankOf(sorted: Array[Double], v: Double): Int = {
+    // number of elements <= v (rank of the returned quantile value)
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  test("exact below capacity: quantiles are the ceil(q*n) order statistics") {
+    val b = new KllBuf(1024)
+    val vals = (1 to 1000).map(i => (i * 37 % 1000).toDouble)
+    vals.foreach(b.insert)
+    val sorted = vals.sorted.toArray
+    val qs = Array(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = b.quantiles(qs)
+    qs.zip(got).foreach { case (q, v) =>
+      val target = math.max(1, math.ceil(q * 1000).toInt)
+      assert(v == sorted(target - 1), s"q=$q got $v want ${sorted(target - 1)}")
+    }
+  }
+
+  test("duplicates and unsorted inserts preserve exactness") {
+    val b = new KllBuf(512)
+    val vals = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 5.0, 4.0)
+    vals.foreach(b.insert)
+    // n=7: p50 -> rank ceil(3.5)=4 -> sorted(3)=3.0; p100 -> 5.0
+    assert(b.quantiles(Array(0.5))(0) == 3.0)
+    assert(b.quantiles(Array(1.0))(0) == 5.0)
+  }
+
+  test("compacting regime: rank error under 2% of n for 100k values at k=1024") {
+    val k = 1024
+    val b = new KllBuf(k)
+    val n = 100000
+    // deterministic well-mixed permutation of 0..n-1
+    val vals = (0 until n).map(i => ((i.toLong * 48271L) % n.toLong).toDouble)
+    vals.foreach(b.insert)
+    val sorted = vals.sorted.toArray
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val got = b.quantiles(Array(q))(0)
+      val trueRank = math.max(1, math.ceil(q * n).toInt)
+      val gotRank = rankOf(sorted, got)
+      val err = math.abs(gotRank - trueRank).toDouble / n
+      assert(err < 0.02, s"q=$q rank err $err (got $gotRank want ~$trueRank)")
+    }
+  }
+
+  test("merge of split streams is exact while total stays below capacity") {
+    val b1 = new KllBuf(2048)
+    val b2 = new KllBuf(2048)
+    val all = (1 to 1500).map(i => (i * 101 % 1500).toDouble)
+    val (l, r) = all.splitAt(700)
+    l.foreach(b1.insert)
+    r.foreach(b2.insert)
+    b1.mergeFrom(b2)
+    val sorted = all.sorted.toArray
+    for (q <- Seq(0.5, 0.9)) {
+      val target = math.max(1, math.ceil(q * all.size).toInt)
+      assert(b1.quantiles(Array(q))(0) == sorted(target - 1))
+    }
+  }
+
+  test("merged compacting sketches stay within the rank bound") {
+    val k = 1024
+    val parts = (0 until 4).map { p =>
+      val b = new KllBuf(k)
+      (0 until 50000).foreach { i =>
+        b.insert((((p * 50000 + i).toLong * 48271L) % 200000L).toDouble)
+      }
+      b
+    }
+    val merged = parts.head
+    parts.tail.foreach(merged.mergeFrom)
+    assert(merged.n == 200000L)
+    val sorted = (0 until 200000).map(i =>
+      ((i.toLong * 48271L) % 200000L).toDouble).sorted.toArray
+    for (q <- Seq(0.5, 0.99)) {
+      val got = merged.quantiles(Array(q))(0)
+      val trueRank = math.max(1, math.ceil(q * 200000).toInt)
+      val err = math.abs(rankOf(sorted, got) - trueRank).toDouble / 200000
+      assert(err < 0.03, s"q=$q rank err $err")
+    }
+  }
+
+  test("serialize round-trip preserves the ladder") {
+    val b = new KllBuf(256)
+    (0 until 5000).foreach(i => b.insert(((i * 7919) % 5000).toDouble))
+    val back = KllBuf.deserialize(b.serialize())
+    assert(back.n == b.n)
+    assert(back.quantiles(Array(0.3, 0.7)).toSeq ==
+      b.quantiles(Array(0.3, 0.7)).toSeq)
+  }
+
+  test("distributed aggregate matches the exact order statistic per group") {
+    val df = (1 to 3000).map { i =>
+      (if (i % 3 == 0) "a" else "b", ((i * 37) % 997).toDouble)
+    }.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g")
+      .agg(KllQuantileAgg.kllQuantiles(col("v"), 4096, Seq(0.5, 0.9)).as("qs"))
+      .select(col("g"), col("qs")(0).as("p50"), col("qs")(1).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = df.collect().groupBy(_.getString(0)).map { case (g, rows) =>
+      val sorted = rows.map(_.getDouble(1)).sorted
+      def at(q: Double) = sorted(math.max(1, math.ceil(q * sorted.length).toInt) - 1)
+      g -> (at(0.5), at(0.9))
+    }
+    assert(got == want)
+  }
+
+  test("SQL surface: kll_quantiles is registered and variadic") {
+    GraftExtensions.install(spark)
+    (1 to 100).map(i => i.toDouble).toDF("v").createOrReplaceTempView("kll_t")
+    val r = spark.sql(
+      "SELECT kll_quantiles(v, 256, 0.5, 1.0) AS qs FROM kll_t").collect()(0)
+    assert(r.getSeq[Double](0) == Seq(50.0, 100.0))
+  }
+
+  test("nulls are ignored, empty input yields NaN") {
+    val r = Seq[(String, Option[Double])]("a" -> None, "a" -> Some(2.0))
+      .toDF("g", "v").groupBy("g")
+      .agg(KllQuantileAgg.kllQuantiles(col("v"), 64, Seq(0.5)).as("qs"))
+      .select(col("qs")(0)).collect()(0).getDouble(0)
+    assert(r == 2.0)
+    val empty = Seq[(String, Option[Double])]("a" -> None).toDF("g", "v")
+      .groupBy("g")
+      .agg(KllQuantileAgg.kllQuantiles(col("v"), 64, Seq(0.5)).as("qs"))
+      .select(col("qs")(0)).collect()(0).getDouble(0)
+    assert(empty.isNaN)
+  }
+}

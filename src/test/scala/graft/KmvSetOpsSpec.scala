@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{KmvBuf, KmvSetOps, KmvWire}
+
+/** Sketch-as-column theta set operations ([[graft.functions.KmvSetOps]]):
+  * exactness below k, theta-rule accuracy above, wire round-trip, and the
+  * SQL surface. */
+class KmvSetOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hash(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def buf(k: Int, xs: Range): KmvBuf = {
+    val b = new KmvBuf(k)
+    xs.foreach(i => b.insert(hash(i.toLong)))
+    b
+  }
+
+  test("exact regime: union and intersection are the true cardinalities") {
+    val a = buf(4096, 0 until 1000)      // {0..999}
+    val b = buf(4096, 500 until 1800)    // {500..1799}
+    assert(KmvWire.intersectEstimate(a, b) == 500L)
+    val u = KmvWire.read(KmvWire.write(a))
+    u.mergeFrom(b)
+    assert(u.estimate() == 1800L)
+  }
+
+  test("disjoint and empty operands") {
+    val a = buf(1024, 0 until 100)
+    val b = buf(1024, 1000 until 1100)
+    assert(KmvWire.intersectEstimate(a, b) == 0L)
+    val e = new KmvBuf(1024)
+    assert(KmvWire.intersectEstimate(a, e) == 0L)
+    assert(KmvWire.intersectEstimate(e, e) == 0L)
+  }
+
+  test("theta regime: intersection estimate within 10% for 50% overlap at k=4096") {
+    val n = 100000
+    val a = buf(4096, 0 until n)
+    val b = buf(4096, n / 2 until n + n / 2)
+    val est = KmvWire.intersectEstimate(a, b).toDouble
+    val truth = (n / 2).toDouble
+    assert(math.abs(est - truth) / truth < 0.10,
+      s"intersect est $est vs $truth")
+  }
+
+  test("wire round-trip preserves k and survivors") {
+    val a = buf(256, 0 until 5000) // saturated
+    val back = KmvWire.read(KmvWire.write(a))
+    assert(back.k == 256 && back.set.equals(a.set))
+  }
+
+  test("distributed: cohort sketches via conditional input match exact sets") {
+    import KmvSetOps._
+    val df = (1 to 2000).map { i =>
+      (i % 700, if (i % 3 == 0) "x" else "y")
+    }.toDF("uid", "tag").repartition(8)
+    val r = df.agg(
+        kmvSketch(when(col("tag") === "x", xxhash64(col("uid"))), 8192).as("sa"),
+        kmvSketch(when(col("tag") === "y", xxhash64(col("uid"))), 8192).as("sb"))
+      .select(
+        kmvEstimate(col("sa")).as("na"),
+        kmvEstimate(col("sb")).as("nb"),
+        kmvEstimate(kmvUnion(col("sa"), col("sb"))).as("nu"),
+        kmvIntersectEst(col("sa"), col("sb")).as("ni"))
+      .collect()(0)
+    val xs = (1 to 2000).filter(_ % 3 == 0).map(_ % 700).toSet
+    val ys = (1 to 2000).filterNot(_ % 3 == 0).map(_ % 700).toSet
+    assert(r.getLong(0) == xs.size.toLong)
+    assert(r.getLong(1) == ys.size.toLong)
+    assert(r.getLong(2) == (xs ++ ys).size.toLong)
+    assert(r.getLong(3) == xs.intersect(ys).size.toLong)
+  }
+
+  test("SQL surface: kmv_sketch / kmv_union / kmv_intersect_est registered") {
+    GraftExtensions.install(spark)
+    (1 to 300).map(i => (i, i % 2)).toDF("v", "par")
+      .createOrReplaceTempView("kmv_so_t")
+    val r = spark.sql(
+      """SELECT
+           kmv_estimate(kmv_union(sa, sb)) AS nu,
+           kmv_intersect_est(sa, sb) AS ni
+         FROM (SELECT
+           kmv_sketch(CASE WHEN par = 0 THEN xxhash64(v) END, 1024) AS sa,
+           kmv_sketch(CASE WHEN par = 1 THEN xxhash64(v) END, 1024) AS sb
+         FROM kmv_so_t)""").collect()(0)
+    assert(r.getLong(0) == 300L && r.getLong(1) == 0L)
+  }
+}
