@@ -237,6 +237,29 @@ object SparkEntry {
           col("state_ts"))
     }),
 
+    "cdc_consistency_check" -> ((s, d) => {
+      // ValidationService as a batch operator (reference: the replicator's
+      // validation task samples source rows and compares them against the
+      // replicated store): latest state from the FULL op history (source
+      // truth) vs latest state at a stale cut (the lagging sink), aligned
+      // by ONE 1:1 full-outer join, per-key verdict MATCH/DIFF/MISSING/
+      // EXTRA. DIFF keys here are exactly the keys with post-cut activity;
+      // MISSING/EXTRA (no such keys in this fixture) are spec-pinned in
+      // CdcOpsSpec.
+      val ev = t(s, d, "events")
+      val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(expr("mn + (mx - mn) * 7 div 8").as("__cut"))
+      val source = Cdc.latestStateAgg(ev, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value"))
+      val stale = ev.crossJoin(broadcast(cut))
+        .filter(unix_millis(col("ts")) <= col("__cut"))
+      val sink = Cdc.latestStateAgg(stale, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value"))
+      Cdc.consistencyCheck(source, sink, "key", Seq("event_type", "value"))
+        .select(col("key").as("user_id"), col("status"))
+    }),
+
     "cdc_agg_maintain" -> ((s, d) => {
       // incremental materialized-aggregate maintenance (Gupta & Mumick's
       // delta rule): a stored per-group (count, sum) view over the live
@@ -934,6 +957,21 @@ object SparkEntry {
           Seq("purchase_event_id" -> col("event_id"), "purchase_value" -> col("value")))
         .select("event_id", "user_id", "purchase_event_id", "purchase_value")
     }),
+
+    "q_bloom_join" -> ((s, d) =>
+      // bloom-pruned fact⋈dim join: the dim's key Bloom filter (built
+      // distributed, ~1.2 MB at fpp 0.01 for 1M keys) rides the plan as a
+      // codegen'd literal and drops non-matching fact rows BEFORE the
+      // join's exchange — output bit-identical to the plain join (the
+      // oracle), shuffle shrunk by the dim's selectivity. The explicit
+      // form of Spark's runtime row-level filtering, for when the dim is
+      // too big to broadcast but its bloom is not.
+      graft.operators.Sketches.bloomPrunedJoin(
+          t(s, d, "orders"),
+          t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          "o_custkey", "c_custkey", expectedKeys = 100000L)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("o_totalprice"))),
 
     "q_range_join" -> ((s, d) => {
       // range join: lineitems shipped inside each order's first week —
@@ -2286,6 +2324,28 @@ object SparkEntry {
 
     // the incremental-apply path must reproduce the FULL-history latest
     // state exactly — so the oracle is simply latest-state over all cells
+    "cdc_consistency_check" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 7 // 8 AS cut
+           FROM events),
+         src AS (SELECT user_id, event_type, value FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         snk AS (SELECT user_id, event_type, value FROM events, b
+           WHERE epoch_ms(ts) <= cut
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+         SELECT coalesce(src.user_id, snk.user_id) AS user_id,
+           CASE WHEN snk.user_id IS NULL THEN 'MISSING'
+                WHEN src.user_id IS NULL THEN 'EXTRA'
+                WHEN src.event_type IS DISTINCT FROM snk.event_type
+                  OR src.value IS DISTINCT FROM snk.value THEN 'DIFF'
+                ELSE 'MATCH' END AS status
+         FROM src FULL OUTER JOIN snk ON src.user_id = snk.user_id""",
+
+    // bloom pruning never changes the answer — the oracle is the plain join
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'""",
+
     // the maintained aggregate must equal the full recompute over the
     // latest live state; in this cell synthesis the latest version per
     // row_key is the row with the greatest event_id (cell_ts is monotone

@@ -118,6 +118,39 @@ object Cdc {
       .select(col("key") +: payload.map(p => col(s"latest.$p").as(p)): _*)
   }
 
+  /** Source↔sink consistency audit — the batch formulation of the
+    * reference's ValidationService (mysql-replicator's validation task
+    * compares source rows against the replicated store and reports
+    * discrepancies). Full-outer key alignment of two latest-state tables
+    * with a per-key verdict:
+    *   - MISSING: key present at the source, absent at the sink
+    *   - EXTRA:   key present at the sink only (e.g. a missed delete)
+    *   - DIFF:    key present in both, any compared column differs
+    *   - MATCH:   key present in both, all compared columns equal
+    *
+    * 100 TB posture: ONE shuffle on the key for the full-outer join (both
+    * sides are already key-unique latest-state tables, so the join is
+    * 1:1); null-safe comparison (`<=>`) keeps NULL columns from reading as
+    * DIFF. Run it on a hash-sampled key range (the reference samples
+    * 1-in-N the same way) by pre-filtering both inputs with the same
+    * deterministic predicate. */
+  def consistencyCheck(source: DataFrame, sink: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    val s = source.select((key +: cols).map(col): _*)
+      .withColumnRenamed(key, "__sk")
+    val k = sink.select((key +: cols).map(col): _*)
+      .toDF(("__kk" +: cols.map(c => s"__k_$c")): _*)
+    val diff = cols.map(c => !(col(c) <=> col(s"__k_$c")))
+      .reduce(_ || _)
+    s.join(k, col("__sk") === col("__kk"), "full_outer")
+      .select(
+        coalesce(col("__sk"), col("__kk")).as(key),
+        when(col("__kk").isNull, "MISSING")
+          .when(col("__sk").isNull, "EXTRA")
+          .when(diff, "DIFF")
+          .otherwise("MATCH").as("status"))
+  }
+
   /** Sessionization: split each key's event sequence at inactivity gaps —
     * session id = running count of gap-boundary flags. One shuffle on the
     * key; the batch analog of streaming session windows

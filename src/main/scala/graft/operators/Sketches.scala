@@ -60,6 +60,33 @@ object Sketches {
     * which is what makes this form oracle-checkable while [[filterKnown]]
     * stays approximate. At 100 TB the gate turns a corpus-sized shuffle
     * into a batch-sized scan plus a sliver-sized join. */
+  /** Bloom-pruned equi-join: probe-side rows that cannot match any build-
+    * side key are dropped BEFORE the join's shuffle. Output is BIT-
+    * IDENTICAL to the plain inner join for any Bloom filter — false
+    * positives only survive the pre-filter, the join itself still decides
+    * membership — which is what makes the operator oracle-checkable.
+    *
+    * When it matters at 100 TB: the dim side is too big to broadcast (so
+    * Spark picks a shuffle join and the FULL fact table pays the
+    * exchange), but its key Bloom filter is a few MB and rides the plan as
+    * a literal into whole-stage codegen ([[graft.functions.BloomMightContainExpr]]).
+    * With a selective dim the fact shuffle shrinks by the join's
+    * selectivity — the same idea as Spark's own runtime row-level
+    * filtering, made explicit and available on any plan shape. Keys are
+    * probed as strings so integral and string keys share one code path. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val bloom = dim.select(col(dimKey).cast("string").as("__bk"))
+      .stat.bloomFilter("__bk", expectedKeys, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    val mightContain = GraftBridge.toCol(graft.functions.BloomMightContainExpr(
+      GraftBridge.toExpr(col(factKey).cast("string")), out.toByteArray))
+    fact.filter(col(factKey).isNotNull && mightContain)
+      .join(dim, col(factKey) === dim(dimKey))
+  }
+
   def novelDocs(newDocs: DataFrame, corpus: DataFrame, fpColName: String,
                 bloom: BloomFilter): DataFrame = {
     import org.apache.spark.sql.GraftBridge

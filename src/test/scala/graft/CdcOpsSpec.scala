@@ -86,4 +86,52 @@ class CdcOpsSpec extends SparkTestBase {
     val replayed = df.unionAll(df)
     assert(Cdc.replayDedup(replayed, Seq("id")).count() == 2)
   }
+
+  test("consistencyCheck classifies MATCH / DIFF / MISSING / EXTRA") {
+    val source = Seq((1L, "a", Some(10.0)), (2L, "b", Some(5.0)),
+      (3L, "c", Some(1.0)), (5L, "e", None))
+      .toDF("key", "tpe", "v")
+    val sink = Seq((1L, "a", Some(10.0)), (2L, "b", Some(6.0)),
+      (4L, "d", Some(9.0)), (5L, "e", None))
+      .toDF("key", "tpe", "v")
+    val out = Cdc.consistencyCheck(source, sink, "key", Seq("tpe", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "MATCH", // identical
+      2L -> "DIFF", // value drifted
+      3L -> "MISSING", // sink never got it
+      4L -> "EXTRA", // sink kept a row the source dropped (missed delete)
+      5L -> "MATCH")) // NULL == NULL under null-safe compare, not DIFF
+  }
+
+  test("consistencyCheck null-vs-value is DIFF, not MATCH") {
+    val source = Seq((1L, Some("x"))).toDF("key", "v")
+    val sink = Seq((1L, Option.empty[String])).toDF("key", "v")
+    val out = Cdc.consistencyCheck(source, sink, "key", Seq("v"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "DIFF"))
+  }
+
+  test("bloomPrunedJoin is bit-identical to the plain inner join") {
+    val fact = (1 to 2000).map(i => (i.toLong, i % 500)).toDF("fid", "fk")
+    val dim = (0 until 500).filter(_ % 7 == 0).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = graft.operators.Sketches
+      .bloomPrunedJoin(fact, dim, "fk", "dk", expectedKeys = 1000L)
+      .select("fid", "fk", "dk", "name")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fid", "fk", "dk", "name")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloomPrunedJoin drops null and non-member fact keys before the join") {
+    val fact = Seq((1L, Option(3)), (2L, Option(999)), (3L, Option.empty[Int]))
+      .toDF("fid", "fk")
+    val dim = Seq((3, "d3")).toDF("dk", "name")
+    val got = graft.operators.Sketches
+      .bloomPrunedJoin(fact, dim, "fk", "dk", expectedKeys = 16L)
+      .select("fid").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
 }
