@@ -431,6 +431,16 @@ object SparkEntry {
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
 
+    "pipe_curriculum" -> ((s, d) =>
+      // curriculum staging: exact NTILE(4) easiest->hardest by doc length,
+      // md5 tie-shuffle — computed with the pinned-RDD rank (shardAssign's
+      // machinery), NOT a single-partition ntile window, so the assignment
+      // holds at corpus scale. The oracle IS the ntile window (DuckDB can
+      // afford it at sf0.01).
+      graft.operators.Sampling.curriculumStages(
+          t(s, d, "documents"), col("doc_id"), length(col("text")), 4)
+        .select(col("doc_id"), col("stage"))),
+
     "sample_mixture" -> ((s, d) =>
       // data-mixture epochs per source (LLaMA-recipe upsampling): src0 seen
       // twice, src1 1.5x, src2 0.5x, src3 0.25x, everything else dropped
@@ -1951,6 +1961,12 @@ object SparkEntry {
            CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train'
                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
                 ELSE 'test' END AS split
+         FROM documents""",
+
+    "pipe_curriculum" ->
+      """SELECT doc_id,
+           ntile(4) OVER (ORDER BY length(text),
+             md5(CAST(doc_id AS VARCHAR)), doc_id) AS stage
          FROM documents""",
 
     "sample_quota" ->

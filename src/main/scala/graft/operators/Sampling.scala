@@ -261,6 +261,68 @@ object Sampling {
     df.join(mapping, idCol === col("__sa_id")).drop("__sa_id")
   }
 
+  /** Curriculum staging (Bengio et al., "Curriculum Learning", ICML '09):
+    * stage = exact NTILE(k) of the corpus ordered easiest→hardest by
+    * `diffCol`, ties broken by a deterministic md5 shuffle (equal-
+    * difficulty docs spread uniformly across a stage boundary instead of
+    * clumping by id) then id. Training then consumes stages in order,
+    * reading each stage in (md5, id) order — the standard
+    * sort-then-shuffle-within-stage curriculum layout.
+    *
+    * Exactness without a global window: the same pinned-RDD rank as
+    * [[shardAssign]] — a narrow (id, diff, h) projection is range-
+    * partitioned on the sort key ONCE (instance-pinned so offsets and
+    * ranks see identical boundaries), per-partition counts give exclusive
+    * prefix offsets (O(#partitions) driver array), and the global rank is
+    * offset + partition-local position. The NTILE split (first n%k stages
+    * take one extra row) is then pure arithmetic on the rank — no
+    * single-partition WindowExec anywhere, which is what makes the
+    * operator hold at 100 TB where `ntile() OVER (ORDER BY ...)` cannot.
+    */
+  def curriculumStages(df: DataFrame, idCol: Column, diffCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.GraftBridge
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions.max(1)
+    val narrow = df.select(idCol.as("__cu_id"), diffCol.as("__cu_d"),
+        md5(idCol.cast("string")).as("__cu_h"))
+      .repartitionByRange(parts, col("__cu_d").asc, col("__cu_h").asc,
+        col("__cu_id").asc)
+    val schema = narrow.schema
+    val rdd = narrow.queryExecution.toRdd
+    val nParts = rdd.getNumPartitions
+    val counts = new Array[Long](nParts)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator((pid, n))
+      }.collect().foreach { case (pid, n) => counts(pid) = n }
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    var p = 0
+    while (p < nParts) { offsets(p) = acc; acc += counts(p); p += 1 }
+    val n = acc
+    val base = n / k
+    val rem = n % k
+    val localIdx = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val pidCol = shiftright(col("__mid"), 33).cast("int")
+    val rank = (element_at(lit(offsets), pidCol + 1) + localIdx + 1L).as("__rank")
+    val mapping = GraftBridge.internalDf(df.sparkSession, rdd, schema)
+      .sortWithinPartitions(col("__cu_d").asc, col("__cu_h").asc, col("__cu_id").asc)
+      .withColumn("__mid", monotonically_increasing_id())
+      .select(col("__cu_id"), rank)
+    // NTILE(k) over n rows: the first rem tiles hold base+1 rows. base=0
+    // (n < k) degenerates to stage = rank, which the first branch covers
+    // since (base+1)*rem = n.
+    val stage =
+      when(col("__rank") <= lit((base + 1L) * rem),
+        expr(s"CAST((__rank - 1) DIV ${base + 1L} AS INT) + 1"))
+        .otherwise(
+          expr(s"CAST($rem + (__rank - 1 - ${(base + 1L) * rem}) DIV " +
+            s"${math.max(base, 1L)} AS INT) + 1"))
+    df.join(mapping, idCol === col("__cu_id"))
+      .withColumn("stage", stage)
+      .drop("__cu_id", "__rank")
+  }
+
   /** Token-budget sequence packing: within each shard (ordered by id), the
     * running token total assigns each document to bin
     * floor((cumsum − n_tokens) / budget) — the cumulative-chunking form of

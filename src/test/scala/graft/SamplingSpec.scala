@@ -224,4 +224,26 @@ class SamplingSpec extends SparkTestBase {
     }.min
     assert(minDist > 1e-4, f"ln-floor margin too thin: $minDist%.3e")
   }
+
+  test("curriculumStages ≡ the ntile window, including heavy ties") {
+    val df = (1 to 1037).map(i => (i.toLong, (i * 31 % 50).toDouble))
+      .toDF("id", "diff").repartition(8)
+    for (k <- Seq(4, 7)) {
+      val got = Sampling.curriculumStages(df, col("id"), col("diff"), k)
+        .select("id", "stage").as[(Long, Int)].collect().toMap
+      val want = df
+        .withColumn("stage", ntile(k).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("diff"), md5(col("id").cast("string")), col("id"))))
+        .select("id", "stage").as[(Long, Int)].collect().toMap
+      assert(got == want, s"k=$k mismatch")
+    }
+  }
+
+  test("curriculumStages degenerate n < k: stage = rank") {
+    val df = Seq((1L, 5.0), (2L, 1.0), (3L, 3.0)).toDF("id", "diff")
+    val got = Sampling.curriculumStages(df, col("id"), col("diff"), 10)
+      .select("id", "stage").as[(Long, Int)].collect().toMap
+    assert(got == Map(2L -> 1, 3L -> 2, 1L -> 3))
+  }
 }
