@@ -1163,6 +1163,17 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) =>
       operators.Text.lmBigramScore(t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    "text_lm_backoff" -> ((s, d) => {
+      // trigram stupid backoff scored against a HELD-OUT model (even
+      // doc_ids train, everything scores) so unseen trigrams genuinely
+      // fall through to the bigram/unigram tiers — the CCNet-style
+      // reference-model posture. Integer per-million scores keep the
+      // arithmetic engine-exact.
+      val docs = t(s, d, "documents")
+      operators.Text.lmBackoffScore(docs,
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"))
+    }),
+
     "text_gopher_filter" -> ((s, d) =>
       // the published MassiveText document gate (Rae et al. 2021 A1.1) with
       // per-rule metrics — scan-local, every ratio an exact ppm integer.
@@ -3120,6 +3131,52 @@ object SparkEntry {
                   * 1000000.0 / sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)) AS BIGINT) END AS recall_ppm
          FROM a LEFT JOIN d ON a.vec_id = d.vec_id LEFT JOIN tr ON a.vec_id = tr.vec_id
          GROUP BY a.centroid_id""",
+
+    "text_lm_backoff" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         tri AS (
+           SELECT doc_id, t[CAST(u.i AS INT)] AS w1, t[CAST(u.i AS INT) + 1] AS w2,
+             t[CAST(u.i AS INT) + 2] AS w3
+           FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+         doc_tri AS (
+           SELECT doc_id, w1, w2, w3, count(*) AS k FROM tri GROUP BY 1, 2, 3, 4),
+         mtoks AS (SELECT t FROM toks WHERE doc_id % 2 = 0),
+         mtri AS (
+           SELECT t[CAST(u.i AS INT)] AS w1, t[CAST(u.i AS INT) + 1] AS w2,
+             t[CAST(u.i AS INT) + 2] AS w3, count(*) AS c3
+           FROM mtoks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+           GROUP BY 1, 2, 3),
+         mbi AS (
+           SELECT t[CAST(u.i AS INT)] AS w1, t[CAST(u.i AS INT) + 1] AS w2, count(*) AS c2
+           FROM mtoks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+           GROUP BY 1, 2),
+         mun AS (
+           SELECT t[CAST(u.i AS INT)] AS w, count(*) AS c1
+           FROM mtoks, unnest(generate_series(1, len(t))) AS u(i)
+           GROUP BY 1),
+         n AS (SELECT sum(c1) AS n FROM mun),
+         scored AS (
+           SELECT doc_id, k,
+             CASE WHEN mtri.c3 IS NOT NULL
+                    THEN floor(mtri.c3 * 1000000.0 / ctx.c2)
+                  WHEN bok.c2 IS NOT NULL
+                    THEN floor(bok.c2 * 400000.0 / u2.c1)
+                  ELSE floor(coalesce(u3.c1, 0) * 160000.0 / n.n) END AS s
+           FROM doc_tri
+           LEFT JOIN mtri USING (w1, w2, w3)
+           LEFT JOIN mbi ctx ON doc_tri.w1 = ctx.w1 AND doc_tri.w2 = ctx.w2
+           LEFT JOIN mbi bok ON doc_tri.w2 = bok.w1 AND doc_tri.w3 = bok.w2
+           LEFT JOIN mun u2 ON doc_tri.w2 = u2.w
+           LEFT JOIN mun u3 ON doc_tri.w3 = u3.w
+           CROSS JOIN n),
+         per_doc AS (
+           SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+             CAST(floor(sum(s * k) / sum(k)) AS BIGINT) AS bk_ppm
+           FROM scored GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(p.n_trigrams, 0) AS n_trigrams, p.bk_ppm
+         FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
 
     "text_lm_score" ->
       """WITH toks AS (

@@ -387,4 +387,76 @@ object Text {
     df.select(idCol.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
   }
+
+  /** Trigram stupid-backoff LM scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP '07): per trigram,
+    *   tier 1  c3(w1w2w3)/c2(w1w2)            if the trigram is in-model
+    *   tier 2  0.4 · c2(w2w3)/c1(w2)          else if the bigram is
+    *   tier 3  0.4² · c1(w3)/N                otherwise (0 if w3 unseen)
+    * against a model corpus that is DISTINCT from the scored stream — the
+    * held-out posture (CCNet-style reference-model scoring) that actually
+    * exercises the backoff tiers; a same-corpus model degenerates to
+    * tier 1 everywhere. Scores are floor(ratio · 10⁶)-integer per-million
+    * values (0.4 → 400 000, 0.4² → 160 000), exact across engines.
+    *
+    * Scale posture, mirroring [[lmBigramScore]]'s policy: NOTHING
+    * corpus-sized persists. The n-gram model tables are model-vocabulary-
+    * bounded; the two unigram legs and N broadcast (the scored stream
+    * never shuffles on a bare Zipf-skewed token key); the trigram/bigram
+    * legs shuffle on well-distributed composite keys. */
+  def lmBackoffScore(scoreDf: DataFrame, modelDf: DataFrame, idCol: Column,
+      textCol: Column): DataFrame = {
+    def toks(d: DataFrame) =
+      d.select(idCol.as("doc_id"), split(normalized(textCol), " ").as("t"))
+    def triOf(d: DataFrame) = {
+      val len = greatest(size(col("t")) - 2, lit(0))
+      d.select(col("doc_id"), explode(arrays_zip(
+          slice(col("t"), lit(1), len).as("w1"),
+          slice(col("t"), lit(2), len).as("w2"),
+          slice(col("t"), lit(3), len).as("w3"))).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+          col("g.w3").as("w3"))
+    }
+    val docTri = triOf(toks(scoreDf))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("k"))
+    val mt = toks(modelDf)
+    val mUni = mt.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val mBi = mt.select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("b"))).as("g"))
+      .select(col("g.a").as("w1"), col("g.b").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val mTri = triOf(mt.withColumn("doc_id", lit(0L)))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val nTot = mUni.agg(sum(col("c1")).as("n"))
+    val ctx = mBi.select(col("w1"), col("w2"), col("c2").as("ctx_c2"))
+    val bok = mBi.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("c2").as("bok_c2"))
+    val u2 = mUni.select(col("w").as("w2"), col("c1").as("u2_c1"))
+    val u3 = mUni.select(col("w").as("w3"), col("c1").as("u3_c1"))
+    val scored = docTri
+      .join(mTri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(bok, Seq("w2", "w3"), "left")
+      .join(broadcast(u2), Seq("w2"), "left")
+      .join(broadcast(u3), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("s",
+        when(col("c3").isNotNull,
+          floor(col("c3").cast("double") * lit(1000000.0d)
+            / col("ctx_c2").cast("double")))
+          .when(col("bok_c2").isNotNull,
+            floor(col("bok_c2").cast("double") * lit(400000.0d)
+              / col("u2_c1").cast("double")))
+          .otherwise(floor(coalesce(col("u3_c1"), lit(0L)).cast("double")
+            * lit(160000.0d) / col("n").cast("double"))))
+    val perDoc = scored.groupBy("doc_id").agg(
+      sum(col("k")).as("n_trigrams"),
+      floor(sum(col("s") * col("k")).cast("double")
+        / sum(col("k")).cast("double")).cast("long").as("bk_ppm"))
+    scoreDf.select(idCol.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("bk_ppm"))
+  }
 }

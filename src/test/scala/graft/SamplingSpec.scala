@@ -86,6 +86,23 @@ class SamplingSpec extends SparkTestBase {
     assert(got == Set((1L, 3L, Some(566666L)), (2L, 1L, Some(500000L)), (3L, 0L, None)))
   }
 
+  test("stupid backoff: each tier hand-checked, unseen unigram scores 0") {
+    import graft.operators.Text
+    // model: "a b c a b d" → uni a:2 b:2 c:1 d:1, N=6; bi (a,b):2 (b,c):1
+    // (c,a):1 (b,d):1; tri (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+    val model = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c x"), // (a,b,c) tier1 500000; (b,c,x) tier3 c1(x)=0 → 0
+      (2L, "d a b"),   // (d,a,b) tier2: floor(2*400000/2)=400000
+      (3L, "x y"))     // no trigrams
+      .toDF("doc_id", "text")
+    val got = Text.lmBackoffScore(score, model, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((1L, 2L, Some(250000L)), (2L, 1L, Some(400000L)),
+      (3L, 0L, None)))
+  }
+
   test("sequence packing: bins chunk the cumulative budget per shard, order-stable") {
     val df = Seq(
       ("en", 1L, 4000L), ("en", 2L, 4000L), ("en", 3L, 4000L), ("en", 4L, 9000L),
