@@ -1237,6 +1237,15 @@ object SparkEntry {
         .select("doc_id", "cleaned_text", "n_lines", "keep")
     }),
 
+    "dedup_fuzzy_join" -> ((s, d) =>
+      // fuzzy self-join at edit distance <= 1: SymSpell deletion-
+      // neighborhood blocking (equi-join on O(len) variant keys per row)
+      // + exact levenshtein post-filter — output identical to the
+      // all-pairs form the oracle computes, without the n^2 shuffle.
+      graft.operators.Dedup.editDistance1Pairs(
+          t(s, d, "customer"), col("c_custkey"), col("c_name"))
+        .select(col("id_a"), col("id_b"))),
+
     "dedup_url" -> ((s, d) => {
       // crawl-level URL dedup: canonicalize (scheme/fragment/www/default
       // port/utm stripping, host lowercasing), then exact-group on the
@@ -3059,6 +3068,12 @@ object SparkEntry {
            (len(kept) >= 3 AND NOT contains(lower(page), 'lorem ipsum')
              AND NOT contains(page, '{')) AS keep
          FROM k""",
+
+    // blocking never changes the answer — the oracle is the all-pairs filter
+    "dedup_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
 
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,

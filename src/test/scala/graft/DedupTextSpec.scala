@@ -853,4 +853,35 @@ class DedupTextSpec extends SparkTestBase {
     }.min
     assert(minDist > 1e-4, f"bm25 floor margin too thin: $minDist%.3e")
   }
+
+  test("editDistance1Pairs ≡ all-pairs levenshtein filter, transpositions excluded") {
+    val rows = Seq(
+      1L -> "kitten", 2L -> "mitten", // substitution: dist 1
+      3L -> "kitte", // deletion of 1: dist 1
+      4L -> "kittens", // insertion on 1: dist 1
+      5L -> "kitten", // identical to 1: dist 0
+      6L -> "ab", 7L -> "ba", // transposition: dist 2, must NOT pair
+      8L -> "xyzzy") // unrelated
+    val df = rows.toDF("id", "name").repartition(4)
+    val got = graft.operators.Dedup
+      .editDistance1Pairs(df, col("id"), col("name"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      if levenshteinDist(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 2L)) && want.contains((1L, 5L)) &&
+      !want.contains((6L, 7L)))
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
