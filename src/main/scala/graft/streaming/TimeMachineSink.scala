@@ -260,6 +260,51 @@ object TimeMachineSink {
     maintainVersioned(stamped, snapDir, batchId)(
       bootstrap = latestCellsKeyed, fold = applyIncremental)
 
+  /** foreachBatch body of a MAINTAINED AGGREGATE view — the streaming form
+    * of [[maintainAggregate]]: each micro-batch folds into a versioned dir
+    * holding BOTH the latest-cells snapshot (the delta rule needs the old
+    * row states of touched keys) and the (grp, cnt, sum_value) aggregate.
+    * Same exactly-once contract as [[maintainSnapshot]]: a batch applies
+    * onto the highest version STRICTLY BELOW its own id and rewrites its
+    * own version dir, so foreachBatch redelivery rebuilds rather than
+    * double-applies. Per batch: touched-key joins + a group-cardinality
+    * merge — the history is never re-aggregated. */
+  def maintainAggView(stamped: DataFrame, dir: String, batchId: Long,
+      groupCol: String, valueCol: String): Unit = {
+    val s = stamped.sparkSession
+    val batchCells = organize(mutationCells(stamped))
+      .select("table", "row_key", "column", "value", "cell_ts", "event_id")
+    def aggOf(cells: DataFrame): DataFrame =
+      rowsAsOfCells(cells)
+        .select(element_at(col("cols"), groupCol).as("grp"),
+          element_at(col("cols"), valueCol).cast("decimal(18,2)").as("v"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_value"))
+    val base = snapshotVersions(dir).filter(_ < batchId).lastOption
+    val (newCells, newAgg) = base match {
+      case Some(v) =>
+        val prevCells = s.read.parquet(s"$dir/v=$v/cells")
+        val prevAgg = s.read.parquet(s"$dir/v=$v/agg")
+        (applyIncremental(prevCells, batchCells),
+          maintainAggregate(prevAgg, prevCells, batchCells, groupCol, valueCol))
+      case None =>
+        val cells0 = latestCellsKeyed(batchCells)
+        (cells0, aggOf(cells0))
+    }
+    newCells.write.mode("overwrite").parquet(s"$dir/v=$batchId/cells")
+    newAgg.write.mode("overwrite").parquet(s"$dir/v=$batchId/agg")
+  }
+
+  /** Current rows of a maintained aggregate view (highest version with a
+    * complete agg table). Empty if no version exists yet. */
+  def aggViewRows(spark: SparkSession, dir: String): DataFrame =
+    snapshotVersions(dir)
+      .filter(v => new java.io.File(s"$dir/v=$v/agg").exists())
+      .lastOption match {
+      case Some(v) => spark.read.parquet(s"$dir/v=$v/agg")
+      case None => spark.emptyDataFrame
+    }
+
   /** Current rows of a maintained snapshot (highest version, pivoted,
     * deletes dropped). Empty if no version exists yet. */
   def snapshotRows(spark: SparkSession, snapDir: String): DataFrame =

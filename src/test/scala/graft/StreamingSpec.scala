@@ -461,6 +461,52 @@ class StreamingSpec extends SparkTestBase {
     assert(dirs.length == 1 && state() == Map("k1" -> "2"))
   }
 
+  test("maintained aggregate view: per-batch delta fold, group move and delete, idempotent redelivery") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("aggdir").toString
+    val ckpt = Files.createTempDirectory("aggck").toString
+    val mem = MemoryStream[Op]
+    val q = TransactionAssembler.assemble(mem.toDS()).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StampedOp], id: Long) =>
+        TimeMachineSink.maintainAggView(b.toDF(), dir, id, "g", "a")
+      }
+      .start()
+    mem.addData(op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, after = Map("g" -> "x", "a" -> "10.00")),
+      op("INSERT", "t1", 3, key = "k2", after = Map("g" -> "x", "a" -> "5.00")),
+      op("INSERT", "t1", 4, key = "k3", after = Map("g" -> "y", "a" -> "1.00")),
+      op("COMMIT", "t1", 5))
+    q.processAllAvailable()
+    def view(): Map[String, (Long, BigDecimal)] =
+      TimeMachineSink.aggViewRows(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)))))
+        .toMap
+    assert(view() == Map(
+      "x" -> ((2L, BigDecimal("15.00"))), "y" -> ((1L, BigDecimal("1.00")))))
+    // batch 2: k1 value update, k2 moves x->y, k3 deleted
+    val b2 = Seq(op("BEGIN", "t2", 6),
+      op("UPDATE", "t2", 7, before = Map("g" -> "x", "a" -> "10.00"),
+        after = Map("g" -> "x", "a" -> "12.00")),
+      op("UPDATE", "t2", 8, key = "k2", before = Map("g" -> "x", "a" -> "5.00"),
+        after = Map("g" -> "y", "a" -> "5.00")),
+      op("DELETE", "t2", 9, key = "k3", before = Map("g" -> "y", "a" -> "1.00")),
+      op("COMMIT", "t2", 10, ts = 1704067209000L))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(view() == Map(
+      "x" -> ((1L, BigDecimal("12.00"))), "y" -> ((1L, BigDecimal("5.00")))))
+    // redelivery of the same batch id rebuilds from the same base
+    val restamped = TransactionAssembler.assembleBatch(b2.toDS()).toDF()
+    val lastV = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).max
+    TimeMachineSink.maintainAggView(restamped, dir, lastV, "g", "a")
+    assert(view() == Map(
+      "x" -> ((1L, BigDecimal("12.00"))), "y" -> ((1L, BigDecimal("5.00")))))
+  }
+
   test("maintained SCD2 view: streaming interval fold tracks history across micro-batches") {
     implicit val sq = spark.sqlContext
     val snap = Files.createTempDirectory("scd2dir").toString
