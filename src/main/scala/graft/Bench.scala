@@ -50,7 +50,10 @@ object Bench {
     "cdc_scd2", "cdc_snapshot_diff", "sketch_distinct_kmv", "sim_maxsim", "mm_phash",
     "dedup_containment", "dedup_incremental_lsh", "cdc_scd2_apply",
     "sketch_heavy_hitters", "mm_scene_cuts", "q_lateral", "text_chunk_windows",
-    "sim_hybrid_rrf", "q_recursive_cte", "mm_wav_rms", "text_bpe_pair_counts", "pipe_unimax_weights", "pipe_ccnet_buckets", "sim_mips_topk"
+    "sim_hybrid_rrf", "q_recursive_cte", "mm_wav_rms", "text_bpe_pair_counts", "pipe_unimax_weights", "pipe_ccnet_buckets", "sim_mips_topk",
+    "sketch_quantiles", "sketch_kmv_setops", "cdc_agg_maintain",
+    "cdc_consistency_check", "q_bloom_join", "pipe_curriculum",
+    "text_lm_backoff", "dedup_fuzzy_join"
   )
 
   private def loadavg: Double =
@@ -107,7 +110,7 @@ object Bench {
       only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter") ||
         only.contains("cdc_as_of_state") || only.contains("cdc_snapshot_apply") ||
         only.contains("cdc_scd2") || only.contains("cdc_snapshot_diff") ||
-        only.contains("cdc_scd2_apply")
+        only.contains("cdc_scd2_apply") || only.contains("cdc_agg_maintain")
     val cdcFix = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val synthT0 = System.nanoTime()
     val cdcOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -144,6 +147,17 @@ object Bench {
           graft.streaming.TimeMachineSink.scd2Intervals(
               w.filter(col("cell_ts") <= col("__cut")), Seq("value", "event_type"))
             .write.mode("overwrite").parquet(s"$cdcFix/scd2hist")
+          // ...and the agg-maintain bench folds into a STORED aggregate view
+          locally {
+            import org.apache.spark.sql.functions.{count, element_at, lit, sum}
+            graft.streaming.TimeMachineSink.rowsAsOfCells(
+                spark.read.parquet(s"$cdcFix/snapshot"))
+              .select(element_at(col("cols"), "event_type").as("grp"),
+                element_at(col("cols"), "value").cast("decimal(18,2)").as("v"))
+              .groupBy("grp")
+              .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_value"))
+              .write.mode("overwrite").parquet(s"$cdcFix/aggview")
+          }
         }
         Map(
           "cdc_time_machine" -> ((s: SparkSession, _: String) => {
@@ -193,6 +207,15 @@ object Bench {
             graft.streaming.TimeMachineSink.scd2Intervals(cells, Seq("value", "event_type"))
               .select(col("row_key"), col("valid_from"), col("valid_to"),
                 col("is_current"), col("value"), col("event_type"))
+          }),
+          "cdc_agg_maintain" -> ((s: SparkSession, _: String) => {
+            import org.apache.spark.sql.functions.{count, element_at, lit, sum}
+            // production shape: the stored view and stored snapshot are
+            // both pre-materialized; the timed work is the delta fold
+            val snapshot = s.read.parquet(s"$cdcFix/snapshot")
+            val storedAgg = s.read.parquet(s"$cdcFix/aggview")
+            graft.streaming.TimeMachineSink.maintainAggregate(storedAgg,
+              snapshot, s.read.parquet(s"$cdcFix/batch"), "event_type", "value")
           }),
           "cdc_scd2_apply" -> ((s: SparkSession, _: String) => {
             graft.streaming.TimeMachineSink.applyScd2(

@@ -877,10 +877,14 @@ object Dedup {
     * forbids. */
   def editDistance1Pairs(df: DataFrame, idCol: Column, strCol: Column): DataFrame = {
     val base = df.select(idCol.as("id"), strCol.as("s"))
+    // variant DELETED-POSITION marker disambiguates the self entry; the
+    // join key is the 64-bit hash of the variant, not the string — an
+    // 8-byte shuffle key instead of a ~len-byte one, and a hash collision
+    // only admits one more candidate for the exact post-filter to drop
     val variants = base.select(col("id"), col("s"), explode(array_distinct(
-        concat(array(col("s")),
+        concat(array(xxhash64(col("s"))),
           expr("transform(sequence(1, length(s)), i -> " +
-            "concat(substr(s, 1, i - 1), substr(s, i + 1, length(s))))"))))
+            "xxhash64(concat(substr(s, 1, i - 1), substr(s, i + 1, length(s)))))"))))
       .as("v"))
     val a = variants.select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
     val b = variants.select(col("id").as("id_b"), col("s").as("s_b"), col("v"))
