@@ -237,6 +237,25 @@ object SparkEntry {
           col("state_ts"))
     }),
 
+    "cdc_funnel" -> ((s, d) =>
+      // ordered funnel (view -> click -> purchase, strictly-later steps)
+      // over the high-intent slice (value >= 85 thins each user's stream
+      // so every stage 0..3 is populated — the unfiltered fixture funnels
+      // every user to 3): ONE groupBy shuffle, then a scan-local HOF fold
+      // over each user's ts-sorted events — no stage self-joins (the
+      // oracle's 3-join form is the semantics spec, not the plan).
+      graft.operators.Cdc.funnel(
+          t(s, d, "events").filter(col("value") >= 85.0), col("user_id"),
+          col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+        .select(col("key").as("user_id"), col("funnel_stage"))),
+
+    "q_cohort_retention" -> ((s, d) =>
+      // cohort retention: first-activity week x activity-week offset,
+      // integer epoch-week arithmetic (engine-portable); two hash aggs +
+      // one 1:1 key join, output #cohorts x #weeks
+      graft.operators.Cdc.cohortRetention(t(s, d, "events"), col("user_id"),
+        col("ts"))),
+
     "cdc_consistency_check" -> ((s, d) => {
       // ValidationService as a batch operator (reference: the replicator's
       // validation task samples source rows and compares them against the
@@ -2360,6 +2379,33 @@ object SparkEntry {
 
     // the incremental-apply path must reproduce the FULL-history latest
     // state exactly — so the oracle is simply latest-state over all cells
+    "cdc_funnel" ->
+      """WITH e AS (SELECT * FROM events WHERE value >= 85.0),
+         s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3 FROM e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2 GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+         FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
+
+    "q_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             epoch_ms(ts) // 86400000 // 7 AS w FROM events),
+         f AS (SELECT user_id, min(w) AS cw FROM act GROUP BY 1)
+         SELECT cw AS cohort_week, w - cw AS week_offset, count(*) AS n_users
+         FROM act JOIN f USING (user_id) GROUP BY 1, 2""",
+
     "cdc_consistency_check" ->
       """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 7 // 8 AS cut
            FROM events),

@@ -163,6 +163,62 @@ object Cdc {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Ordered funnel analysis: per key, the deepest prefix of `stages`
+    * reached by STRICTLY-later events (stage i+1 must occur after the
+    * FIRST occurrence that completed stage i — the standard windowless
+    * funnel semantic). ONE shuffle (the groupBy); the per-key event list
+    * is folded scan-locally by a higher-order `aggregate` lambda over the
+    * ts-sorted events, carrying one epoch-millis slot per stage — no
+    * self-joins, no window cascade, per-key memory bounded by the key's
+    * event count (the same bound sessionization already assumes).
+    * Returns (key, funnel_stage ∈ 0..stages.length). */
+  def funnel(df: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val MaxTs = Long.MaxValue
+    val ev = df.select(keyCol.as("key"),
+      struct(unix_millis(tsCol).as("t"), typeCol.as("tp")).as("e"))
+    val grouped = ev.groupBy("key")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+    // fold state: array of per-stage first-completion times (MaxTs = not
+    // reached); stage i fires on the first matching event strictly after
+    // state(i-1)
+    val init = array(stages.map(_ => lit(MaxTs)): _*)
+    val step = (acc: Column, e: Column) => {
+      val t = e.getField("t")
+      val tp = e.getField("tp")
+      val slots = stages.zipWithIndex.map { case (name, i) =>
+        val prevDone = if (i == 0) lit(true)
+          else element_at(acc, i) =!= MaxTs && t > element_at(acc, i)
+        when(element_at(acc, i + 1) === MaxTs && tp === name && prevDone, t)
+          .otherwise(element_at(acc, i + 1))
+      }
+      array(slots: _*)
+    }
+    grouped.select(col("key"),
+      aggregate(col("es"), init, step,
+        acc => {
+          val reached = stages.indices.map(i =>
+            when(element_at(acc, i + 1) =!= MaxTs, 1).otherwise(0))
+          reached.reduce(_ + _)
+        }).as("funnel_stage"))
+  }
+
+  /** Cohort retention: users bucketed by first-activity week (epoch-day
+    * div 7 — pure integer arithmetic, engine-portable), counted per
+    * (cohort_week, week_offset) of later activity. Two hash aggregations
+    * and one key join — the first-activity table is keyed and 1:1, so the
+    * join shuffles once on the user key; output cardinality is
+    * #cohorts × #weeks, tiny at any corpus size. */
+  def cohortRetention(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val week = (unix_millis(tsCol) / lit(86400000L)).cast("long") / lit(7L)
+    val act = df.select(keyCol.as("key"), week.cast("long").as("w")).distinct()
+    val first = act.groupBy("key").agg(min(col("w")).as("cw"))
+    act.join(first, Seq("key"))
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // --------------------------------------------------------------------------
   // Partitioners (reference: applier/Partitioner.java:14-103)
   // --------------------------------------------------------------------------

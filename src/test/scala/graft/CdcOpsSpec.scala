@@ -87,6 +87,43 @@ class CdcOpsSpec extends SparkTestBase {
     assert(Cdc.replayDedup(replayed, Seq("id")).count() == 2)
   }
 
+  test("funnel: strict ordering, ties excluded, out-of-order steps ignored") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val rows = Seq(
+      // u1: full ordered funnel
+      (1L, ts(1000), "view"), (1L, ts(2000), "click"), (1L, ts(3000), "purchase"),
+      // u2: click BEFORE the first view — stalls at 1
+      (2L, ts(1000), "click"), (2L, ts(2000), "view"),
+      // u3: click at the SAME ts as the first view — strict > excludes it
+      (3L, ts(1000), "view"), (3L, ts(1000), "click"),
+      // u4: purchase before click — stalls at 2
+      (4L, ts(1000), "view"), (4L, ts(1500), "purchase"), (4L, ts(2000), "click"),
+      // u5: no funnel stages at all
+      (5L, ts(1000), "error"),
+      // u6: second view later must NOT reset; click counts after FIRST view
+      (6L, ts(1000), "view"), (6L, ts(5000), "view"), (6L, ts(2000), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Cdc.funnel(rows, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0, 6L -> 2))
+  }
+
+  test("cohortRetention counts distinct users per (cohort, offset)") {
+    import java.sql.Timestamp
+    val wk = 7L * 86400000L
+    def ts(w: Long) = new Timestamp(w * wk + 1000L)
+    val rows = Seq(
+      (1L, ts(100)), (1L, ts(101)), (1L, ts(103)), (1L, ts(101)), // dup week
+      (2L, ts(100)), (2L, ts(103)),
+      (3L, ts(101))).toDF("user_id", "ts")
+    val got = Cdc.cohortRetention(rows, col("user_id"), col("ts"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((100L, 0L, 2L), (100L, 1L, 1L), (100L, 3L, 2L),
+      (101L, 0L, 1L)))
+  }
+
   test("consistencyCheck classifies MATCH / DIFF / MISSING / EXTRA") {
     val source = Seq((1L, "a", Some(10.0)), (2L, "b", Some(5.0)),
       (3L, "c", Some(1.0)), (5L, "e", None))
