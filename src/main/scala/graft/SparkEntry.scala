@@ -268,7 +268,7 @@ object SparkEntry {
       val ev = t(s, d, "events")
       val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
           max(unix_millis(col("ts"))).as("mx"))
-        .select(expr("mn + (mx - mn) * 7 div 8").as("__cut"))
+        .select(expr("mn + (mx - mn) * 63 div 64").as("__cut"))
       val source = Cdc.latestStateAgg(ev, col("user_id"), col("ts"),
         col("event_id"), Seq("event_type", "value"))
       val stale = ev.crossJoin(broadcast(cut))
@@ -278,6 +278,35 @@ object SparkEntry {
       Cdc.consistencyCheck(source, sink, "key", Seq("event_type", "value"))
         .select(col("key").as("user_id"), col("status"))
     }),
+
+    "cdc_repair_plan" -> ((s, d) => {
+      // the write-back half of the consistency audit: per divergent key,
+      // the mutation that converges the sink (UPSERT with source values /
+      // DELETE for sink-only keys). Cardinality = divergence count.
+      val ev = t(s, d, "events")
+      val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(expr("mn + (mx - mn) * 63 div 64").as("__cut"))
+      val source = Cdc.latestStateAgg(ev, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value"))
+      val stale = ev.crossJoin(broadcast(cut))
+        .filter(unix_millis(col("ts")) <= col("__cut"))
+      val sink = Cdc.latestStateAgg(stale, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value"))
+      Cdc.repairPlan(source, sink, "key", Seq("event_type", "value"))
+        .select(col("op"), col("key").as("user_id"), col("event_type"),
+          col("value"))
+    }),
+
+    "pipe_zorder" -> ((s, d) =>
+      // Morton interleave of (user_id, epoch-day): the multi-dimension
+      // clustering key behind OPTIMIZE ZORDER — pure shift/mask/or
+      // arithmetic, codegen'd, engine-portable (the oracle recomputes it
+      // bit by bit). ZOrderSpec measures the min/max pruning this layout
+      // buys on either dimension; clusterByZOrder applies it.
+      t(s, d, "events").select(col("event_id"),
+        graft.operators.Layout.zValue(col("user_id"),
+          (unix_millis(col("ts")) / lit(86400000L)).cast("long"), 16).as("z"))),
 
     "cdc_agg_maintain" -> ((s, d) => {
       // incremental materialized-aggregate maintenance (Gupta & Mumick's
@@ -2407,7 +2436,7 @@ object SparkEntry {
          FROM act JOIN f USING (user_id) GROUP BY 1, 2""",
 
     "cdc_consistency_check" ->
-      """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 7 // 8 AS cut
+      """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 63 // 64 AS cut
            FROM events),
          src AS (SELECT user_id, event_type, value FROM events
            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
@@ -2421,6 +2450,34 @@ object SparkEntry {
                   OR src.value IS DISTINCT FROM snk.value THEN 'DIFF'
                 ELSE 'MATCH' END AS status
          FROM src FULL OUTER JOIN snk ON src.user_id = snk.user_id""",
+
+    "cdc_repair_plan" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 63 // 64 AS cut
+           FROM events),
+         src AS (SELECT user_id, event_type, value FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         snk AS (SELECT user_id, event_type, value FROM events, b
+           WHERE epoch_ms(ts) <= cut
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+         SELECT CASE WHEN snk.user_id IS NULL THEN 'UPSERT'
+                     WHEN src.user_id IS NULL THEN 'DELETE'
+                     ELSE 'UPSERT' END AS op,
+           coalesce(src.user_id, snk.user_id) AS user_id,
+           src.event_type, src.value
+         FROM src FULL OUTER JOIN snk ON src.user_id = snk.user_id
+         WHERE snk.user_id IS NULL OR src.user_id IS NULL
+           OR src.event_type IS DISTINCT FROM snk.event_type
+           OR src.value IS DISTINCT FROM snk.value""",
+
+    "pipe_zorder" ->
+      """SELECT event_id,
+           CAST(list_sum([
+             ((user_id // (CAST(1 AS BIGINT) << i)) % 2)
+               * (CAST(1 AS BIGINT) << (2 * i))
+             + (((epoch_ms(ts) // 86400000) // (CAST(1 AS BIGINT) << i)) % 2)
+               * (CAST(1 AS BIGINT) << (2 * i + 1))
+             for i in range(0, 16)]) AS BIGINT) AS z
+         FROM events""",
 
     // bloom pruning never changes the answer — the oracle is the plain join
     "q_bloom_join" ->

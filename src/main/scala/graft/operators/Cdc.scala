@@ -151,6 +151,33 @@ object Cdc {
           .otherwise("MATCH").as("status"))
   }
 
+  /** Repair plan from a consistency audit — the write-back half of
+    * [[consistencyCheck]] (the reference's validation flow flags
+    * discrepancies for re-replication): per divergent key, the mutation
+    * that would make the sink converge to the source:
+    *   - MISSING / DIFF → UPSERT carrying the source's column values
+    *   - EXTRA          → DELETE (columns null)
+    * MATCH keys are dropped. Same single 1:1 full-outer join as the audit;
+    * the plan's cardinality is the divergence count, so at 100 TB a
+    * healthy replica produces a near-empty repair stream. */
+  def repairPlan(source: DataFrame, sink: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    val s = source.select((key +: cols).map(col): _*)
+      .withColumnRenamed(key, "__sk")
+    val k = sink.select((key +: cols).map(col): _*)
+      .toDF(("__kk" +: cols.map(c => s"__k_$c")): _*)
+    val diff = cols.map(c => !(col(c) <=> col(s"__k_$c")))
+      .reduce(_ || _)
+    s.join(k, col("__sk") === col("__kk"), "full_outer")
+      .withColumn("op",
+        when(col("__kk").isNull, "UPSERT")
+          .when(col("__sk").isNull, "DELETE")
+          .when(diff, "UPSERT"))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: coalesce(col("__sk"), col("__kk")).as(key) +:
+        cols.map(col): _*)
+  }
+
   /** Sessionization: split each key's event sequence at inactivity gaps —
     * session id = running count of gap-boundary flags. One shuffle on the
     * key; the batch analog of streaming session windows

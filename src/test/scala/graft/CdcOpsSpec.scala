@@ -141,6 +141,23 @@ class CdcOpsSpec extends SparkTestBase {
       5L -> "MATCH")) // NULL == NULL under null-safe compare, not DIFF
   }
 
+  test("repairPlan emits UPSERT for missing/diff, DELETE for extra, drops matches") {
+    val source = Seq((1L, "a", Some(10.0)), (2L, "b", Some(5.0)),
+      (3L, "c", Some(1.0)))
+      .toDF("key", "tpe", "v")
+    val sink = Seq((1L, "a", Some(10.0)), (2L, "b", Some(6.0)),
+      (4L, "d", Some(9.0)))
+      .toDF("key", "tpe", "v")
+    val out = Cdc.repairPlan(source, sink, "key", Seq("tpe", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out == Set(
+      ("UPSERT", 2L, Some("b"), Some(5.0)), // diff: source value wins
+      ("UPSERT", 3L, Some("c"), Some(1.0)), // missing at sink
+      ("DELETE", 4L, None, None))) // extra at sink: null payload
+  }
+
   test("consistencyCheck null-vs-value is DIFF, not MATCH") {
     val source = Seq((1L, Some("x"))).toDF("key", "v")
     val sink = Seq((1L, Option.empty[String])).toDF("key", "v")
