@@ -123,6 +123,9 @@ object GraftExtensions {
       val Seq(h, k) = arity("kmv_sketch", 2)(args)
       graft.functions.KmvSketchAgg(h, intLit("kmv_sketch", "k", k))
     },
+    entry("kmv_merge", classOf[graft.functions.KmvMergeAgg]) { args =>
+      graft.functions.KmvMergeAgg(arity("kmv_merge", 1)(args).head)
+    },
     entry("kmv_estimate", classOf[graft.functions.KmvEstimateExpr]) { args =>
       graft.functions.KmvEstimateExpr(arity("kmv_estimate", 1)(args).head)
     },

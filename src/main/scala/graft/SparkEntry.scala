@@ -593,6 +593,32 @@ object SparkEntry {
         .select(explode(col("hh")).as("h"))
         .select(col("h.value").as("user_id"), col("h.cnt").as("cnt"))),
 
+    "sketch_rollup" -> ((s, d) => {
+      // the sketch-TABLE architecture end to end: fine-grained
+      // (event_type, day) sketches materialize once (at 100 TB: the
+      // nightly job), and the coarser cube cell is kmv_merge over the
+      // stored VALUES — no raw-data re-scan, O(k) state per cell. Exact
+      // below k, so the rollup ≡ COUNT(DISTINCT) is the oracle.
+      import graft.functions.KmvSetOps._
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(kmvSketch(xxhash64(col("user_id")), 16384).as("sk"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          kmvEstimate(kmvMerge(col("sk"))).as("n_users"))
+    }),
+
+    "q_salted_join" -> ((s, d) =>
+      // statically salted fact⋈dim join: hot fact keys spread over 8
+      // reducers via a fact-side salt + 8x dim replication on (key, salt)
+      // — bit-identical to the plain join (the oracle), the AQE-off /
+      // known-skew form of runtime skew splitting
+      graft.operators.Skew.saltedJoin(
+          t(s, d, "orders"), t(s, d, "customer").select("c_custkey", "c_name"),
+          col("o_custkey"), col("c_custkey"), saltBuckets = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))),
+
     "sketch_kmv_setops" -> ((s, d) => {
       // Sketch-as-column theta set operations (the DataSketches / Theta-
       // Sketch-Framework architecture, PODS '16): ONE scan builds two
@@ -2158,6 +2184,19 @@ object SparkEntry {
     // fixture's cardinality the sketch IS count(distinct); the estimator
     // path above k is spec-gated (KmvSketchSpec) since no SQL oracle can
     // reproduce a sketch estimate
+    // kmv_merge over stored daily sketches is exact below k — the rollup
+    // IS count(distinct) at this fixture's cardinality
+    "sketch_rollup" ->
+      """SELECT event_type,
+           count(DISTINCT epoch_ms(ts) // 86400000) AS n_days,
+           count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
+
+    // fact-side salting never changes the answer — the oracle is the plain join
+    "q_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+
     // KMV sketches are exact below k=16384 distinct per cohort — at this
     // fixture's cardinality the union/intersection estimates ARE the exact
     // set-operation cardinalities; the theta estimator above k is

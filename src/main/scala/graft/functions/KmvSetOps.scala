@@ -119,6 +119,69 @@ case class KmvSketchAgg(
     copy(hash = newChildren.head)
 }
 
+/** `kmv_merge(sketch)` → binary: aggregate MERGE of stored sketch VALUES —
+  * the rollup half of the sketch-table architecture. A nightly job stores
+  * per-(day, dim) sketches with [[KmvSketchAgg]]; any coarser cube cell
+  * (weekly, all-dims) is then `kmv_estimate(kmv_merge(sketch))` over the
+  * stored rows — O(k) state, no raw-data re-scan, exact while the operands
+  * are exact. The capacity rides in each operand's wire header; the buffer
+  * adopts the first operand's k (mixed-k inputs merge at the smaller
+  * effective frontier, the standard theta-sketch downgrade). */
+case class KmvMergeAgg(
+    sketch: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuf] {
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_merge"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sketch.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a kmv_sketch binary, got " +
+        sketch.dataType.simpleString)
+
+  // k unknown until the first operand arrives: start with a 0-entry
+  // sentinel that adopts the first real sketch wholesale
+  override def createAggregationBuffer(): KmvBuf = new KmvBuf(16)
+
+  private def fold(buffer: KmvBuf, other: KmvBuf): KmvBuf =
+    if (buffer.set.isEmpty && buffer.k == 16 && other.k != 16) {
+      other
+    } else if (other.set.isEmpty && other.k == 16) {
+      buffer
+    } else {
+      val (into, from) =
+        if (buffer.k <= other.k) (buffer, other) else (other, buffer)
+      into.mergeFrom(from)
+      into
+    }
+
+  override def update(buffer: KmvBuf, input: InternalRow): KmvBuf = {
+    val b = sketch.eval(input)
+    if (b == null) buffer
+    else fold(buffer, KmvWire.read(b.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(buffer: KmvBuf, other: KmvBuf): KmvBuf =
+    fold(buffer, other)
+
+  override def eval(buffer: KmvBuf): Any = KmvWire.write(buffer)
+
+  override def serialize(buffer: KmvBuf): Array[Byte] = KmvWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): KmvBuf = KmvWire.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(sketch = newChildren.head)
+}
+
 /** `kmv_estimate(sketch)` → bigint distinct-count estimate. Post-aggregate
   * scalar (runs on O(groups) rows, not the stream) — CodegenFallback is
   * deliberate. */
@@ -184,6 +247,9 @@ object KmvSetOps {
   def kmvSketch(hash: Column, k: Int): Column =
     GraftBridge.toCol(
       KmvSketchAgg(GraftBridge.toExpr(hash), k).toAggregateExpression())
+  def kmvMerge(sketch: Column): Column =
+    GraftBridge.toCol(
+      KmvMergeAgg(GraftBridge.toExpr(sketch)).toAggregateExpression())
   def kmvEstimate(sketch: Column): Column =
     GraftBridge.toCol(KmvEstimateExpr(GraftBridge.toExpr(sketch)))
   def kmvUnion(a: Column, b: Column): Column =

@@ -32,4 +32,28 @@ object Skew {
       .agg(sum(valueCol.cast("decimal(18,2)")).as("__partial"))
       .groupBy(col("key"))
       .agg(sum(col("__partial")).as("total"))
+
+  /** Salted equi-join for skewed FACT keys: the fact side gets a random
+    * salt in [0, saltBuckets), the dim side is REPLICATED once per salt
+    * value, and the join runs on (key, salt) — a hot fact key's rows land
+    * on `saltBuckets` reducers instead of one. Output is BIT-IDENTICAL to
+    * the plain inner join (each fact row joins exactly the one dim replica
+    * carrying its salt), which keeps the operator oracle-checkable.
+    *
+    * This is the static form of what AQE's skew-join split does at
+    * runtime — still needed when AQE is off (streaming micro-batches,
+    * non-adaptive plans) or when the skew is known ahead of time and the
+    * replicate-factor should be pinned. Dim-side cost: ×saltBuckets rows
+    * through the exchange, so salt only as much as the hottest key needs. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
+      dimKey: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(rand(seed = 7) * 1000000), lit(saltBuckets.toLong)))
+    val replicated = dim.crossJoin(
+      fact.sparkSession.range(saltBuckets).select(col("id").as("__salt")))
+    salted.join(replicated,
+        factKey === dimKey && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

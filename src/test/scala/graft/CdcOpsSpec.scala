@@ -166,6 +166,20 @@ class CdcOpsSpec extends SparkTestBase {
     assert(out == Map(1L -> "DIFF"))
   }
 
+  test("saltedJoin is bit-identical to the plain inner join") {
+    val fact = (1 to 5000).map(i => (i.toLong, if (i % 10 < 9) 1 else i % 50))
+      .toDF("fid", "fk") // 90% of rows on one hot key
+    val dim = (0 until 50).map(k => (k, s"d$k")).toDF("dk", "name")
+    val got = graft.operators.Skew
+      .saltedJoin(fact, dim, col("fk"), col("dk"), saltBuckets = 8)
+      .select("fid", "fk", "dk", "name")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fid", "fk", "dk", "name")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got == want && got.size == 5000)
+  }
+
   test("bloomPrunedJoin is bit-identical to the plain inner join") {
     val fact = (1 to 2000).map(i => (i.toLong, i % 500)).toDF("fid", "fk")
     val dim = (0 until 500).filter(_ % 7 == 0).map(k => (k, s"d$k")).toDF("dk", "name")

@@ -78,6 +78,37 @@ class KmvSetOpsSpec extends SparkTestBase {
     assert(r.getLong(3) == xs.intersect(ys).size.toLong)
   }
 
+  test("kmv_merge rolls up stored sketch values; exact below k") {
+    import KmvSetOps._
+    val df = (1 to 3000).map(i => (i % 5, s"d${i % 7}", i % 900))
+      .toDF("tpe", "day", "uid").repartition(8)
+    val daily = df.groupBy("tpe", "day")
+      .agg(kmvSketch(xxhash64(col("uid")), 4096).as("sk"))
+    val got = daily.groupBy("tpe")
+      .agg(kmvEstimate(kmvMerge(col("sk"))).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val want = df.groupBy("tpe").agg(countDistinct("uid").as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("kmv_merge with mixed capacities downgrades to the smaller k") {
+    val big = buf(4096, 0 until 3000)
+    val small = buf(256, 2000 until 2600) // saturated at 256
+    val rows = Seq(KmvWire.write(big), KmvWire.write(small)).toDF("sk")
+    val merged = rows.agg(
+        org.apache.spark.sql.GraftBridge.toCol(
+          graft.functions.KmvMergeAgg(
+            org.apache.spark.sql.GraftBridge.toExpr(col("sk")))
+            .toAggregateExpression()).as("m"))
+      .select(col("m")).collect()(0).getAs[Array[Byte]](0)
+    val back = KmvWire.read(merged)
+    assert(back.k == 256 && back.set.size == 256)
+    // estimator still lands near the truth (3600 distinct)
+    val est = back.estimate().toDouble
+    assert(math.abs(est - 3600.0) / 3600.0 < 0.3, s"est $est")
+  }
+
   test("SQL surface: kmv_sketch / kmv_union / kmv_intersect_est registered") {
     GraftExtensions.install(spark)
     (1 to 300).map(i => (i, i % 2)).toDF("v", "par")
