@@ -53,7 +53,8 @@ object Bench {
     "sim_hybrid_rrf", "q_recursive_cte", "mm_wav_rms", "text_bpe_pair_counts", "pipe_unimax_weights", "pipe_ccnet_buckets", "sim_mips_topk",
     "sketch_quantiles", "sketch_kmv_setops", "cdc_agg_maintain",
     "cdc_consistency_check", "q_bloom_join", "pipe_curriculum",
-    "text_lm_backoff", "dedup_fuzzy_join"
+    "text_lm_backoff", "dedup_fuzzy_join", "cdc_funnel", "q_cohort_retention",
+    "cdc_repair_plan", "pipe_zorder", "sketch_rollup", "q_salted_join"
   )
 
   private def loadavg: Double =

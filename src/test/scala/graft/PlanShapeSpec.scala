@@ -273,4 +273,48 @@ class PlanShapeSpec extends SparkTestBase {
       s"token matrix exploded:\n${p.take(3000)}")
     assert(p.contains("top_k_by_score"))
   }
+
+  test("r6s5: bloom join prunes the fact BEFORE its exchange; no cartesian") {
+    val p = plan("q_bloom_join")
+    // the bloom gate must sit in a Filter on the fact scan side, not
+    // after the join
+    assert(p.contains("bloom_might_contain"), s"bloom gate missing:\n$p")
+    val joinIdx = p.indexOf("Join")
+    val bloomIdx = p.indexOf("bloom_might_contain")
+    assert(joinIdx >= 0 && bloomIdx > joinIdx,
+      "bloom filter should appear below (after, in toString order) the join head")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("r6s5: curriculum staging plans no single-partition global window") {
+    val p = plan("pipe_curriculum")
+    assert(!p.contains("Window"),
+      s"curriculum must not plan a window (pinned-RDD rank instead):\n$p")
+  }
+
+  test("r6s5: quantile/setops/rollup sketches partial-aggregate before the shuffle") {
+    Seq("sketch_quantiles", "sketch_kmv_setops", "sketch_rollup").foreach { q =>
+      val p = plan(q)
+      // TypedImperativeAggregate partials: ObjectHashAggregate appears in
+      // both partial and final mode — two per aggregation level
+      assert(p.contains("ObjectHashAggregate"), s"$q lost its object agg:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q plans unexpected data movement")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("r6s5: funnel is one shuffle — no self-joins, no window cascade") {
+    val p = plan("cdc_funnel")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"funnel should shuffle once:\n$p")
+  }
+
+  test("r6s5: consistency audit joins once, 1:1, no window") {
+    val p = plan("cdc_consistency_check")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).size == 1, s"audit should contain exactly one join:\n$p")
+    assert(!p.contains("Window"))
+  }
 }
