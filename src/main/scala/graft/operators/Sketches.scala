@@ -60,6 +60,34 @@ object Sketches {
     * which is what makes this form oracle-checkable while [[filterKnown]]
     * stays approximate. At 100 TB the gate turns a corpus-sized shuffle
     * into a batch-sized scan plus a sliver-sized join. */
+  /** foreachBatch body of a MAINTAINED SKETCH TABLE: each micro-batch
+    * writes its per-dimension KMV sketches into its own `batch_id=N`
+    * partition with DYNAMIC partition overwrite, so a redelivered batch
+    * replaces its previous output (at-least-once → exactly-once — the same
+    * contract as the time-machine sink's batch writes). The read side
+    * ([[sketchTableDistinct]]) is `kmv_merge` over the stored VALUES, so
+    * distinct-count cube cells stay fresh with O(k) bytes per cell per
+    * batch and the raw stream is never re-scanned — the streaming arm of
+    * the sketch-table architecture. */
+  def maintainSketchTable(batch: DataFrame, dir: String, batchId: Long,
+      dims: Seq[String], hashCol: Column, k: Int): Unit =
+    batch.groupBy(dims.map(col): _*)
+      .agg(graft.functions.KmvSetOps.kmvSketch(hashCol, k).as("sk"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** Merge-on-read over a maintained sketch table: per-dimension distinct
+    * estimates from the stored sketches (exact while every per-batch
+    * sketch stayed below k). */
+  def sketchTableDistinct(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dims: Seq[String]): DataFrame = {
+    import graft.functions.KmvSetOps._
+    spark.read.parquet(dir).groupBy(dims.map(col): _*)
+      .agg(kmvEstimate(kmvMerge(col("sk"))).as("n_distinct"))
+  }
+
   /** Bloom-pruned equi-join: probe-side rows that cannot match any build-
     * side key are dropped BEFORE the join's shuffle. Output is BIT-
     * IDENTICAL to the plain inner join for any Bloom filter — false

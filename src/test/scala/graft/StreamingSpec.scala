@@ -461,6 +461,40 @@ class StreamingSpec extends SparkTestBase {
     assert(dirs.length == 1 && state() == Map("k1" -> "2"))
   }
 
+  test("maintained sketch table: per-batch sketches, merge-on-read distinct, idempotent redelivery") {
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("skdir").toString
+    val ckpt = Files.createTempDirectory("skck").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("uid", "tpe").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.Sketches.maintainSketchTable(
+          b, dir, id, Seq("tpe"), xxhash64(col("uid")), k = 1024)
+      }
+      .start()
+    mem.addData((1L, "x"), (2L, "x"), (3L, "y"), (1L, "x"))
+    q.processAllAvailable()
+    def distinct(): Map[String, Long] =
+      graft.operators.Sketches.sketchTableDistinct(spark, dir, Seq("tpe"))
+        .as[(String, Long)].collect().toMap
+    assert(distinct() == Map("x" -> 2L, "y" -> 1L))
+    // batch 2: overlapping uids dedupe across batches via sketch merge
+    mem.addData((2L, "x"), (4L, "x"), (3L, "y"), (5L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    assert(distinct() == Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
+    // redelivery: rewriting the same batch partition must not double-count
+    val lastBatch = Seq((2L, "x"), (4L, "x"), (3L, "y"), (5L, "z"))
+      .toDF("uid", "tpe")
+    // partition discovery infers batch_id as int32 from the dir names
+    val lastId = spark.read.parquet(dir).agg(max("batch_id")).head
+      .getAs[Number](0).longValue()
+    graft.operators.Sketches.maintainSketchTable(
+      lastBatch, dir, lastId, Seq("tpe"), xxhash64(col("uid")), k = 1024)
+    assert(distinct() == Map("x" -> 3L, "y" -> 1L, "z" -> 1L))
+  }
+
   test("maintained aggregate view: per-batch delta fold, group move and delete, idempotent redelivery") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("aggdir").toString
