@@ -593,6 +593,21 @@ object SparkEntry {
         .select(explode(col("hh")).as("h"))
         .select(col("h.value").as("user_id"), col("h.cnt").as("cnt"))),
 
+    "pipe_corpus_stats" -> ((s, d) =>
+      // the per-snapshot corpus data card in ONE scan: doc counts,
+      // distinct sources (KMV), char-length percentiles (KLL) — three
+      // mergeable sketch families composed in a single aggregation, each
+      // exact below capacity (the oracle regime). At 100 TB this is the
+      // nightly curation summary: one pass, O(k) state per (lang) cell.
+      t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.KmvDistinctAgg.kmvDistinct(
+            xxhash64(col("source")), 16384).as("n_sources"),
+          graft.functions.KllQuantileAgg.kllQuantiles(
+            col("n_chars").cast("double"), 4096, Seq(0.5, 0.9)).as("qs"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          col("qs")(0).as("p50_chars"), col("qs")(1).as("p90_chars"))),
+
     "sketch_rollup" -> ((s, d) => {
       // the sketch-TABLE architecture end to end: fine-grained
       // (event_type, day) sketches materialize once (at 100 TB: the
@@ -1037,6 +1052,19 @@ object SparkEntry {
       val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
       val purchases = ev.filter(col("event_type") === "purchase")
       operators.TemporalJoins.asOfJoin(clicks, col("user_id"), col("ts"),
+          purchases, col("user_id"), col("ts"),
+          Seq("purchase_event_id" -> col("event_id"), "purchase_value" -> col("value")))
+        .select("event_id", "user_id", "purchase_event_id", "purchase_value")
+    }),
+
+    "q_asof_forward" -> ((s, d) => {
+      // forward as-of: each click paired with the user's EARLIEST purchase
+      // at or after it (time-to-conversion) — the mirrored union+window
+      // formulation, one shuffle on the key
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      operators.TemporalJoins.asOfJoinForward(clicks, col("user_id"), col("ts"),
           purchases, col("user_id"), col("ts"),
           Seq("purchase_event_id" -> col("event_id"), "purchase_value" -> col("value")))
         .select("event_id", "user_id", "purchase_event_id", "purchase_value")
@@ -2184,6 +2212,19 @@ object SparkEntry {
     // fixture's cardinality the sketch IS count(distinct); the estimator
     // path above k is spec-gated (KmvSketchSpec) since no SQL oracle can
     // reproduce a sketch estimate
+    // all three sketches exact below capacity at this fixture's group sizes
+    "pipe_corpus_stats" ->
+      """WITH r AS (SELECT lang, CAST(n_chars AS DOUBLE) AS nc,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT r.lang, max(n) AS n_docs, max(s.ns) AS n_sources,
+           max(CASE WHEN rn = CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) THEN nc END) AS p50_chars,
+           max(CASE WHEN rn = CAST(greatest(1, ceil(0.9 * n)) AS BIGINT) THEN nc END) AS p90_chars
+         FROM r JOIN (SELECT lang, count(DISTINCT source) AS ns
+           FROM documents GROUP BY lang) s ON r.lang = s.lang
+         GROUP BY r.lang""",
+
     // kmv_merge over stored daily sketches is exact below k — the rollup
     // IS count(distinct) at this fixture's cardinality
     "sketch_rollup" ->
@@ -2911,6 +2952,14 @@ object SparkEntry {
            p.value AS purchase_value
          FROM clicks c ASOF JOIN purchases p
            ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "q_asof_forward" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+         FROM clicks c ASOF JOIN purchases p
+           ON c.user_id = p.user_id AND c.ts <= p.ts""",
 
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_shipped_in_window

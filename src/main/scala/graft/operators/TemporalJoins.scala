@@ -52,6 +52,37 @@ object TemporalJoins {
       .select(pCols.map(col) ++ buildPayload.map { case (n, _) => col(s"__b.$n").as(n) }: _*)
   }
 
+  /** FORWARD as-of join: for every probe row, the EARLIEST build row with
+    * `build.ts >= probe.ts` on the same key — the "time to next event"
+    * join (next price update, time-to-conversion). Same union+window
+    * shape as [[asOfJoin]] mirrored in time: one shuffle on the key, a
+    * `first(ignoreNulls)` fill over the FOLLOWING frame. Probes sort
+    * before builds at equal ts (side 0 < 1) and the frame starts at the
+    * current row, so an exactly-simultaneous build row is visible —
+    * matching ASOF `<=`. */
+  def asOfJoinForward(probe: DataFrame, probeKey: Column, probeTs: Column,
+                      build: DataFrame, buildKey: Column, buildTs: Column,
+                      buildPayload: Seq[(String, Column)]): DataFrame = {
+    val pCols = probe.columns
+    val bStruct = struct(
+      (lit(1).as("__matched") +: buildPayload.map { case (n, c) => c.as(n) }): _*)
+    val bStructType = build.select(bStruct.as("__b")).schema("__b").dataType
+    val p = probe.select(
+      (probeKey.as("__k") +: probeTs.as("__ts") +: lit(0).as("__side") +:
+        pCols.map(c => probe(c)) :+
+        lit(null).cast(bStructType).as("__b")): _*)
+    val b = build.select(
+      (buildKey.as("__k") +: buildTs.as("__ts") +: lit(1).as("__side") +:
+        pCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        bStruct.as("__b")): _*)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = p.unionByName(b)
+      .withColumn("__b", first(col("__b"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 0 && col("__b").isNotNull)
+      .select(pCols.map(col) ++ buildPayload.map { case (n, _) => col(s"__b.$n").as(n) }: _*)
+  }
+
   /** Range join (point-in-interval): pair every point with every interval
     * containing it, WITHOUT a cross product: both sides bucket into
     * fixed-width bins (intervals explode into the bins they overlap), the

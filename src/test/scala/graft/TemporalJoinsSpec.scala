@@ -22,6 +22,21 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(out == Set((1L, 10L, "a"), (2L, 11L, "b")))
   }
 
+  test("forward as-of: earliest build at-or-after each probe; no-later dropped") {
+    val probe = Seq((1L, "u", 100L), (2L, "u", 250L), (3L, "u", 999L), (4L, "v", 5L))
+      .toDF("pid", "k", "pts")
+    val build = Seq((10L, "u", 100L, "a"), (11L, "u", 300L, "b"), (12L, "w", 1L, "z"))
+      .toDF("bid", "k", "bts", "payload")
+    val out = TemporalJoins.asOfJoinForward(
+        probe, col("k"), col("pts"), build, col("k"), col("bts"),
+        Seq("bid" -> col("bid"), "payload" -> col("payload")))
+      .select("pid", "bid", "payload").as[(Long, Long, String)].collect().toSet
+    // pid 1 at ts100 sees the build at exactly 100 (<= semantics, tie
+    // visible); pid 2 sees the NEXT build at 300, not the earlier one;
+    // pid 3 has no later build -> dropped; pid 4's key has no builds
+    assert(out == Set((1L, 10L, "a"), (2L, 11L, "b")))
+  }
+
   test("as-of join: null payload fields never mix rows or drop matches") {
     // build rows with NULL payload columns: the match must still be found
     // (marker, not first-payload-null test) and both payload fields must come
