@@ -558,6 +558,14 @@ object SparkEntry {
           col("value"), saltBuckets = 8)
         .select(col("key").as("event_type"), col("total").cast("string").as("total"))),
 
+    "text_bpe_encode" -> ((s, d) =>
+      // the full tokenizer: 200 merges trained from the vocab table
+      // (bounded driver collect), applied as a scan-local native
+      // expression. Greedy iterative merging is not SQL-expressible →
+      // rows-only gate; BpeSpec pins train + encode golden vectors.
+      operators.Text.bpeTokenize(t(s, d, "documents"), col("doc_id"),
+        col("text"), numMerges = 200)),
+
     "text_bpe_pair_counts" -> ((s, d) =>
       // the counting core of one BPE merge round (Sennrich et al. ACL '16):
       // global adjacent-symbol-pair frequencies at the character stage,

@@ -388,6 +388,27 @@ object Text {
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
   }
 
+  /** Full BPE tokenize: train `numMerges` merge rules from the corpus's
+    * word-frequency VOCAB (vocabulary-sized driver collect — the bounded
+    * class the IVF/PQ codebooks use; the corpus never leaves executors),
+    * then encode every doc scan-locally with the merges as a plan literal.
+    * See [[graft.functions.BpeAlgos]]. Not SQL-expressible (iterative
+    * greedy merges) → rows-only gate + golden-vector specs (BpeSpec). */
+  def bpeTokenize(df: DataFrame, idCol: Column, textCol: Column,
+      numMerges: Int): DataFrame = {
+    val vocab = df
+      .select(explode(split(normalized(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.functions.BpeAlgos.train(vocab, numMerges)
+    df.select(idCol.as("doc_id"),
+        graft.functions.BpeEncodeExpr.bpeEncode(normalized(textCol), merges).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).as("n_unique_tokens"))
+  }
+
   /** Trigram stupid-backoff LM scoring (Brants et al., "Large Language
     * Models in Machine Translation", EMNLP '07): per trigram,
     *   tier 1  c3(w1w2w3)/c2(w1w2)            if the trigram is in-model
