@@ -461,6 +461,40 @@ class StreamingSpec extends SparkTestBase {
     assert(dirs.length == 1 && state() == Map("k1" -> "2"))
   }
 
+  test("stream-stream interval join: in-window clicks join, watermark drops stale late input") {
+    implicit val sq = spark.sqlContext
+    val imp = MemoryStream[(Long, Long)] // (id, epoch sec)
+    val clk = MemoryStream[(Long, Long)]
+    val impDf = imp.toDS().toDF("imp_id", "isec")
+      .withColumn("imp_time", timestamp_seconds(col("isec")))
+      .withWatermark("imp_time", "5 seconds")
+    val clkDf = clk.toDS().toDF("clk_id", "csec")
+      .withColumn("clk_time", timestamp_seconds(col("csec")))
+      .withWatermark("clk_time", "5 seconds")
+    val joined = impDf.join(clkDf,
+      col("imp_id") === col("clk_id") &&
+        col("clk_time") >= col("imp_time") &&
+        col("clk_time") <= col("imp_time") + expr("interval 10 seconds"))
+    val q = joined.select("imp_id", "isec", "csec").writeStream
+      .format("memory").queryName("ssj_t").outputMode("append").start()
+    imp.addData((1L, 1000L), (2L, 1000L))
+    clk.addData((1L, 1005L)) // within the 10 s window — joins
+    q.processAllAvailable()
+    clk.addData((2L, 1020L)) // outside the window — never joins
+    q.processAllAvailable()
+    assert(spark.table("ssj_t").collect().map(_.getLong(0)).toSet == Set(1L))
+    // march both watermarks far past the impressions' state lifetime...
+    imp.addData((8L, 2000L))
+    clk.addData((9L, 3000L))
+    q.processAllAvailable()
+    // ...then a click that WOULD match imp 2 arrives below the watermark:
+    // stale late input, dropped — state for imp 2 is gone
+    clk.addData((2L, 1006L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ssj_t").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("maintained sketch table: per-batch sketches, merge-on-read distinct, idempotent redelivery") {
     implicit val sq = spark.sqlContext
     val dir = Files.createTempDirectory("skdir").toString
