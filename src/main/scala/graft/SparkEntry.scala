@@ -1580,6 +1580,39 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
     }),
 
+    "sim_filtered_topk" -> ((s, d) => {
+      // filtered ANN: the metadata predicate (same label) is part of the
+      // JOIN KEY, so the search space partitions by the attribute instead
+      // of post-filtering a global shortlist (which under-fills k when the
+      // filter is selective — the classic filtered-ANN failure mode)
+      val emb = t(s, d, "embeddings")
+      Similarity.filteredTopK(
+        emb, col("vec_id"), col("embedding"), col("label"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        col("label"), 10)
+    }),
+
+    "sim_mmr_rerank" -> ((s, d) => {
+      // MMR diversified re-rank (λ=0.3) of a 20-candidate brute shortlist:
+      // the greedy argmax loop is ONE scan-local expression over the
+      // per-query candidate array — not SQL-expressible (iterative) →
+      // rows-only gate; MmrSpec pins relevance-vs-diversity goldens.
+      val emb = t(s, d, "embeddings")
+      val short = Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 20)
+      val withVec = short.join(
+        emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("cv")),
+        Seq("vec_id"))
+      val cands = withVec.groupBy("query_id")
+        .agg(collect_list(struct(col("vec_id").as("id"), col("cv").as("vec"))).as("cands"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("qv"))
+      Similarity.mmrRerank(cands.join(broadcast(q), "query_id"),
+        "query_id", "qv", "cands", lambda = 0.3, k = 10)
+    }),
+
     "sim_maxsim" -> ((s, d) => {
       // late-interaction retrieval: multi-vector MaxSim scoring (each doc
       // embedding sliced into 4 token sub-vectors), top-10 per query — the
@@ -3616,6 +3649,17 @@ object SparkEntry {
            round(list_dot_product(cv, qv)
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    "sim_filtered_topk" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS query_id, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5)
+         SELECT query_id, vec_id,
+           round(list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM c, q WHERE vec_id <> query_id AND label = qlabel
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
 
     "sim_mips_topk" ->

@@ -58,6 +58,49 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 
+  /** Filtered retrieval ("filtered ANN"): top-k among corpus rows sharing
+    * the query's attribute value (same-category search). The predicate is
+    * part of the JOIN KEY — at scale the search space hash-partitions by
+    * the attribute instead of post-filtering a global shortlist, which
+    * under-fills k whenever the filter is selective (the classic filtered-
+    * ANN failure mode). Per (attribute) partition the scan is corpus-once
+    * with the bounded top-k aggregate, same as [[bruteForceTopK]]. */
+  def filteredTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                   corpusAttr: Column,
+                   queries: DataFrame, queryId: Column, queryVec: Column,
+                   queryAttr: Column, k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"),
+      corpusAttr.as("__attr"))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"),
+      queryAttr.as("__qattr"))
+    c.join(broadcast(q),
+        col("__attr") === col("__qattr") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos_sim"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("vec_id"),
+        col("__e.score").as("cos_sim"))
+  }
+
+  /** MMR diversified re-rank (Carbonell & Goldstein, SIGIR '98) of a
+    * per-query candidate shortlist: greedily select k items maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). The shortlist (from any
+    * retriever) rides in ONE array column, so the O(k·|shortlist|) greedy
+    * loop is scan-local per query row ([[graft.functions.MmrSelectExpr]])
+    * — never a shuffle, never a driver loop. Not SQL-expressible
+    * (iterative argmax) → spec-gated. */
+  def mmrRerank(shortlist: DataFrame, queryIdCol: String, queryVecCol: String,
+                candsCol: String, lambda: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val sel = GraftBridge.toCol(graft.functions.MmrSelectExpr(
+      GraftBridge.toExpr(col(queryVecCol)), GraftBridge.toExpr(col(candsCol)),
+      lambda, k))
+    shortlist
+      .select(col(queryIdCol).as("query_id"), posexplode(sel).as(Seq("rank", "vec_id")))
+      .select(col("query_id"), (col("rank") + 1).as("rank"), col("vec_id"))
+  }
+
   /** ColBERT-style late-interaction MaxSim (Khattab & Zaharia SIGIR '20):
     * documents and queries are MULTI-vector (one sub-vector per "token");
     * score(q, d) = Σ_i max_j cos(q_i, d_j) — each query token matches its
