@@ -54,7 +54,9 @@ object Bench {
     "sketch_quantiles", "sketch_kmv_setops", "cdc_agg_maintain",
     "cdc_consistency_check", "q_bloom_join", "pipe_curriculum",
     "text_lm_backoff", "dedup_fuzzy_join", "cdc_funnel", "q_cohort_retention",
-    "cdc_repair_plan", "pipe_zorder", "sketch_rollup", "q_salted_join"
+    "cdc_repair_plan", "pipe_zorder", "sketch_rollup", "q_salted_join",
+    "text_bpe_encode", "q_asof_forward", "pipe_corpus_stats",
+    "sim_filtered_topk", "sim_mmr_rerank", "q_islands", "q_gap_fill"
   )
 
   private def loadavg: Double =

@@ -249,6 +249,22 @@ object SparkEntry {
           col("ts"), col("event_type"), Seq("view", "click", "purchase"))
         .select(col("key").as("user_id"), col("funnel_stage"))),
 
+    "q_islands" -> ((s, d) =>
+      // gaps-and-islands: consecutive-active-day streaks per user via the
+      // day − row_number grouping identity — two key-partitioned
+      // aggregations, no self-joins
+      graft.operators.Cdc.activityStreaks(t(s, d, "events"), col("user_id"),
+          col("ts"))
+        .select(col("key").as("user_id"), col("n_streaks"), col("max_streak"))),
+
+    "q_gap_fill" -> ((s, d) =>
+      // daily resample + forward fill: per-user day spine exploded from
+      // the key's own range, latest daily total carried across gaps by one
+      // last(ignoreNulls) window — never a per-day join against history
+      graft.operators.Cdc.gapFillDaily(t(s, d, "events"), col("user_id"),
+          col("ts"), col("value"))
+        .select(col("key").as("user_id"), col("day"), col("value_filled"))),
+
     "q_cohort_retention" -> ((s, d) =>
       // cohort retention: first-activity week x activity-week offset,
       // integer epoch-week arithmetic (engine-portable); two hash aggs +
@@ -2548,6 +2564,31 @@ object SparkEntry {
          LEFT JOIN s1 USING (user_id)
          LEFT JOIN s2 USING (user_id)
          LEFT JOIN s3 USING (user_id)""",
+
+    "q_islands" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             epoch_ms(ts) // 86400000 AS d FROM events),
+         g AS (SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+           FROM act),
+         runs AS (SELECT user_id, grp, count(*) AS len
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak
+         FROM runs GROUP BY user_id""",
+
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+             sum(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id,
+             unnest(generate_series(min(d), max(d))) AS d
+           FROM daily GROUP BY user_id),
+         j AS (SELECT s.user_id, s.d, daily.v
+           FROM span s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d)
+         SELECT user_id, d AS day,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+         FROM j""",
 
     "q_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,

@@ -231,6 +231,43 @@ object Cdc {
         }).as("funnel_stage"))
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per key
+    * (login streaks, uptime islands) via the classic day − row_number
+    * grouping identity — consecutive days share a constant difference.
+    * Two partitioned windows/aggregations on the key, no self-joins.
+    * Returns (key, n_streaks, max_streak). */
+  def activityStreaks(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val day = (unix_millis(tsCol) / lit(86400000L)).cast("long")
+    val act = df.select(keyCol.as("key"), day.as("d")).distinct()
+    val w = Window.partitionBy(col("key")).orderBy(col("d"))
+    val grouped = act.withColumn("grp", col("d") - row_number().over(w))
+      .groupBy("key", "grp").agg(count(lit(1)).as("len"))
+    grouped.groupBy("key")
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+  }
+
+  /** Daily resample with forward fill: per key, one row per day from the
+    * key's first to last active day, carrying the latest daily total
+    * across gaps (the "as-of sampled time series" read). The span explode
+    * is per key (bounded by the key's day range); the fill is one
+    * `last(ignoreNulls)` window per key — no per-day joins against the
+    * full history. */
+  def gapFillDaily(df: DataFrame, keyCol: Column, tsCol: Column,
+      valueCol: Column): DataFrame = {
+    val day = (unix_millis(tsCol) / lit(86400000L)).cast("long")
+    val daily = df.select(keyCol.as("key"), day.as("d"),
+        valueCol.cast("decimal(18,2)").as("v"))
+      .groupBy("key", "d").agg(sum(col("v")).as("v"))
+    val span = daily.groupBy("key")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col("key")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span.join(daily, Seq("key", "d"), "left")
+      .withColumn("value_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("key"), col("d").as("day"), col("value_filled"))
+  }
+
   /** Cohort retention: users bucketed by first-activity week (epoch-day
     * div 7 — pure integer arithmetic, engine-portable), counted per
     * (cohort_week, week_offset) of later activity. Two hash aggregations
