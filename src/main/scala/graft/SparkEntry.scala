@@ -249,6 +249,17 @@ object SparkEntry {
           col("ts"), col("event_type"), Seq("view", "click", "purchase"))
         .select(col("key").as("user_id"), col("funnel_stage"))),
 
+    "cdc_funnel_windowed" -> ((s, d) =>
+      // conversion-window funnel: each step must land within 7 days of the
+      // previous step's FIRST completion (standard product-analytics
+      // semantics, no backtracking) — same single-shuffle HOF fold, the
+      // gap bound rides inside the lambda
+      graft.operators.Cdc.funnel(
+          t(s, d, "events").filter(col("value") >= 85.0), col("user_id"),
+          col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+          maxGapMs = Some(604800000L))
+        .select(col("key").as("user_id"), col("funnel_stage"))),
+
     "q_islands" -> ((s, d) =>
       // gaps-and-islands: consecutive-active-day streaks per user via the
       // day − row_number grouping identity — two key-partitioned
@@ -573,6 +584,12 @@ object SparkEntry {
       graft.operators.Skew.saltedSum(t(s, d, "events"), col("event_type"),
           col("value"), saltBuckets = 8)
         .select(col("key").as("event_type"), col("total").cast("string").as("total"))),
+
+    "text_readability" -> ((s, d) =>
+      // Flesch reading-ease in integer-exact form: sentence/word/vowel-
+      // group counts + score x1000 floored — one scan-local projection
+      operators.Text.readability(t(s, d, "documents"), col("doc_id"),
+        col("text"))),
 
     "text_bpe_encode" -> ((s, d) =>
       // the full tokenizer: 200 merges trained from the vocab table
@@ -2236,6 +2253,23 @@ object SparkEntry {
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS total
          FROM events GROUP BY event_type""",
 
+    "text_readability" ->
+      """SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+             s -> length(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syl,
+           CASE WHEN len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                  s -> length(trim(s)) > 0)) > 0
+                 AND len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) > 0
+             THEN CAST(floor(206835.0
+               - (1015.0 * len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+                 / len(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> length(trim(s)) > 0))
+               - (84600.0 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                 / len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT)
+           END AS flesch_milli
+         FROM documents""",
+
     "text_bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
@@ -2555,6 +2589,28 @@ object SparkEntry {
          s3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3 FROM e
            JOIN s2 USING (user_id)
            WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2 GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+         FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
+
+    "cdc_funnel_windowed" ->
+      """WITH e AS (SELECT * FROM events WHERE value >= 85.0),
+         s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1
+             AND epoch_ms(e.ts) - s1.t1 <= 604800000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3 FROM e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2
+             AND epoch_ms(e.ts) - s2.t2 <= 604800000 GROUP BY 1)
          SELECT u.user_id,
            CASE WHEN s3.user_id IS NOT NULL THEN 3
                 WHEN s2.user_id IS NOT NULL THEN 2

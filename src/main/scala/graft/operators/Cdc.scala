@@ -200,7 +200,7 @@ object Cdc {
     * event count (the same bound sessionization already assumes).
     * Returns (key, funnel_stage ∈ 0..stages.length). */
   def funnel(df: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGapMs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
     val MaxTs = Long.MaxValue
     val ev = df.select(keyCol.as("key"),
@@ -209,14 +209,20 @@ object Cdc {
       .agg(sort_array(collect_list(col("e"))).as("es"))
     // fold state: array of per-stage first-completion times (MaxTs = not
     // reached); stage i fires on the first matching event strictly after
-    // state(i-1)
+    // state(i-1) — and, when a window is set, within maxGapMs of it
+    // (FIRST-completion semantics throughout: the windowed form does not
+    // backtrack to a later stage-(i-1) completion that would open a new
+    // window, matching the standard product-analytics funnel)
     val init = array(stages.map(_ => lit(MaxTs)): _*)
     val step = (acc: Column, e: Column) => {
       val t = e.getField("t")
       val tp = e.getField("tp")
       val slots = stages.zipWithIndex.map { case (name, i) =>
         val prevDone = if (i == 0) lit(true)
-          else element_at(acc, i) =!= MaxTs && t > element_at(acc, i)
+          else {
+            val base = element_at(acc, i) =!= MaxTs && t > element_at(acc, i)
+            maxGapMs.fold(base)(g => base && t - element_at(acc, i) <= g)
+          }
         when(element_at(acc, i + 1) === MaxTs && tp === name && prevDone, t)
           .otherwise(element_at(acc, i + 1))
       }

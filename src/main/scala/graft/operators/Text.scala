@@ -388,6 +388,26 @@ object Text {
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
   }
 
+  /** Flesch reading-ease readability signal (Flesch 1948, the curation
+    * filter's "too hard / too telegraphic" axis), in engine-exact integer
+    * form: sentence count (non-empty `[.!?]+` segments), word count
+    * (whitespace tokens of normalized text), syllable proxy (vowel-group
+    * runs `[aeiouy]+` — the standard cheap approximation), and the score
+    * ×1000 floored (206.835 − 1.015·W/S − 84.6·Syl/W). One scan-local
+    * projection, no shuffle. */
+  def readability(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+        size(split(normalized(textCol), " ")).cast("long").as("n_words"),
+        size(filter(split(textCol, "[.!?]+"),
+          s => length(trim(s)) > 0)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(textCol), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syl"))
+      .withColumn("flesch_milli",
+        when(col("n_sentences") > 0 && col("n_words") > 0,
+          floor(lit(206835.0)
+            - (lit(1015.0) * col("n_words")) / col("n_sentences")
+            - (lit(84600.0) * col("n_syl")) / col("n_words")).cast("long")))
+
   /** Full BPE tokenize: train `numMerges` merge rules from the corpus's
     * word-frequency VOCAB (vocabulary-sized driver collect — the bounded
     * class the IVF/PQ codebooks use; the corpus never leaves executors),

@@ -110,6 +110,25 @@ class CdcOpsSpec extends SparkTestBase {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0, 6L -> 2))
   }
 
+  test("windowed funnel: a step beyond the gap does not fire; within-gap does") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val rows = Seq(
+      // u1: click 500ms after view — inside the 1000ms gap, purchase 2000ms
+      // after click — OUTSIDE the gap: stalls at 2
+      (1L, ts(1000), "view"), (1L, ts(1500), "click"), (1L, ts(3500), "purchase"),
+      // u2: everything tight — full funnel
+      (2L, ts(1000), "view"), (2L, ts(1500), "click"), (2L, ts(2000), "purchase"),
+      // u3: click 5000ms after view — outside: stalls at 1 even though a
+      // purchase follows
+      (3L, ts(1000), "view"), (3L, ts(6000), "click"), (3L, ts(6500), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Cdc.funnel(rows, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"), maxGapMs = Some(1000L))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 3, 3L -> 1))
+  }
+
   test("cohortRetention counts distinct users per (cohort, offset)") {
     import java.sql.Timestamp
     val wk = 7L * 86400000L
