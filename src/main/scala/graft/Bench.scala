@@ -56,7 +56,8 @@ object Bench {
     "text_lm_backoff", "dedup_fuzzy_join", "cdc_funnel", "q_cohort_retention",
     "cdc_repair_plan", "pipe_zorder", "sketch_rollup", "q_salted_join",
     "text_bpe_encode", "q_asof_forward", "pipe_corpus_stats",
-    "sim_filtered_topk", "sim_mmr_rerank", "q_islands", "q_gap_fill"
+    "sim_filtered_topk", "sim_mmr_rerank", "q_islands", "q_gap_fill",
+    "cdc_funnel_windowed", "text_readability"
   )
 
   private def loadavg: Double =
