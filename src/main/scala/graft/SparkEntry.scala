@@ -516,6 +516,15 @@ object SparkEntry {
           t(s, d, "documents"), col("doc_id"), length(col("text")), 4)
         .select(col("doc_id"), col("stage"))),
 
+    "sample_weighted" -> ((s, d) =>
+      // weighted sampling without replacement (Efraimidis-Spirakis keys,
+      // deterministic md5 uniforms, ln-floor engine-exact discipline):
+      // global top-40 by key — Spark plans TakeOrderedAndProject
+      // (per-partition heaps), never a single-partition sort
+      graft.operators.Sampling.weightedSample(t(s, d, "documents"),
+          col("doc_id"), col("n_chars"), n = 40)
+        .select(col("id").as("doc_id"), col("w"), col("ws_score"))),
+
     "sample_mixture" -> ((s, d) =>
       // data-mixture epochs per source (LLaMA-recipe upsampling): src0 seen
       // twice, src1 1.5x, src2 0.5x, src3 0.25x, everything else dropped
@@ -2164,6 +2173,18 @@ object SparkEntry {
            ntile(4) OVER (ORDER BY length(text),
              md5(CAST(doc_id AS VARCHAR)), doc_id) AS stage
          FROM documents""",
+
+    // ln-floor margin asserted in SamplingSpec (same discipline as DSIR)
+    "sample_weighted" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+           (list_sum([CAST(strpos('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS DOUBLE)
+              * power(16.0, 13 - i) for i in range(1, 14)]) + 1.0)
+             / 4503599627370497.0 AS u
+         FROM documents)
+         SELECT doc_id, w,
+           CAST(floor(ln(u) / w * 1000000000.0) AS BIGINT) AS ws_score
+         FROM s ORDER BY ws_score DESC, doc_id LIMIT 40""",
 
     "sample_quota" ->
       """SELECT doc_id, lang, source FROM (

@@ -261,6 +261,33 @@ object Sampling {
     df.join(mapping, idCol === col("__sa_id")).drop("__sa_id")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL '06): item i gets
+    * key u_i^(1/w_i) with u_i uniform; the top-n keys ARE a weighted
+    * sample without replacement. Deterministic u_i from the md5 of the id
+    * (13 hex digits → an exact ≤2^52 integer, so the double is
+    * bit-identical across engines), ranked by the equivalent monotone
+    * score ln(u)/w — floored at ×10⁹ so an engine-libm last-ulp wobble in
+    * `ln` cannot reorder (distinctness of the floored scores is asserted
+    * per fixture in SamplingSpec, the same floor-margin discipline as the
+    * DSIR and BM25 kernels). Selection is a global top-n — Spark plans
+    * TakeOrderedAndProject: per-partition heaps of n, no full sort, no
+    * single-partition window. The quality-weighted corpus subsample in
+    * one pass. */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+      n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    // exact integer value of the first 13 md5 hex digits, as a double
+    val u = (conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370497.0) // (v+1)/(2^52+1) ∈ (0,1]
+    val score = floor(log(u) / weightCol.cast("double") * lit(1000000000.0))
+      .cast("long")
+    df.select(idCol.as("id"), weightCol.cast("double").as("w"),
+        score.as("ws_score"))
+      .orderBy(col("ws_score").desc, col("id"))
+      .limit(n)
+  }
+
   /** Curriculum staging (Bengio et al., "Curriculum Learning", ICML '09):
     * stage = exact NTILE(k) of the corpus ordered easiest→hardest by
     * `diffCol`, ties broken by a deterministic md5 shuffle (equal-

@@ -242,6 +242,32 @@ class SamplingSpec extends SparkTestBase {
     assert(minDist > 1e-4, f"ln-floor margin too thin: $minDist%.3e")
   }
 
+  test("weightedSample: heavier items overrepresented; ln-floor margin holds on the fixture") {
+    // deterministic Efraimidis-Spirakis: ids with w=10 should dominate a
+    // 100-of-1000 sample over w=1 ids (expected inclusion odds ~10:1)
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) 10.0 else 1.0))
+      .toDF("id", "w")
+    val picked = Sampling.weightedSample(df, col("id"), col("w"), n = 100)
+      .select("id").as[Long].collect()
+    assert(picked.length == 100 && picked.distinct.length == 100)
+    val heavy = picked.count(_ % 2 == 0)
+    assert(heavy > 75, s"heavy-weight items underrepresented: $heavy/100")
+    // floor-margin discipline on the REAL oracle fixture: no doc's score
+    // sits close enough to an integer boundary for a last-ulp ln wobble
+    // to flip the floor
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val xs = docs.select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("double") + lit(1.0)) / lit(4503599627370497.0),
+        col("n_chars").cast("double"))
+      .as[(Double, Double)].collect()
+    val minDist = xs.map { case (u, w) =>
+      val x = math.log(u) / w * 1000000000.0
+      math.abs(x - math.rint(x))
+    }.min
+    assert(minDist > 1e-4, f"ws ln-floor margin too thin: $minDist%.3e")
+  }
+
   test("curriculumStages ≡ the ntile window, including heavy ties") {
     val df = (1 to 1037).map(i => (i.toLong, (i * 31 % 50).toDouble))
       .toDF("id", "diff").repartition(8)
