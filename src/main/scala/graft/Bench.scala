@@ -57,7 +57,8 @@ object Bench {
     "cdc_repair_plan", "pipe_zorder", "sketch_rollup", "q_salted_join",
     "text_bpe_encode", "q_asof_forward", "pipe_corpus_stats",
     "sim_filtered_topk", "sim_mmr_rerank", "q_islands", "q_gap_fill",
-    "cdc_funnel_windowed", "text_readability"
+    "cdc_funnel_windowed", "text_readability", "sample_weighted",
+    "sketch_hh_rollup"
   )
 
   private def loadavg: Double =

@@ -123,6 +123,17 @@ object GraftExtensions {
       val Seq(h, k) = arity("kmv_sketch", 2)(args)
       graft.functions.KmvSketchAgg(h, intLit("kmv_sketch", "k", k))
     },
+    entry("hh_sketch", classOf[graft.functions.HhSketchAgg]) { args =>
+      val Seq(v, m) = arity("hh_sketch", 2)(args)
+      graft.functions.HhSketchAgg(v, intLit("hh_sketch", "m", m))
+    },
+    entry("hh_merge", classOf[graft.functions.HhMergeAgg]) { args =>
+      graft.functions.HhMergeAgg(arity("hh_merge", 1)(args).head)
+    },
+    entry("hh_topk", classOf[graft.functions.HhTopKExpr]) { args =>
+      val Seq(s, k) = arity("hh_topk", 2)(args)
+      graft.functions.HhTopKExpr(s, intLit("hh_topk", "k", k))
+    },
     entry("kmv_merge", classOf[graft.functions.KmvMergeAgg]) { args =>
       graft.functions.KmvMergeAgg(arity("kmv_merge", 1)(args).head)
     },

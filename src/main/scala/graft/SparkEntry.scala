@@ -674,6 +674,24 @@ object SparkEntry {
           kmvEstimate(kmvMerge(col("sk"))).as("n_users"))
     }),
 
+    "sketch_hh_rollup" -> ((s, d) => {
+      // the heavy-hitters half of the sketch-table architecture: per-
+      // (event_type, day) SpaceSaving sketches materialize once, and the
+      // per-type top-10 is hh_topk(hh_merge(sk)) over the stored VALUES —
+      // exact while distinct users <= m (the oracle regime), counter-wise
+      // merge above it.
+      import graft.functions.HhSketchOps._
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(hhSketch(col("user_id"), 8192).as("sk"))
+        .groupBy("event_type")
+        .agg(hhMerge(col("sk")).as("merged"))
+        .select(col("event_type"), explode(hhTopK(col("merged"), 10)).as("h"))
+        .select(col("event_type"), col("h.value").as("user_id"),
+          col("h.cnt").as("cnt"))
+    }),
+
     "q_salted_join" -> ((s, d) =>
       // statically salted fact⋈dim join: hot fact keys spread over 8
       // reducers via a fact-side salt + 8x dim replication on (key, salt)
@@ -2344,6 +2362,17 @@ object SparkEntry {
            count(DISTINCT epoch_ms(ts) // 86400000) AS n_days,
            count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",
+
+    // rolled-up SpaceSaving is exact below m=8192 distinct — per type the
+    // merged sketch's top-10 IS the exact GROUP BY top-10 (ties count
+    // desc, user_id asc in both engines)
+    "sketch_hh_rollup" ->
+      """SELECT event_type, user_id, cnt FROM (
+           SELECT event_type, user_id, count(*) AS cnt,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id) AS rk
+           FROM events GROUP BY event_type, user_id)
+         WHERE rk <= 10""",
 
     // fact-side salting never changes the answer — the oracle is the plain join
     "q_salted_join" ->

@@ -147,6 +147,163 @@ object SpaceSavingBuf {
   * above; mergeable O(m) state, so the shuffle carries ≤m counters per
   * group per map task regardless of stream size. Complements
   * [[KmvDistinctAgg]] (distinct count) on the frequency side. */
+/** Wire form of a SpaceSaving sketch VALUE: int m header + the buffer
+  * payload — the heavy-hitters half of the sketch-table architecture
+  * (store per-(day, dim) sketches, roll up any coarser cell with
+  * [[HhMergeAgg]] + [[HhTopKExpr]], no raw re-scan). Exact while the
+  * global distinct count stays ≤ m, same two-regime contract as the
+  * aggregate itself. */
+object HhWire {
+  def write(b: SpaceSavingBuf): Array[Byte] = {
+    val inner = b.serialize()
+    val out = java.nio.ByteBuffer.allocate(4 + inner.length)
+    out.putInt(b.m)
+    out.put(inner)
+    out.array()
+  }
+
+  def read(bytes: Array[Byte]): SpaceSavingBuf = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val m = buf.getInt
+    val rest = new Array[Byte](bytes.length - 4)
+    buf.get(rest)
+    SpaceSavingBuf.deserialize(rest, m)
+  }
+}
+
+/** `hh_sketch(value, m)` → binary: serialized SpaceSaving sketch of a
+  * bigint stream (cohort filters via null-skipping conditional input). */
+case class HhSketchAgg(
+    value: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuf] {
+  require(m >= 16, "m must be at least 16")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hh_sketch"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (value.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint input, got " + value.dataType.simpleString)
+
+  override def createAggregationBuffer(): SpaceSavingBuf = new SpaceSavingBuf(m)
+
+  override def update(buffer: SpaceSavingBuf, input: InternalRow): SpaceSavingBuf = {
+    val v = value.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: SpaceSavingBuf, other: SpaceSavingBuf): SpaceSavingBuf = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: SpaceSavingBuf): Any = HhWire.write(buffer)
+
+  override def serialize(buffer: SpaceSavingBuf): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuf =
+    SpaceSavingBuf.deserialize(bytes, m)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HhSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HhSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HhSketchAgg =
+    copy(value = newChildren.head)
+}
+
+/** `hh_merge(sketch)` → binary: aggregate merge of stored SpaceSaving
+  * sketch VALUES (counter-wise, the exact-regime-preserving rule). The
+  * buffer adopts the first operand's m. */
+case class HhMergeAgg(
+    sketch: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuf] {
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hh_merge"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (sketch.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an hh_sketch binary, got " + sketch.dataType.simpleString)
+
+  override def createAggregationBuffer(): SpaceSavingBuf = new SpaceSavingBuf(16)
+
+  private def fold(buffer: SpaceSavingBuf, other: SpaceSavingBuf): SpaceSavingBuf =
+    if (buffer.counts.isEmpty && buffer.m == 16 && other.m != 16) other
+    else if (other.counts.isEmpty && other.m == 16) buffer
+    else {
+      val (into, from) =
+        if (buffer.m <= other.m) (buffer, other) else (other, buffer)
+      into.mergeFrom(from)
+      into
+    }
+
+  override def update(buffer: SpaceSavingBuf, input: InternalRow): SpaceSavingBuf = {
+    val b = sketch.eval(input)
+    if (b == null) buffer
+    else fold(buffer, HhWire.read(b.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(buffer: SpaceSavingBuf, other: SpaceSavingBuf): SpaceSavingBuf =
+    fold(buffer, other)
+
+  override def eval(buffer: SpaceSavingBuf): Any = HhWire.write(buffer)
+
+  override def serialize(buffer: SpaceSavingBuf): Array[Byte] = HhWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuf = HhWire.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HhMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HhMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HhMergeAgg =
+    copy(sketch = newChildren.head)
+}
+
+/** `hh_topk(sketch, k)` → array<struct<value, cnt, maxerr>>: the top-k
+  * frequency report of a stored sketch value (count desc, value asc —
+  * deterministic). Post-aggregate scalar, CodegenFallback by design. */
+case class HhTopKExpr(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1, "k must be >= 1")
+
+  override def prettyName: String = "hh_topk"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("maxerr", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an hh_sketch binary")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = HhWire.read(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(b.topK(k).map { case (v, c, e) =>
+      org.apache.spark.sql.catalyst.InternalRow(v, c, e)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HhTopKExpr =
+    copy(child = newChild)
+}
+
 case class HeavyHittersAgg(
     value: Expression,
     m: Int,
@@ -205,4 +362,16 @@ object HeavyHittersAgg {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.toCol(HeavyHittersAgg(GraftBridge.toExpr(value), m, k).toAggregateExpression())
   }
+}
+
+object HhSketchOps {
+  import org.apache.spark.sql.GraftBridge
+  def hhSketch(value: Column, m: Int): Column =
+    GraftBridge.toCol(
+      HhSketchAgg(GraftBridge.toExpr(value), m).toAggregateExpression())
+  def hhMerge(sketch: Column): Column =
+    GraftBridge.toCol(
+      HhMergeAgg(GraftBridge.toExpr(sketch)).toAggregateExpression())
+  def hhTopK(sketch: Column, k: Int): Column =
+    GraftBridge.toCol(HhTopKExpr(GraftBridge.toExpr(sketch), k))
 }

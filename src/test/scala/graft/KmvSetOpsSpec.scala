@@ -109,6 +109,42 @@ class KmvSetOpsSpec extends SparkTestBase {
     assert(math.abs(est - 3600.0) / 3600.0 < 0.3, s"est $est")
   }
 
+  test("hh sketch-table rollup: merged stored sketches ≡ exact top-k below m") {
+    import graft.functions.HhSketchOps._
+    val df = (1 to 6000).map(i => (i % 4, s"d${i % 5}", (i % 300).toLong))
+      .toDF("tpe", "day", "uid").repartition(8)
+    val got = df.groupBy("tpe", "day")
+      .agg(hhSketch(col("uid"), 4096).as("sk"))
+      .groupBy("tpe").agg(hhMerge(col("sk")).as("m"))
+      .select(col("tpe"), explode(hhTopK(col("m"), 5)).as("h"))
+      .select(col("tpe"), col("h.value"), col("h.cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val want = df.groupBy("tpe", "uid").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tpe")
+          .orderBy(col("c").desc, col("uid"))))
+      .filter(col("rk") <= 5).select("tpe", "uid", "c")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("hh_merge above capacity keeps the guaranteed-present heavy hitter") {
+    import graft.functions.{HhWire, SpaceSavingBuf}
+    // two saturated m=64 sketches; value 7 holds >N/m of the merged stream
+    def mk(offset: Int): SpaceSavingBuf = {
+      val b = new SpaceSavingBuf(64)
+      (0 until 2000).foreach(i => b.add((offset + i % 100).toLong))
+      (0 until 500).foreach(_ => b.add(7L))
+      b
+    }
+    val a = mk(100); val b = mk(300)
+    val merged = HhWire.read(HhWire.write(a))
+    merged.mergeFrom(HhWire.read(HhWire.write(b)))
+    val top = merged.topK(5)
+    assert(top.head._1 == 7L, s"heavy hitter lost: ${top.toSeq}")
+    assert(top.head._2 >= 1000L) // count at least the true 1000 (overestimates allowed)
+  }
+
   test("SQL surface: kmv_sketch / kmv_union / kmv_intersect_est registered") {
     GraftExtensions.install(spark)
     (1 to 300).map(i => (i, i % 2)).toDF("v", "par")
