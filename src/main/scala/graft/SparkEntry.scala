@@ -516,6 +516,15 @@ object SparkEntry {
           t(s, d, "documents"), col("doc_id"), length(col("text")), 4)
         .select(col("doc_id"), col("stage"))),
 
+    "q_winsorize" -> ((s, d) =>
+      // per-type winsorization at [p05, p95]: KLL thresholds (exact at
+      // this fixture's group sizes — the oracle regime), broadcast
+      // group-sized bound table, scan-local clamp
+      graft.operators.Sampling.winsorize(t(s, d, "events"),
+          col("event_type"), col("value"), 0.05, 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_w"))),
+
     "sample_weighted" -> ((s, d) =>
       // weighted sampling without replacement (Efraimidis-Spirakis keys,
       // deterministic md5 uniforms, ln-floor engine-exact discipline):
@@ -2191,6 +2200,21 @@ object SparkEntry {
            ntile(4) OVER (ORDER BY length(text),
              md5(CAST(doc_id AS VARCHAR)), doc_id) AS stage
          FROM documents""",
+
+    // KLL thresholds are exact below capacity — the clamp bounds ARE the
+    // ceil(q*n) order statistics at this fixture's group sizes
+    "q_winsorize" ->
+      """WITH r AS (SELECT event_type, value,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         b AS (SELECT event_type,
+             max(CASE WHEN rn = CAST(greatest(1, ceil(0.05 * n)) AS BIGINT) THEN value END) AS lo,
+             max(CASE WHEN rn = CAST(greatest(1, ceil(0.95 * n)) AS BIGINT) THEN value END) AS hi
+           FROM r GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, b.lo), b.hi) AS value_w
+         FROM events e JOIN b USING (event_type)""",
 
     // ln-floor margin asserted in SamplingSpec (same discipline as DSIR)
     "sample_weighted" ->

@@ -261,6 +261,29 @@ object Sampling {
     df.join(mapping, idCol === col("__sa_id")).drop("__sa_id")
   }
 
+  /** Per-group winsorization: clamp a value column at its group's
+    * [qLo, qHi] order statistics — the standard outlier-taming transform
+    * before loss-weighting / normalization. Thresholds come from the KLL
+    * ladder ([[graft.functions.KllQuantileAgg]]): EXACT below capacity
+    * (the oracle regime), the documented ~1/c rank error above — which is
+    * the honest 100 TB posture (exact per-group percentiles at corpus
+    * scale would shuffle every row through a per-group sort; winsorization
+    * tolerates sketched bounds by construction). The threshold table is
+    * GROUP-cardinality-sized and broadcasts; the data stream never
+    * reshuffles. */
+  def winsorize(df: DataFrame, grpCol: Column, valCol: Column,
+      qLo: Double, qHi: Double, k: Int = 4096): DataFrame = {
+    require(qLo < qHi, "qLo must be < qHi")
+    val bounds = df.groupBy(grpCol.as("__g"))
+      .agg(graft.functions.KllQuantileAgg.kllQuantiles(
+        valCol.cast("double"), k, Seq(qLo, qHi)).as("__qs"))
+      .select(col("__g"), col("__qs")(0).as("__lo"), col("__qs")(1).as("__hi"))
+    df.join(broadcast(bounds), grpCol === col("__g"))
+      .withColumn("value_w",
+        least(greatest(valCol.cast("double"), col("__lo")), col("__hi")))
+      .drop("__g", "__lo", "__hi")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
     * "Weighted random sampling with a reservoir", IPL '06): item i gets
     * key u_i^(1/w_i) with u_i uniform; the top-n keys ARE a weighted
