@@ -325,6 +325,16 @@ object SparkEntry {
           col("value"))
     }),
 
+    "q_skyline" -> ((s, d) =>
+      // Pareto frontier of purchases over (value, recency): ONE range
+      // exchange + O(partitions) prefix maxes + local sweeps — never the
+      // n^2 anti-join the oracle runs
+      graft.operators.Layout.skyline2D(
+          t(s, d, "events").filter(col("event_type") === "purchase"),
+          col("event_id"), col("value"), unix_millis(col("ts")))
+        .select(col("id").as("event_id"), col("x").as("value"),
+          col("y").as("ts_ms"))),
+
     "pipe_zorder" -> ((s, d) =>
       // Morton interleave of (user_id, epoch-day): the multi-dimension
       // clustering key behind OPTIMIZE ZORDER — pure shift/mask/or
@@ -2760,6 +2770,14 @@ object SparkEntry {
          WHERE snk.user_id IS NULL OR src.user_id IS NULL
            OR src.event_type IS DISTINCT FROM snk.event_type
            OR src.value IS DISTINCT FROM snk.value""",
+
+    "q_skyline" ->
+      """WITH p AS (SELECT event_id, value AS x,
+             CAST(epoch_ms(ts) AS DOUBLE) AS y
+           FROM events WHERE event_type = 'purchase')
+         SELECT a.event_id, a.x AS value, a.y AS ts_ms FROM p a
+         WHERE NOT EXISTS (SELECT 1 FROM p b
+           WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))""",
 
     "pipe_zorder" ->
       """SELECT event_id,

@@ -64,6 +64,43 @@ class ZOrderSpec extends SparkTestBase {
     assert(hits(zBoxes, onB = false, 0, 7) <= 8)
   }
 
+  test("skyline2D ≡ brute-force non-dominated set, with ties and duplicates") {
+    val pts = Seq(
+      (1L, 10.0, 1.0), (2L, 9.0, 2.0), (3L, 8.0, 3.0), // frontier chain
+      (4L, 9.0, 1.5), // dominated by 2 (same x, smaller y)
+      (5L, 7.0, 3.0), // dominated by 3 (same y, smaller x)
+      (6L, 8.0, 3.0), // exact duplicate of 3 — both survive
+      (7L, 1.0, 10.0), // frontier (max y)
+      (8L, 0.5, 0.5)) // interior
+    val df = pts.toDF("id", "x", "y").repartition(7)
+    val got = graft.operators.Layout
+      .skyline2D(df, col("id"), col("x"), col("y"))
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, px, py) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got == Set(1L, 2L, 3L, 6L, 7L))
+  }
+
+  test("skyline2D on random points matches brute force across partitions") {
+    val pts = (1 to 2000).map { i =>
+      (i.toLong, ((i * 48271) % 1009).toDouble, ((i * 16807) % 997).toDouble)
+    }
+    val got = graft.operators.Layout
+      .skyline2D(pts.toDF("id", "x", "y").repartition(16),
+        col("id"), col("x"), col("y"))
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (_, px, py) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= px && qy >= py && (qx > px || qy > py)
+      }
+    }.map(_._1).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("clusterByZOrder preserves the rows exactly") {
     val df = spark.range(1000).select(col("id").as("a"), (col("id") * 7 % 97).as("b"))
     val out = Layout.clusterByZOrder(df, col("a"), col("b"), 10, 8)
