@@ -58,7 +58,7 @@ object Bench {
     "text_bpe_encode", "q_asof_forward", "pipe_corpus_stats",
     "sim_filtered_topk", "sim_mmr_rerank", "q_islands", "q_gap_fill",
     "cdc_funnel_windowed", "text_readability", "sample_weighted",
-    "sketch_hh_rollup", "q_winsorize", "q_skyline"
+    "sketch_hh_rollup", "q_winsorize", "q_skyline", "sketch_kll_rollup"
   )
 
   private def loadavg: Double =

@@ -148,6 +148,20 @@ object GraftExtensions {
       val Seq(a, b) = arity("kmv_intersect_est", 2)(args)
       graft.functions.KmvIntersectEstExpr(a, b)
     },
+    entry("kll_sketch", classOf[graft.functions.KllSketchAgg]) { args =>
+      val Seq(v, k) = arity("kll_sketch", 2)(args)
+      graft.functions.KllSketchAgg(v, intLit("kll_sketch", "k", k))
+    },
+    entry("kll_merge", classOf[graft.functions.KllMergeAgg]) { args =>
+      graft.functions.KllMergeAgg(arity("kll_merge", 1)(args).head)
+    },
+    // variadic: kll_quantiles_of(sketch, q1[, q2, ...]) -> array<double>
+    entry("kll_quantiles_of", classOf[graft.functions.KllQuantilesExpr]) { args =>
+      if (args.length < 2) throw new IllegalArgumentException(
+        "kll_quantiles_of expects (sketch, q1[, q2, ...]), got " + args.length)
+      graft.functions.KllQuantilesExpr(args.head,
+        args.drop(1).map(doubleLit("kll_quantiles_of", "q", _)))
+    },
     // variadic: kll_quantiles(value, k, q1[, q2, ...]) -> array<double>
     entry("kll_quantiles", classOf[graft.functions.KllQuantileAgg]) { args =>
       if (args.length < 3) throw new IllegalArgumentException(

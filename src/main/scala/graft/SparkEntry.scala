@@ -744,6 +744,24 @@ object SparkEntry {
           kmvIntersectEst(col("sa"), col("sb")).as("n_intersect"))
     }),
 
+    "sketch_kll_rollup" -> ((s, d) => {
+      // the quantile member of the sketch-table architecture: per-
+      // (event_type, day) KLL ladders materialize once; any coarser
+      // cell's percentiles are kll_quantiles_of(kll_merge(sk)) over the
+      // stored VALUES. Exact while the merged ladder stays below capacity
+      // (the oracle regime: == the ceil(q*n) order statistic per type).
+      import graft.functions.KllSketchOps._
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(kllSketch(col("value"), 4096).as("sk"))
+        .groupBy("event_type")
+        .agg(kllMerge(col("sk")).as("m"))
+        .select(col("event_type"),
+          kllQuantilesOf(col("m"), Seq(0.5, 0.9))(0).as("p50"),
+          kllQuantilesOf(col("m"), Seq(0.5, 0.9))(1).as("p90"))
+    }),
+
     "sketch_quantiles" -> ((s, d) =>
       // KLL quantile ladder (Karnin FOCS '16) as a native mergeable
       // aggregate: O(k) doubles per group per map task, never the value
@@ -2432,6 +2450,18 @@ object SparkEntry {
              - count(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
                AND value >= 60 THEN user_id END) AS BIGINT) AS n_intersect
          FROM events""",
+
+    // merged daily ladders stay exact below capacity — the rollup IS the
+    // per-type order statistic at this fixture's cardinality
+    "sketch_kll_rollup" ->
+      """WITH r AS (SELECT event_type, value,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+           max(CASE WHEN rn = CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(greatest(1, ceil(0.9 * n)) AS BIGINT) THEN value END) AS p90
+         FROM r GROUP BY event_type""",
 
     // KLL is exact below its level-0 capacity (4096) — at this fixture's
     // ~2k rows per event_type the sketch's answer IS the discrete

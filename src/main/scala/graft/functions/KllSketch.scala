@@ -262,3 +262,129 @@ object KllQuantileAgg {
       KllQuantileAgg(GraftBridge.toExpr(value), k, qs).toAggregateExpression())
   }
 }
+
+/** `kll_sketch(value, k)` → binary: the serialized KLL ladder as a VALUE —
+  * the quantile member of the sketch-table architecture (store per-cell
+  * ladders once, answer any coarser cell's percentiles with [[KllMergeAgg]]
+  * + [[KllQuantilesExpr]], no raw re-scan). */
+case class KllSketchAgg(
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuf] {
+  require(k >= 16, "k must be at least 16")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_sketch"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (value.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double input, got " + value.dataType.simpleString)
+
+  override def createAggregationBuffer(): KllBuf = new KllBuf(k)
+  override def update(buffer: KllBuf, input: InternalRow): KllBuf = {
+    val v = value.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Double])
+    buffer
+  }
+  override def merge(buffer: KllBuf, other: KllBuf): KllBuf = {
+    buffer.mergeFrom(other); buffer
+  }
+  override def eval(buffer: KllBuf): Any = buffer.serialize()
+  override def serialize(buffer: KllBuf): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KllBuf = KllBuf.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(value = newChildren.head)
+}
+
+/** `kll_merge(sketch)` → binary: aggregate merge of stored KLL VALUES
+  * (ladder-wise concatenation + compaction — exact while the combined
+  * ladder stays below capacity). The buffer adopts the first operand. */
+case class KllMergeAgg(
+    sketch: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuf] {
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (sketch.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a kll_sketch binary, got " + sketch.dataType.simpleString)
+
+  override def createAggregationBuffer(): KllBuf = new KllBuf(16)
+
+  private def fold(buffer: KllBuf, other: KllBuf): KllBuf =
+    if (buffer.n == 0L && buffer.k == 16 && other.k != 16) other
+    else if (other.n == 0L && other.k == 16) buffer
+    else {
+      val (into, from) =
+        if (buffer.k >= other.k) (buffer, other) else (other, buffer)
+      into.mergeFrom(from)
+      into
+    }
+
+  override def update(buffer: KllBuf, input: InternalRow): KllBuf = {
+    val b = sketch.eval(input)
+    if (b == null) buffer
+    else fold(buffer, KllBuf.deserialize(b.asInstanceOf[Array[Byte]]))
+  }
+  override def merge(buffer: KllBuf, other: KllBuf): KllBuf = fold(buffer, other)
+  override def eval(buffer: KllBuf): Any = buffer.serialize()
+  override def serialize(buffer: KllBuf): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KllBuf = KllBuf.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(sketch = newChildren.head)
+}
+
+/** `kll_quantiles_of(sketch, [q...])` → array<double>: quantile report of
+  * a stored ladder value. Post-aggregate scalar, CodegenFallback. */
+case class KllQuantilesExpr(child: Expression, qs: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+    "quantiles must be in [0, 1]")
+
+  override def prettyName: String = "kll_quantiles_of"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a kll_sketch binary")
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      KllBuf.deserialize(input.asInstanceOf[Array[Byte]]).quantiles(qs.toArray))
+  override protected def withNewChildInternal(newChild: Expression): KllQuantilesExpr =
+    copy(child = newChild)
+}
+
+object KllSketchOps {
+  import org.apache.spark.sql.GraftBridge
+  def kllSketch(value: Column, k: Int): Column =
+    GraftBridge.toCol(
+      KllSketchAgg(GraftBridge.toExpr(value), k).toAggregateExpression())
+  def kllMerge(sketch: Column): Column =
+    GraftBridge.toCol(
+      KllMergeAgg(GraftBridge.toExpr(sketch)).toAggregateExpression())
+  def kllQuantilesOf(sketch: Column, qs: Seq[Double]): Column =
+    GraftBridge.toCol(KllQuantilesExpr(GraftBridge.toExpr(sketch), qs))
+}

@@ -121,6 +121,36 @@ class KllSketchSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("kll sketch-table rollup: merged stored ladders ≡ exact order statistics") {
+    import graft.functions.KllSketchOps._
+    val df = (1 to 3000).map(i => (i % 4, s"d${i % 7}", ((i * 37) % 997).toDouble))
+      .toDF("tpe", "day", "v").repartition(8)
+    val got = df.groupBy("tpe", "day")
+      .agg(kllSketch(col("v"), 4096).as("sk"))
+      .groupBy("tpe").agg(kllMerge(col("sk")).as("m"))
+      .select(col("tpe"), kllQuantilesOf(col("m"), Seq(0.5))(0).as("p50"))
+      .as[(Int, Double)].collect().toMap
+    val want = df.collect().groupBy(_.getInt(0)).map { case (t, rows) =>
+      val sorted = rows.map(_.getDouble(2)).sorted
+      t -> sorted(math.max(1, math.ceil(0.5 * sorted.length).toInt) - 1)
+    }
+    assert(got == want)
+  }
+
+  test("kll_merge above capacity stays within the rank bound; SQL surface works") {
+    GraftExtensions.install(spark)
+    (0 until 100000).map(i => (i % 8, ((i.toLong * 48271L) % 100000L).toDouble))
+      .toDF("cell", "v").createOrReplaceTempView("kll_rt")
+    val est = spark.sql(
+      """SELECT kll_quantiles_of(kll_merge(sk), 0.5) AS qs FROM (
+           SELECT cell, kll_sketch(v, 1024) AS sk FROM kll_rt GROUP BY cell)""")
+      .collect()(0).getSeq[Double](0).head
+    val sorted = (0 until 100000).map(i => ((i.toLong * 48271L) % 100000L).toDouble).sorted
+    val gotRank = sorted.count(_ <= est)
+    assert(math.abs(gotRank - 50000).toDouble / 100000 < 0.03,
+      s"merged rank err: $gotRank")
+  }
+
   test("SQL surface: kll_quantiles is registered and variadic") {
     GraftExtensions.install(spark)
     (1 to 100).map(i => i.toDouble).toDF("v").createOrReplaceTempView("kll_t")
