@@ -55,10 +55,11 @@ object Bench {
     "cdc_consistency_check", "q_bloom_join", "pipe_curriculum",
     "text_lm_backoff", "dedup_fuzzy_join", "cdc_funnel", "q_cohort_retention",
     "cdc_repair_plan", "pipe_zorder", "sketch_rollup", "q_salted_join",
-    "text_bpe_encode", "q_asof_forward", "pipe_corpus_stats",
+    "text_bpe_encode", "text_bpe_single_merge", "q_asof_forward", "pipe_corpus_stats",
     "sim_filtered_topk", "sim_mmr_rerank", "q_islands", "q_gap_fill",
     "cdc_funnel_windowed", "text_readability", "sample_weighted",
-    "sketch_hh_rollup", "q_winsorize", "q_skyline", "sketch_kll_rollup"
+    "sketch_hh_rollup", "q_winsorize", "q_skyline", "sketch_kll_rollup",
+    "sketch_cube_report", "cdc_funnel_steps", "q_pagerank", "pipe_temperature_mix"
   )
 
   private def loadavg: Double =
@@ -327,7 +328,38 @@ object Bench {
     val loads = results.map { case (k, (_, la)) => "\"" + k + f"\":$la%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val loadEnd = loadavg
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load":$loads,"runs_per_query":$passes,"reran":"${rerun.map(_._1).mkString(",")}","cdc_synthesis_sec":$synthSec%.3f}""")
+    // Full artifact (all queries at 3 decimals + per-query load provenance):
+    // written to a FILE and echoed on stderr. It no longer goes on the stdout
+    // line — the driver captures only the last ~2000 chars of stdout, and the
+    // r6 full line (98 queries + load map) outgrew that window, so the round
+    // shipped an unparseable BENCH_r06.json ("parsed": null).
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load":$loads,"runs_per_query":$passes,"reran":"${rerun.map(_._1).mkString(",")}","cdc_synthesis_sec":$synthSec%.3f}"""
+    val fullPath = "BENCH_local_full.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full artifact write failed: $e") }
+    System.err.println(fullJson)
+    // Compact stdout line, hard-capped at BudgetChars so the whole line plus
+    // sbt's trailing "[success] ..." fits the driver's 2000-char tail window:
+    // per-query entries at 2 decimals, added in headline (priority) order
+    // until the budget is hit; anything dropped is counted in "omitted" and
+    // fully present in the file + stderr artifact above.
+    // 2000-char window − ~75 for sbt's trailing "[success] ..." − margin
+    val BudgetChars = 1860
+    val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfShort","runs":$passes,"nq":${results.size},"full":"$fullPath","queries":{"""
+    val entries = results.map { case (k, (sec, _)) => "\"" + k + f"\":$sec%.2f" }
+    val sb = new StringBuilder(prefix)
+    var kept = 0
+    entries.foreach { e =>
+      val sep = if (kept == 0) 0 else 1
+      // reserve room for the close + a worst-case ",\"omitted\":NN}" suffix
+      if (sb.length + sep + e.length + 20 <= BudgetChars) {
+        if (kept > 0) sb.append(','); sb.append(e); kept += 1
+      }
+    }
+    sb.append("},\"omitted\":").append(results.size - kept).append('}')
+    println(sb.toString)
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(cdcFix)).deleteRecursively()

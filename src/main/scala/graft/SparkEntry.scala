@@ -13,6 +13,14 @@ import graft.streaming.{TimeMachineSink, TransactionAssembler}
   * multimodal). Each `queries` entry has a DuckDB oracle in `oracleSql`
   * unless the operator is not SQL-expressible (LSH bucketing internals,
   * hash-seeded signatures, mapPartitions codecs) — those get rows-only checks.
+  *
+  * DECIMAL CONVENTION (r6's one red row): the driver's hash gate is
+  * precision-sensitive — Spark widens `sum(decimal(18,2))` to (28,2) while
+  * DuckDB widens to (38,2), so string-identical values still hash-mismatch.
+  * Every decimal-valued output column must either be rendered `cast("string")`
+  * on BOTH sides (the usual contract here) or pinned to the SAME decimal
+  * type on both sides (e.g. `cast("decimal(38,2)")` Spark-side to match a
+  * DuckDB sum). Never emit a raw Spark decimal-sum column.
   */
 object SparkEntry {
 
@@ -41,6 +49,78 @@ object SparkEntry {
        SELECT lang, CAST(floor(alloc) AS BIGINT) AS tokens_alloc,
          round(alloc / budget, 9) AS weight
        FROM a"""
+
+  /** Full-form MMR oracle: the greedy λ=0.3 / k=10 selection over the
+    * 20-candidate brute shortlist, UNROLLED as ten chained CTE steps (the
+    * iteration count is a fixed query parameter, so the "iterative ⇒ not
+    * SQL" objection dissolves — each step is one windowed argmax). Engine
+    * determinism: every cosine is rounded at 6 digits on BOTH sides
+    * ([[graft.functions.MmrSelectExpr]] applies the identical rounding),
+    * and the λ / (1−λ) factors are embedded as exact double literals via
+    * Double.toString round-trip, so the objective arithmetic is
+    * bit-identical IEEE in both engines and ties break on vec_id. */
+  private[graft] val mmrOracleSql: String = {
+    val lam = java.lang.Double.toString(0.3)
+    val oneMinus = java.lang.Double.toString(1.0 - 0.3)
+    def step(i: Int): String = s""",
+       s$i AS (
+         SELECT query_id, list_append(sel, vec_id) AS sel FROM (
+           SELECT sh.query_id, prev.sel, sh.vec_id,
+             CAST($lam AS DOUBLE) * sh.rel - CAST($oneMinus AS DOUBLE) *
+               greatest(CAST(0 AS DOUBLE),
+                 coalesce(max(CASE WHEN list_contains(prev.sel, p.b) THEN p.sim END),
+                   CAST(0 AS DOUBLE))) AS obj
+           FROM s${i - 1} prev
+           JOIN short sh ON sh.query_id = prev.query_id
+             AND NOT list_contains(prev.sel, sh.vec_id)
+           LEFT JOIN pair p ON p.query_id = sh.query_id AND p.a = sh.vec_id
+           GROUP BY sh.query_id, prev.sel, sh.vec_id, sh.rel)
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY obj DESC, vec_id) = 1)"""
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+       short AS (
+         SELECT query_id, vec_id, v,
+           round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS rel
+         FROM c, q WHERE vec_id <> query_id
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) <= 20),
+       pair AS (
+         SELECT s1.query_id, s1.vec_id AS a, s2.vec_id AS b,
+           round(list_dot_product(s1.v, s2.v)
+             / (sqrt(list_dot_product(s1.v, s1.v)) * sqrt(list_dot_product(s2.v, s2.v))), 6) AS sim
+         FROM short s1 JOIN short s2
+           ON s1.query_id = s2.query_id AND s1.vec_id <> s2.vec_id),
+       s1 AS (SELECT query_id, [vec_id] AS sel FROM short
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) = 1)""" +
+      (2 to 10).map(step).mkString + """
+       SELECT query_id, CAST(r AS INT) AS "rank", sel[CAST(r AS INT)] AS vec_id
+       FROM s10, unnest(generate_series(1, len(sel))) AS t(r)"""
+  }
+
+  /** PageRank oracle: the same five integer-arithmetic rounds as
+    * [[graft.operators.Graph.pageRank]], unrolled as chained CTEs. All
+    * ops are BIGINT floor-division — no float — so the ranks are
+    * bit-identical by construction; the CASTs pin DuckDB's HUGEINT sum
+    * results back to BIGINT for the strict type gate. */
+  private[graft] val pageRankOracleSql: String = {
+    def round(i: Int): String = s""",
+       r$i AS (SELECT nodes.v,
+           CAST((150000000000 // nn) + (85 * coalesce(c.s, 0) // 100) AS BIGINT) AS r
+         FROM nodes CROSS JOIN n LEFT JOIN (
+           SELECT ed.b AS v, CAST(sum(p.r // dg.d) AS BIGINT) AS s
+           FROM ed JOIN r${i - 1} p ON p.v = ed.a JOIN dg ON dg.a = ed.a
+           GROUP BY ed.b) c USING (v))"""
+    """WITH ed AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         FROM lineitem l1 JOIN lineitem l2
+           ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey),
+       nodes AS (SELECT DISTINCT a AS v FROM ed UNION SELECT DISTINCT b FROM ed),
+       dg AS (SELECT a, count(*) AS d FROM ed GROUP BY a),
+       n AS (SELECT count(*) AS nn FROM nodes),
+       r0 AS (SELECT v, CAST(1000000000000 // nn AS BIGINT) AS r
+         FROM nodes CROSS JOIN n)""" +
+      (1 to 5).map(round).mkString + """
+       SELECT v AS part_id, r AS rank_s FROM r5"""
+  }
 
   /** Table loader. The driver's parquet uses TIMESTAMP(NANOS) for `events.ts`
     * (Spark 4 rejects nanos unless read as raw longs) and unadjusted-UTC ms
@@ -97,8 +177,10 @@ object SparkEntry {
         .withColumn("total_value", col("total_value").cast("string"))),
 
     "cdc_txn_seq" -> ((s, d) =>
+      // seq widened to BIGINT: the oracle's row_number() is BIGINT in
+      // DuckDB and the strict gate pins engine types, not just values
       Cdc.perSecondSequence(t(s, d, "events"), col("ts"), col("event_id"))
-        .select("event_id", "sec", "seq")),
+        .select(col("event_id"), col("sec"), col("seq").cast("long").as("seq"))),
 
     "cdc_micro_stamp" -> ((s, d) =>
       Cdc.microStamp(Cdc.perSecondSequence(t(s, d, "events"), col("ts"), col("event_id")),
@@ -260,6 +342,20 @@ object SparkEntry {
           maxGapMs = Some(604800000L))
         .select(col("key").as("user_id"), col("funnel_stage"))),
 
+    "cdc_funnel_steps" -> ((s, d) =>
+      // the GENERAL funnel: heterogeneous per-step predicates — any view,
+      // then a click worth ≥ 50, then a purchase worth ≥ 85 — which the
+      // event-type-literal form cannot express (a global pre-filter thins
+      // EVERY step; r6's cdc_funnel had to filter value ≥ 85 globally).
+      // Per-event step-eligibility folds to one bitmask column before the
+      // single groupBy shuffle; same scan-local HOF fold, zero joins.
+      graft.operators.Cdc.funnelSteps(
+          t(s, d, "events"), col("user_id"), col("ts"),
+          Seq(col("event_type") === "view",
+            col("event_type") === "click" && col("value") >= 50.0,
+            col("event_type") === "purchase" && col("value") >= 85.0))
+        .select(col("key").as("user_id"), col("funnel_stage"))),
+
     "q_islands" -> ((s, d) =>
       // gaps-and-islands: consecutive-active-day streaks per user via the
       // day − row_number grouping identity — two key-partitioned
@@ -369,7 +465,9 @@ object SparkEntry {
         .groupBy("grp").agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_value"))
       val batch = w.filter(col("cell_ts") > col("__cut"))
       TimeMachineSink.maintainAggregate(storedAgg, snapshot, batch, "event_type", "value")
-        .select(col("grp").as("event_type"), col("cnt"), col("sum_value"))
+        .select(col("grp").as("event_type"), col("cnt"),
+          // pin to the oracle's DECIMAL(38,2) (decimal convention, header)
+          col("sum_value").cast("decimal(38,2)").as("sum_value"))
     }),
 
     "cdc_scd2" -> ((s, d) => {
@@ -434,22 +532,61 @@ object SparkEntry {
     "pipe_ccnet_buckets" -> ((s, d) => {
       // CCNet's head/middle/tail split (Wenzek et al. LREC '20): bucket
       // every document by corpus-tercile thresholds of its LM quality
-      // score — head trains first, tail is filtered or down-weighted. The
-      // thresholds are TWO scalars from one exact-percentile aggregate
-      // (at 100 TB: approx_percentile, same shape) broadcast back over
-      // the scored stream; scoreless docs (<2 tokens) go to tail.
+      // score — head trains first, tail is filtered or down-weighted.
+      // ONE scoring pass (r6 ran the bigram-LM chain twice): the per-doc
+      // score stream is EDGE-sized — (doc_id, lm_ppm), not the corpus
+      // text — so it persists; the threshold aggregate materializes the
+      // cache and the bucketing projection re-reads it. Thresholds come
+      // from the KLL quantile aggregate — O(k) reducer state at any
+      // corpus size (an exact `percentile` would collect every score),
+      // exact order statistics below capacity (the oracle regime) — and
+      // land as TWO driver scalars (the bounded-collect class the IVF
+      // centroids use; a crossJoin(broadcast(agg(scores))) would instead
+      // trip DeduplicateRelations on the self-referenced cache and
+      // silently re-derive the whole scoring chain on the agg branch).
       val scores = operators.Text.lmBigramScore(
-        t(s, d, "documents"), col("doc_id"), col("text"))
-      val thr = scores.agg(
-        percentile(col("lm_ppm").cast("double"), lit(1.0 / 3)).as("t1"),
-        percentile(col("lm_ppm").cast("double"), lit(2.0 / 3)).as("t2"))
-      scores.crossJoin(broadcast(thr))
+          t(s, d, "documents"), col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qs = scores.agg(graft.functions.KllQuantileAgg.kllQuantiles(
+          col("lm_ppm").cast("double"), 8192, Seq(1.0 / 3, 2.0 / 3)).as("qs"))
+        .head().getSeq[Double](0)
+      scores
         .withColumn("bucket",
           when(col("lm_ppm").isNull, "tail")
-            .when(col("lm_ppm") >= col("t2"), "head")
-            .when(col("lm_ppm") >= col("t1"), "middle")
+            .when(col("lm_ppm") >= lit(qs(1)), "head")
+            .when(col("lm_ppm") >= lit(qs(0)), "middle")
             .otherwise("tail"))
         .select(col("doc_id"), col("lm_ppm"), col("bucket"))
+    }),
+
+    "pipe_temperature_mix" -> ((s, d) =>
+      // multilingual temperature sampling (mC4/mT5, τ = 0.5): weight ∝ √p
+      // — the one exponent where the power law is IEEE-exact across
+      // engines (sqrt is correctly rounded; pow is not). Denominator
+      // folds √sizes in group-sorted order so the rounding SEQUENCE is
+      // pinned; weights floor at ppb. One corpus aggregation, then
+      // language-cardinality scalar arithmetic.
+      graft.operators.Sampling.temperatureWeights(
+          t(s, d, "documents"), col("lang"), col("n_chars"))
+        .select(col("grp").as("lang"), col("n").as("n_chars"),
+          col("weight_ppb"))),
+
+    "q_pagerank" -> ((s, d) => {
+      // iterative graph analytics, Spark-first: PageRank (5 rounds,
+      // damping 0.85) over the co-purchase graph (parts sharing an
+      // order), each round ONE declarative join + aggregation — the
+      // DataFrame rendering of a Pregel superstep, planned by
+      // Catalyst/AQE every round. Ranks are integer-scaled ×10¹² with
+      // floor-div shares and 85·Σ div 100 damping — no float anywhere —
+      // so the DuckDB oracle just unrolls the same five rounds.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.Graph.pageRank(edges, col("src"), col("dst"), 5)
+        .select(col("v").as("part_id"), col("r").as("rank_s"))
     }),
 
     "pipe_unimax_weights" -> ((s, d) => {
@@ -524,7 +661,7 @@ object SparkEntry {
       // afford it at sf0.01).
       graft.operators.Sampling.curriculumStages(
           t(s, d, "documents"), col("doc_id"), length(col("text")), 4)
-        .select(col("doc_id"), col("stage"))),
+        .select(col("doc_id"), col("stage").cast("long").as("stage"))),
 
     "q_winsorize" -> ((s, d) =>
       // per-type winsorization at [p05, p95]: KLL thresholds (exact at
@@ -622,10 +759,25 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, d) =>
       // the full tokenizer: 200 merges trained from the vocab table
       // (bounded driver collect), applied as a scan-local native
-      // expression. Greedy iterative merging is not SQL-expressible →
-      // rows-only gate; BpeSpec pins train + encode golden vectors.
+      // expression. 200 rounds of train-then-rewrite nest iteration inside
+      // iteration — NOT practically SQL-expressible (unlike MMR's fixed-k
+      // unroll, each round rewrites the vocab the next round counts), so
+      // this row stays rows-only; the gate's teeth are (a) BpeSpec's
+      // train+encode golden vectors and (b) `text_bpe_single_merge` below,
+      // the numMerges=1 special case which IS exactly SQL-expressible and
+      // oracle-gated end to end (training argmax + greedy encode).
       operators.Text.bpeTokenize(t(s, d, "documents"), col("doc_id"),
         col("text"), numMerges = 200)),
+
+    "text_bpe_single_merge" -> ((s, d) =>
+      // decisive oracle-able slice of the BPE pipeline: ONE training round
+      // (global pair argmax, count desc / pair lexicographic ties) + the
+      // greedy leftmost encode of every doc under that single merge. In
+      // SQL the greedy leftmost merge is exactly `replace()` (non-
+      // overlapping left-to-right), so the oracle reproduces the whole
+      // train→encode path bit-for-bit.
+      operators.Text.bpeTokenize(t(s, d, "documents"), col("doc_id"),
+        col("text"), numMerges = 1)),
 
     "text_bpe_pair_counts" -> ((s, d) =>
       // the counting core of one BPE merge round (Sennrich et al. ACL '16):
@@ -760,6 +912,44 @@ object SparkEntry {
         .select(col("event_type"),
           kllQuantilesOf(col("m"), Seq(0.5, 0.9))(0).as("p50"),
           kllQuantilesOf(col("m"), Seq(0.5, 0.9))(1).as("p90"))
+    }),
+
+    "sketch_cube_report" -> ((s, d) => {
+      // the sketch-table architecture COMPOSED end to end: ONE daily
+      // (event_type, day) build materializes BOTH sketch families — KMV
+      // of the user set, KLL of the value stream — and three different
+      // rollup questions are then answered from stored sketch VALUES
+      // alone: month-grain distinct users (kmv_merge), value percentiles
+      // (kll_merge + quantile read), and cohort overlap against the
+      // purchase cohort (theta intersect of two MERGED sketches). This is
+      // the 100 TB cube pattern: the raw stream is scanned once by the
+      // daily job; every later cell/overlap/percentile is an O(k) fold
+      // over the sketch table. The daily table persists (cells × O(k)
+      // bytes — the stored-table stand-in); the purchase sketch reaches
+      // the other rows via a first() window over the 5-row type table
+      // rather than a self-join (which would trip DeduplicateRelations
+      // on the cached relation and re-derive the raw scan — the ccnet
+      // lesson). Exact below k on every leg = the oracle regime.
+      import graft.functions.KmvSetOps._
+      import graft.functions.KllSketchOps._
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(kmvSketch(xxhash64(col("user_id")), 16384).as("sk_u"),
+          kllSketch(col("value"), 8192).as("sk_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perType = daily.groupBy("event_type")
+        .agg(kmvMerge(col("sk_u")).as("mu"), kllMerge(col("sk_v")).as("mv"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perType
+        .withColumn("pu", first(
+          when(col("event_type") === "purchase", col("mu")), ignoreNulls = true)
+          .over(w))
+        .select(col("event_type"),
+          kmvEstimate(col("mu")).as("n_users"),
+          kllQuantilesOf(col("mv"), Seq(0.5, 0.95))(0).as("p50"),
+          kllQuantilesOf(col("mv"), Seq(0.5, 0.95))(1).as("p95"),
+          kmvIntersectEst(col("mu"), col("pu")).as("overlap_purchase"))
     }),
 
     "sketch_quantiles" -> ((s, d) =>
@@ -1016,7 +1206,8 @@ object SparkEntry {
       t(s, d, "orders")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
     }),
 
     "q_full_outer" -> ((s, d) => {
@@ -1038,8 +1229,8 @@ object SparkEntry {
       // portability
       t(s, d, "orders").createOrReplaceTempView("orders_v")
       s.sql("""SELECT o_orderstatus, o_orderpriority,
-                 grouping(o_orderstatus) AS g_status,
-                 grouping(o_orderpriority) AS g_prio,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
                  count(*) AS cnt,
                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS total
                FROM orders_v
@@ -1052,7 +1243,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
       t(s, d, "events")
         .select(col("event_id"), col("event_type"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
     }),
@@ -1235,11 +1426,12 @@ object SparkEntry {
     "q_date_funcs" -> ((s, d) =>
       t(s, d, "orders").select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("dom"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
         unix_millis(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
-        datediff(to_timestamp(lit("2002-01-01")), col("o_orderdate")).as("days_to_2002"))),
+        datediff(to_timestamp(lit("2002-01-01")), col("o_orderdate"))
+          .cast("long").as("days_to_2002"))),
 
     "q_string_agg" -> ((s, d) =>
       // order-sensitive string aggregation per nation: sorted supplier list
@@ -1252,7 +1444,7 @@ object SparkEntry {
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
         regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
         substring(col("p_name"), 1, 5).as("name5"),
         regexp_replace(col("p_name"), " ", "_").as("name_us"))),
@@ -1267,8 +1459,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
-        Text.wsTokenCount(col("text")).as("ws_tokens"),
-        Text.bpeTokenCount(col("text")).as("bpe_tokens"))),
+        Text.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        Text.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))),
 
     "text_char_entropy" -> ((s, d) =>
       // Shannon entropy of each doc's code-point distribution — the
@@ -1321,7 +1513,8 @@ object SparkEntry {
           (col("tf") * floor(lit(1000000.0d) * col("n_docs") / col("df"))).cast("long"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .select("doc_id", "term", "tfidf_scaled", "rn")
+        .select(col("doc_id"), col("term"), col("tfidf_scaled"),
+          col("rn").cast("long").as("rn"))
     }),
 
     "text_bm25" -> ((s, d) => {
@@ -1692,8 +1885,11 @@ object SparkEntry {
     "sim_mmr_rerank" -> ((s, d) => {
       // MMR diversified re-rank (λ=0.3) of a 20-candidate brute shortlist:
       // the greedy argmax loop is ONE scan-local expression over the
-      // per-query candidate array — not SQL-expressible (iterative) →
-      // rows-only gate; MmrSpec pins relevance-vs-diversity goldens.
+      // per-query candidate array. ORACLE-GATED since r7: k is a fixed
+      // query parameter, so the loop unrolls to ten chained windowed
+      // argmax CTEs (mmrOracleSql); every cosine rounds at 6 digits on
+      // both sides so the objective arithmetic is bit-identical IEEE.
+      // MmrSpec additionally pins relevance-vs-diversity goldens.
       val emb = t(s, d, "embeddings")
       val short = Similarity.bruteForceTopK(
         emb, col("vec_id"), col("embedding"),
@@ -2195,10 +2391,16 @@ object SparkEntry {
            FROM scored GROUP BY doc_id),
          alldocs AS (SELECT d.doc_id, p.lm_ppm
            FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+         ranked AS (SELECT lm_ppm,
+             row_number() OVER (ORDER BY lm_ppm) AS rn,
+             count(*) OVER () AS nn
+           FROM alldocs WHERE lm_ppm IS NOT NULL),
          thr AS (SELECT
-             quantile_cont(CAST(lm_ppm AS DOUBLE), CAST(1 AS DOUBLE)/3) AS t1,
-             quantile_cont(CAST(lm_ppm AS DOUBLE), CAST(2 AS DOUBLE)/3) AS t2
-           FROM alldocs)
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn / 3.0) AS BIGINT))
+               THEN CAST(lm_ppm AS DOUBLE) END) AS t1,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 2.0 / 3.0) AS BIGINT))
+               THEN CAST(lm_ppm AS DOUBLE) END) AS t2
+           FROM ranked)
          SELECT doc_id, lm_ppm,
            CASE WHEN lm_ppm IS NULL THEN 'tail'
                 WHEN lm_ppm >= t2 THEN 'head'
@@ -2207,6 +2409,22 @@ object SparkEntry {
          FROM alldocs CROSS JOIN thr""",
 
     "pipe_unimax_weights" -> unimaxSql,
+
+    // τ=0.5 temperature weights: √ is correctly rounded IEEE on both
+    // engines; the denominator's ROUNDING SEQUENCE is pinned by folding
+    // in lang-sorted order (list_reduce ≡ Spark's sort_array+aggregate,
+    // both left-to-right from the first element)
+    "pipe_temperature_mix" ->
+      """WITH sz AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+         s AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS sq FROM sz),
+         d AS (SELECT list_reduce(list(sq ORDER BY lang), (acc, x) -> acc + x) AS den
+           FROM s)
+         SELECT lang, n AS n_chars,
+           CAST(floor(1000000000.0 * sq / den) AS BIGINT) AS weight_ppb
+         FROM s CROSS JOIN d""",
+
+    "q_pagerank" -> pageRankOracleSql,
 
     "pipe_source_mix" ->
       """SELECT source, count(*) AS n_kept FROM documents
@@ -2251,7 +2469,7 @@ object SparkEntry {
                 substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS DOUBLE)
               * power(16.0, 13 - i) for i in range(1, 14)]) + 1.0)
              / 4503599627370497.0 AS u
-         FROM documents)
+         FROM documents WHERE CAST(n_chars AS DOUBLE) > 0.0)
          SELECT doc_id, w,
            CAST(floor(ln(u) / w * 1000000000.0) AS BIGINT) AS ws_score
          FROM s ORDER BY ws_score DESC, doc_id LIMIT 40""",
@@ -2371,6 +2589,28 @@ object SparkEntry {
          SELECT pair, count(*) AS cnt FROM p GROUP BY pair
          QUALIFY row_number() OVER (ORDER BY cnt DESC, pair) <= 20""",
 
+    // one full BPE round, train + encode: the winning pair is the global
+    // (count desc, a, b) argmax; greedy leftmost merging of a single
+    // 2-char pair is EXACTLY SQL replace() (non-overlapping left-to-right,
+    // covering the (x,x) overlap case identically), with chr(1) as the
+    // merged-token marker (fixture verified control-char-free) so the
+    // distinct-token count is a distinct-char count
+    "text_bpe_single_merge" ->
+      """WITH norm AS (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+           FROM documents),
+         wt AS (SELECT unnest(string_split(nt, ' ')) AS w FROM norm),
+         pc AS (SELECT substring(w, CAST(i AS INT), 1) AS a,
+             substring(w, CAST(i AS INT) + 1, 1) AS b, count(*) AS c
+           FROM wt, unnest(generate_series(1, len(w) - 1)) AS t(i)
+           GROUP BY 1, 2),
+         best AS (SELECT a || b AS p FROM pc ORDER BY c DESC, a, b LIMIT 1),
+         enc AS (SELECT doc_id, replace(replace(nt, p, chr(1)), ' ', '') AS e
+           FROM norm CROSS JOIN best)
+         SELECT doc_id, CAST(len(e) AS INT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(e, '.'))) AS INT) AS n_unique_tokens
+         FROM enc""",
+
     "text_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
@@ -2462,6 +2702,27 @@ object SparkEntry {
            max(CASE WHEN rn = CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) THEN value END) AS p50,
            max(CASE WHEN rn = CAST(greatest(1, ceil(0.9 * n)) AS BIGINT) THEN value END) AS p90
          FROM r GROUP BY event_type""",
+
+    // composed sketch-table report: every leg is in its exact regime at
+    // the oracle SF, so the sketch answers ≡ the exact SQL answers
+    "sketch_cube_report" ->
+      """WITH per AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+           FROM events GROUP BY 1),
+         r AS (SELECT event_type, value,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         q AS (SELECT event_type,
+             max(CASE WHEN rn = CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) THEN value END) AS p50,
+             max(CASE WHEN rn = CAST(greatest(1, ceil(0.95 * n)) AS BIGINT) THEN value END) AS p95
+           FROM r GROUP BY 1),
+         o AS (SELECT e.event_type, count(DISTINCT e.user_id) AS overlap_purchase
+           FROM events e
+           WHERE e.user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+           GROUP BY 1)
+         SELECT per.event_type, per.n_users, q.p50, q.p95,
+           coalesce(o.overlap_purchase, 0) AS overlap_purchase
+         FROM per JOIN q USING (event_type) LEFT JOIN o USING (event_type)""",
 
     // KLL is exact below its level-0 capacity (4096) — at this fixture's
     // ~2k rows per event_type the sketch's answer IS the discrete
@@ -2731,6 +2992,27 @@ object SparkEntry {
                 WHEN s1.user_id IS NOT NULL THEN 1
                 ELSE 0 END AS funnel_stage
          FROM (SELECT DISTINCT user_id FROM e) u
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
+
+    "cdc_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.value >= 50.0
+             AND epoch_ms(e.ts) > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3 FROM events e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.value >= 85.0
+             AND epoch_ms(e.ts) > s2.t2 GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+         FROM (SELECT DISTINCT user_id FROM events) u
          LEFT JOIN s1 USING (user_id)
          LEFT JOIN s2 USING (user_id)
          LEFT JOIN s3 USING (user_id)""",
@@ -3859,6 +4141,8 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4""",
+
+    "sim_mmr_rerank" -> mmrOracleSql,
 
     "sim_brute_topk" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -109,7 +109,8 @@ final class SpaceSavingBuf(val m: Int) {
 
   def serialize(): Array[Byte] = {
     val n = counts.size
-    val buf = ByteBuffer.allocate(8 + 4 + 24 * n)
+    val buf = ByteBuffer.allocate(SketchWire.HeaderBytes + 8 + 4 + 24 * n)
+    SketchWire.putHeader(buf, SketchWire.SsvMagic)
     buf.putLong(evictedFloor)
     buf.putInt(n)
     val it = counts.entrySet().iterator()
@@ -124,10 +125,14 @@ final class SpaceSavingBuf(val m: Int) {
 
 object SpaceSavingBuf {
   def deserialize(bytes: Array[Byte], m: Int): SpaceSavingBuf = {
+    if (m <= 0) SketchWire.fail("SpaceSaving", s"implausible m=$m")
     val buf = ByteBuffer.wrap(bytes)
+    SketchWire.checkHeader(buf, SketchWire.SsvMagic, "SpaceSaving")
+    SketchWire.need(buf, 8 + 4, "SpaceSaving", "fixed fields")
     val b = new SpaceSavingBuf(m)
     b.evictedFloor = buf.getLong
     val n = buf.getInt
+    SketchWire.need(buf, 24L * n, "SpaceSaving", s"counter payload ($n counters)")
     var i = 0
     while (i < n) {
       val k = buf.getLong; val c = buf.getLong; val e = buf.getLong
@@ -164,6 +169,7 @@ object HhWire {
 
   def read(bytes: Array[Byte]): SpaceSavingBuf = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
+    SketchWire.need(buf, 4, "SpaceSaving", "m header")
     val m = buf.getInt
     val rest = new Array[Byte](bytes.length - 4)
     buf.get(rest)

@@ -154,10 +154,11 @@ final class KllBuf(val k: Int) {
   }
 
   def serialize(): Array[Byte] = {
-    var bytes = 4 + 8 + 8 + 4 // k, n, compactions, numLevels
+    var bytes = SketchWire.HeaderBytes + 4 + 8 + 8 + 4 // hdr, k, n, compactions, numLevels
     var i = 0
     while (i < levels.size) { bytes += 4 + 8 * levels(i).size; i += 1 }
     val buf = ByteBuffer.allocate(bytes)
+    SketchWire.putHeader(buf, SketchWire.KllMagic)
     buf.putInt(k); buf.putLong(n); buf.putLong(compactions)
     buf.putInt(levels.size)
     i = 0
@@ -175,15 +176,22 @@ final class KllBuf(val k: Int) {
 object KllBuf {
   def deserialize(bytes: Array[Byte]): KllBuf = {
     val buf = ByteBuffer.wrap(bytes)
+    SketchWire.checkHeader(buf, SketchWire.KllMagic, "KLL")
+    SketchWire.need(buf, 4 + 8 + 8 + 4, "KLL", "fixed fields")
     val k = buf.getInt
+    if (k < 2 || k > (1 << 24)) SketchWire.fail("KLL", s"implausible k=$k")
     val b = new KllBuf(k)
     b.n = buf.getLong
     b.compactions = buf.getLong
     val nl = buf.getInt
+    // a 64-level ladder would hold 2^64 items; anything above is corruption
+    if (nl < 0 || nl > 64) SketchWire.fail("KLL", s"implausible level count $nl")
     while (b.levels.size < nl) b.levels += new ArrayBuffer[Double]()
     var i = 0
     while (i < nl) {
+      SketchWire.need(buf, 4, "KLL", s"level-$i size field")
       val sz = buf.getInt
+      SketchWire.need(buf, 8L * sz, "KLL", s"level-$i payload ($sz values)")
       val lvl = b.levels(i)
       var j = 0
       while (j < sz) { lvl += buf.getDouble; j += 1 }

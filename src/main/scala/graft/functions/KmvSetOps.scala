@@ -37,6 +37,7 @@ object KmvWire {
 
   def read(bytes: Array[Byte]): KmvBuf = {
     val buf = ByteBuffer.wrap(bytes)
+    SketchWire.need(buf, 4, "KMV", "k header")
     val k = buf.getInt
     val rest = new Array[Byte](bytes.length - 4)
     buf.get(rest)

@@ -58,7 +58,8 @@ final class KmvBuf(val k: Int) {
 
   def serialize(): Array[Byte] = {
     val n = set.size
-    val buf = ByteBuffer.allocate(4 + 8 * n)
+    val buf = ByteBuffer.allocate(SketchWire.HeaderBytes + 4 + 8 * n)
+    SketchWire.putHeader(buf, SketchWire.KmvMagic)
     buf.putInt(n)
     val it = set.iterator()
     while (it.hasNext) buf.putLong(it.next().longValue())
@@ -68,8 +69,12 @@ final class KmvBuf(val k: Int) {
 
 object KmvBuf {
   def deserialize(bytes: Array[Byte], k: Int): KmvBuf = {
+    if (k <= 0) SketchWire.fail("KMV", s"implausible k=$k")
     val buf = ByteBuffer.wrap(bytes)
+    SketchWire.checkHeader(buf, SketchWire.KmvMagic, "KMV")
+    SketchWire.need(buf, 4, "KMV", "count field")
     val n = buf.getInt
+    SketchWire.need(buf, 8L * n, "KMV", s"hash payload ($n hashes)")
     val b = new KmvBuf(k)
     var i = 0
     // already flipped on the wire; add directly (all survivors fit: n <= k)

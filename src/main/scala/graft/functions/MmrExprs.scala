@@ -30,9 +30,15 @@ case class MmrSelectExpr(query: Expression, candidates: Expression,
     val okQ = query.dataType == ArrayType(DoubleType, containsNull = false) ||
       query.dataType == ArrayType(DoubleType, containsNull = true)
     val okC = candidates.dataType match {
+      // the vec field must be array<double> specifically: toVec reads with
+      // getDouble, so an array<float> that merely passed isInstanceOf would
+      // misread at runtime instead of failing analysis
       case ArrayType(StructType(fields), _) if fields.length == 2 &&
         fields(0).dataType == LongType &&
-        fields(1).dataType.isInstanceOf[ArrayType] => true
+        (fields(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) => true
       case _ => false
     }
     if (okQ && okC) TypeCheckResult.TypeCheckSuccess
@@ -53,8 +59,19 @@ case class MmrSelectExpr(query: Expression, candidates: Expression,
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else round6(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  /** The engine-portability discipline every green cosine row uses
+    * ([[graft.operators.Similarity]] rounds at 6 digits before any argmax):
+    * replicates Spark's `round(x, 6)` exactly — BigDecimal HALF_UP over the
+    * double's shortest decimal rendering — so the greedy loop's comparisons
+    * run over values DuckDB's round(x, 6) reproduces bit-for-bit, and the
+    * whole iterative selection becomes oracle-checkable. */
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   override protected def nullSafeEval(q: Any, cands: Any): Any = {
     val qv = toVec(q.asInstanceOf[ArrayData])

@@ -200,30 +200,52 @@ object Cdc {
     * event count (the same bound sessionization already assumes).
     * Returns (key, funnel_stage ∈ 0..stages.length). */
   def funnel(df: DataFrame, keyCol: Column, tsCol: Column, typeCol: Column,
-      stages: Seq[String], maxGapMs: Option[Long] = None): DataFrame = {
-    require(stages.nonEmpty, "stages must be non-empty")
+      stages: Seq[String], maxGapMs: Option[Long] = None): DataFrame =
+    funnelSteps(df, keyCol, tsCol, stages.map(typeCol === _), maxGapMs)
+
+  /** Funnel with ARBITRARY per-step predicates (the general form: real
+    * funnels gate different steps on different conditions — "viewed
+    * anything, then clicked with value ≥ 50, then purchased with value ≥
+    * 85" — which event-type literals cannot express and a global
+    * pre-filter mis-expresses by thinning every step). Each event is
+    * reduced to ONE bitmask column (bit i = satisfies step i's predicate,
+    * evaluated scan-locally before the shuffle), so the plan is identical
+    * to the literal form: one groupBy exchange, then a scan-local HOF
+    * fold over each key's ts-sorted events carrying one first-completion
+    * epoch-millis slot per step — no stage self-joins, no window cascade.
+    *
+    * Fold semantics (shared by [[funnel]], which delegates here): stage i
+    * fires on the first qualifying event strictly after state(i−1) — and,
+    * when a window is set, within maxGapMs of it (FIRST-completion
+    * semantics: the windowed form does not backtrack to a later
+    * stage-(i−1) completion that would open a new window, matching the
+    * standard product-analytics funnel). Sorting ties on t by mask is
+    * outcome-neutral: slot updates compare t strictly, so equal-t events
+    * produce identical slots in either order. */
+  def funnelSteps(df: DataFrame, keyCol: Column, tsCol: Column,
+      stepPreds: Seq[Column], maxGapMs: Option[Long] = None): DataFrame = {
+    require(stepPreds.nonEmpty, "stepPreds must be non-empty")
+    require(stepPreds.size <= 63, "at most 63 steps (bitmask fold)")
     val MaxTs = Long.MaxValue
+    val mask = stepPreds.zipWithIndex
+      .map { case (p, i) => when(p, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _) // distinct bits, so + ≡ bitwise OR
     val ev = df.select(keyCol.as("key"),
-      struct(unix_millis(tsCol).as("t"), typeCol.as("tp")).as("e"))
+      struct(unix_millis(tsCol).as("t"), mask.as("m")).as("e"))
     val grouped = ev.groupBy("key")
       .agg(sort_array(collect_list(col("e"))).as("es"))
-    // fold state: array of per-stage first-completion times (MaxTs = not
-    // reached); stage i fires on the first matching event strictly after
-    // state(i-1) — and, when a window is set, within maxGapMs of it
-    // (FIRST-completion semantics throughout: the windowed form does not
-    // backtrack to a later stage-(i-1) completion that would open a new
-    // window, matching the standard product-analytics funnel)
-    val init = array(stages.map(_ => lit(MaxTs)): _*)
+    val init = array(stepPreds.map(_ => lit(MaxTs)): _*)
     val step = (acc: Column, e: Column) => {
       val t = e.getField("t")
-      val tp = e.getField("tp")
-      val slots = stages.zipWithIndex.map { case (name, i) =>
+      val m = e.getField("m")
+      val slots = stepPreds.indices.map { i =>
         val prevDone = if (i == 0) lit(true)
           else {
             val base = element_at(acc, i) =!= MaxTs && t > element_at(acc, i)
             maxGapMs.fold(base)(g => base && t - element_at(acc, i) <= g)
           }
-        when(element_at(acc, i + 1) === MaxTs && tp === name && prevDone, t)
+        val qualifies = m.bitwiseAND(lit(1L << i)) =!= 0L
+        when(element_at(acc, i + 1) === MaxTs && qualifies && prevDone, t)
           .otherwise(element_at(acc, i + 1))
       }
       array(slots: _*)
@@ -231,7 +253,7 @@ object Cdc {
     grouped.select(col("key"),
       aggregate(col("es"), init, step,
         acc => {
-          val reached = stages.indices.map(i =>
+          val reached = stepPreds.indices.map(i =>
             when(element_at(acc, i + 1) =!= MaxTs, 1).otherwise(0))
           reached.reduce(_ + _)
         }).as("funnel_stage"))
@@ -269,8 +291,13 @@ object Cdc {
       .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("d"))
     val w = Window.partitionBy(col("key")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pinned to decimal(38,2): Spark's sum over decimal(18,2) widens to
+    // (28,2) while DuckDB's widens to (38,2) — values are identical but the
+    // driver's hash gate is precision-sensitive (r6's one red row), so the
+    // output TYPE must match the oracle's, not just its rendered values
     span.join(daily, Seq("key", "d"), "left")
-      .withColumn("value_filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("value_filled",
+        last(col("v"), ignoreNulls = true).over(w).cast("decimal(38,2)"))
       .select(col("key"), col("d").as("day"), col("value_filled"))
   }
 

@@ -877,10 +877,13 @@ object Dedup {
     * forbids. */
   def editDistance1Pairs(df: DataFrame, idCol: Column, strCol: Column): DataFrame = {
     val base = df.select(idCol.as("id"), strCol.as("s"))
-    // variant DELETED-POSITION marker disambiguates the self entry; the
-    // join key is the 64-bit hash of the variant, not the string — an
-    // 8-byte shuffle key instead of a ~len-byte one, and a hash collision
-    // only admits one more candidate for the exact post-filter to drop
+    // blocking key = 64-bit hash of each deletion VARIANT STRING (plus the
+    // undeleted string itself), with NO position marker — deleting the same
+    // character at different positions collapses to one key, which only
+    // widens the candidate set (never narrows it); the exact levenshtein
+    // post-filter keeps the result identical to the all-pairs form. The
+    // 8-byte hash key shuffles instead of a ~len-byte string, and a hash
+    // collision likewise only admits one more candidate for the post-filter
     val variants = base.select(col("id"), col("s"), explode(array_distinct(
         concat(array(xxhash64(col("s"))),
           expr("transform(sequence(1, length(s)), i -> " +

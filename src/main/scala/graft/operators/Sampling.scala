@@ -284,6 +284,34 @@ object Sampling {
       .drop("__g", "__lo", "__hi")
   }
 
+  /** Temperature-scaled mixture weights (the mC4/mT5 multilingual
+    * sampling rule, Xue et al. NAACL '21): language l gets sampling weight
+    * ∝ p_l^τ — τ < 1 upsamples the tail relative to proportional mixing.
+    * Fixed at τ = 0.5, where p^τ = √p and IEEE sqrt is CORRECTLY ROUNDED
+    * by spec — the one exponent where the power law is bit-exact across
+    * engines (libm `pow` is not, which is why τ is not a free parameter
+    * here). The denominator folds the per-group √sizes in GROUP-SORTED
+    * order via an explicit sequential reduce (sort_array + aggregate; the
+    * oracle mirrors with list(… ORDER BY …) + list_reduce), so the sum's
+    * rounding sequence — not just its operands — is pinned, and the final
+    * weight floors at parts-per-billion. Group table is
+    * language-cardinality-sized: one hash aggregation over the corpus,
+    * then scalar arithmetic. */
+  def temperatureWeights(df: DataFrame, grpCol: Column,
+      sizeCol: Column): DataFrame = {
+    val sizes = df.groupBy(grpCol.as("grp"))
+      .agg(sum(sizeCol.cast("long")).as("n"))
+      .withColumn("sq", sqrt(col("n").cast("double")))
+    val den = sizes
+      .agg(sort_array(collect_list(struct(col("grp"), col("sq")))).as("a"))
+      .select(aggregate(col("a"), lit(0.0d),
+        (acc, x) => acc + x.getField("sq")).as("den"))
+    sizes.crossJoin(broadcast(den))
+      .select(col("grp"), col("n"),
+        floor(lit(1000000000.0d) * col("sq") / col("den"))
+          .cast("long").as("weight_ppb"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
     * "Weighted random sampling with a reservoir", IPL '06): item i gets
     * key u_i^(1/w_i) with u_i uniform; the top-n keys ARE a weighted
@@ -305,7 +333,12 @@ object Sampling {
       .cast("double") + lit(1.0)) / lit(4503599627370497.0) // (v+1)/(2^52+1) ∈ (0,1]
     val score = floor(log(u) / weightCol.cast("double") * lit(1000000000.0))
       .cast("long")
-    df.select(idCol.as("id"), weightCol.cast("double").as("w"),
+    // non-positive weights are excluded, not scored: w = 0 would give
+    // ln(u)/0 = -Inf, which Spark's long cast silently floors to
+    // Long.MinValue while other engines error — an E-S weight of 0 means
+    // "never sample" anyway, so dropping the row is the defined semantics
+    df.filter(weightCol.cast("double") > 0.0)
+      .select(idCol.as("id"), weightCol.cast("double").as("w"),
         score.as("ws_score"))
       .orderBy(col("ws_score").desc, col("id"))
       .limit(n)

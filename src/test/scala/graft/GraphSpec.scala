@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Integer-exact PageRank ([[graft.operators.Graph.pageRank]]): hand-
+  * computed ranks on a toy star graph, rank conservation properties, and
+  * the no-float discipline (every value a BIGINT). */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("two rounds on the 3-node star match hand-computed integer ranks") {
+    // 1↔2, 1↔3: deg(1)=2, deg(2)=deg(3)=1; scale 1e6, N=3
+    // r0 = 333333 each; base = 150000 div 3 = 50000
+    // r1(1) = 50000 + 85·(333333+333333) div 100 = 616666
+    // r1(2) = r1(3) = 50000 + 85·166666 div 100 = 191666
+    // r2(1) = 50000 + 85·(191666+191666) div 100 = 375832
+    // r2(2) = r2(3) = 50000 + 85·(616666 div 2) div 100 = 312083
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 2, scale = 1000000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 375832L, 2L -> 312083L, 3L -> 312083L))
+  }
+
+  test("hub accumulates rank; sink leaks it (unnormalized contract)") {
+    // chain 1→2→3 plus 3→1: a cycle — after some rounds all ranks equal
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(cyc, col("src"), col("dst"), iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // symmetric cycle: every node identical at every round
+    assert(r.values.toSet.size == 1, s"cycle must stay uniform: $r")
+    // star: the hub must outrank the leaves strictly
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val rs = Graph.pageRank(star, col("src"), col("dst"), iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rs(1L) > rs(2L) && rs(2L) == rs(3L) && rs(3L) == rs(4L))
+  }
+
+  test("rank column is BIGINT — the no-float discipline") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val df = Graph.pageRank(edges, col("src"), col("dst"), iterations = 1)
+    assert(df.schema("r").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+}

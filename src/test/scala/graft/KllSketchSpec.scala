@@ -171,4 +171,29 @@ class KllSketchSpec extends SparkTestBase {
       .select(col("qs")(0)).collect()(0).getDouble(0)
     assert(empty.isNaN)
   }
+
+  test("wire validation: garbage, truncation, and foreign-magic bytes fail loudly") {
+    import graft.functions.{KmvBuf, SpaceSavingBuf}
+    // arbitrary non-sketch bytes: descriptive error, not BufferUnderflow
+    val garbage = Array.fill[Byte](32)(0x5a)
+    val eKll = intercept[IllegalArgumentException](KllBuf.deserialize(garbage))
+    assert(eKll.getMessage.contains("KLL sketch wire"))
+    val eKmv = intercept[IllegalArgumentException](KmvBuf.deserialize(garbage, 64))
+    assert(eKmv.getMessage.contains("KMV sketch wire"))
+    val eSs = intercept[IllegalArgumentException](SpaceSavingBuf.deserialize(garbage, 8))
+    assert(eSs.getMessage.contains("SpaceSaving sketch wire"))
+    // too short for even a header
+    intercept[IllegalArgumentException](KllBuf.deserialize(Array[Byte](1, 2, 3)))
+    // a valid KMV payload is NOT a valid KLL payload (cross-family magic)
+    val kmv = new KmvBuf(16); kmv.insert(42L)
+    val cross = intercept[IllegalArgumentException](KllBuf.deserialize(kmv.serialize()))
+    assert(cross.getMessage.contains("bad magic"))
+    // truncated tail of a real sketch: length validation, not garbage values
+    val b = new KllBuf(128); (1 to 50).foreach(i => b.insert(i.toDouble))
+    val bytes = b.serialize()
+    intercept[IllegalArgumentException](
+      KllBuf.deserialize(java.util.Arrays.copyOf(bytes, bytes.length - 8)))
+    // and the round-trip still holds after the header change
+    assert(KllBuf.deserialize(bytes).quantiles(Array(1.0))(0) == 50.0)
+  }
 }

@@ -311,10 +311,54 @@ class PlanShapeSpec extends SparkTestBase {
       s"funnel should shuffle once:\n$p")
   }
 
+  test("r7: per-step-predicate funnel keeps the one-shuffle shape") {
+    // heterogeneous predicates ride a scan-local bitmask column; the plan
+    // must be indistinguishable from the literal form — one exchange,
+    // zero joins, zero windows
+    val p = plan("cdc_funnel_steps")
+    assert(!p.contains("Join"), s"funnelSteps must not join:\n$p")
+    assert(!p.contains("Window"), s"funnelSteps must not window:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"funnelSteps should shuffle once:\n$p")
+  }
+
   test("r6s5: consistency audit joins once, 1:1, no window") {
     val p = plan("cdc_consistency_check")
     assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
       .findAllIn(p).size == 1, s"audit should contain exactly one join:\n$p")
     assert(!p.contains("Window"))
+  }
+
+  test("r7: ccnet bucketing runs ONE scoring pass — explode only inside the cached score relation") {
+    // r6 computed the bigram-LM score stream twice (threshold aggregate +
+    // bucketing join, unpersisted). Now the edge-sized (doc_id, lm_ppm)
+    // stream persists, the KLL threshold aggregate materializes the cache
+    // (two driver scalars), and the bucketing projection re-reads it: the
+    // final plan must be a pure projection over an InMemoryTableScan — no
+    // Generate (the bigram explode lives solely inside the cache build,
+    // which runs once), no join, no exact-percentile aggregate anywhere.
+    val q = SparkEntry.queries("pipe_ccnet_buckets")(spark, dir)
+    // AdaptiveSparkPlanExec is a leaf to collect(); unwrap to the real tree
+    val exec = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val gens = exec.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.isEmpty,
+      s"scoring explode must be cache-internal (one pass), found ${gens.size}:\n$exec")
+    val ims = exec.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s }
+    assert(ims.size == 1,
+      s"bucketing must be a projection over the score cache:\n$exec")
+    // tree-level (the InMemoryRelation leaf PRINTS its cached child, so
+    // string matching would see the cache-internal join/aggregates)
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"threshold literals need no join:\n$exec")
+    assert(exec.collect {
+      case n if n.nodeName.contains("Aggregate") => n }.isEmpty,
+      s"no aggregate in the bucketing read (thresholds are plan literals):\n$exec")
   }
 }

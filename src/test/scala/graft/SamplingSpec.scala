@@ -289,4 +289,24 @@ class SamplingSpec extends SparkTestBase {
       .select("id", "stage").as[(Long, Int)].collect().toMap
     assert(got == Map(2L -> 1, 3L -> 2, 1L -> 3))
   }
+
+  test("temperatureWeights: √-law weights, exact on perfect squares") {
+    // sizes 1, 4, 9 → √ = 1, 2, 3; den = 6 exact; weights floor(1e9·√/6)
+    val df = Seq(("a", 1L), ("b", 4L), ("c", 9L)).toDF("lang", "n_chars")
+    val got = Sampling.temperatureWeights(df, col("lang"), col("n_chars"))
+      .select("grp", "weight_ppb").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 166666666L, "b" -> 333333333L, "c" -> 500000000L))
+  }
+
+  test("temperatureWeights upsamples the tail vs proportional mixing") {
+    val df = Seq(("big", 1000000L), ("small", 100L)).toDF("l", "n")
+    val got = Sampling.temperatureWeights(df, col("l"), col("n"))
+      .select("grp", "n", "weight_ppb").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (nb, wb) = got("big"); val (ns, ws) = got("small")
+    // τ=0.5 compresses the ratio: weight ratio = √(size ratio)
+    assert(wb.toDouble / ws > 90 && wb.toDouble / ws < 110,
+      s"√(10000) = 100 expected, got ${wb.toDouble / ws}")
+    assert(nb / ns == 10000)
+  }
 }

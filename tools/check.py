@@ -2,7 +2,15 @@
 """Local stand-in for the driver's correctness gate: compare Verify output
 parquet against DuckDB oracle results on the same tables.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py [--strict] <sfDir> <verifyOutDir>
+
+--strict mirrors the DRIVER's precision-sensitive hash gate: decimals are
+compared by their unnormalized string rendering (so DECIMAL(28,2) "1.50"
+vs DECIMAL(38,2) "1.50" still matches, but a scale difference like "1.5"
+vs "1.50" does NOT), and per-column dtypes must agree between the Spark
+output and the oracle result. The default (lax) mode normalizes decimal
+scale — r6's q_gap_fill passed lax locally and failed the driver's hash,
+so the pre-commit gate should always run strict.
 """
 import sys, json, glob, os
 import duckdb
@@ -10,16 +18,24 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+STRICT = False
+
 def norm(v):
     import decimal
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())  # scale-insensitive decimal compare
+        # strict: exact rendering including scale (the driver hashes the
+        # engine's own string form, so (28,2) vs (38,2) values agree but a
+        # scale mismatch does not); lax: scale-insensitive
+        return str(v) if STRICT else str(v.normalize())
     if isinstance(v, float):
         return repr(v)
     return str(v)
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -48,6 +64,21 @@ def main():
         if g_cols != e_cols:
             results[name] = f"SCHEMA_MISMATCH got={g_cols} exp={e_cols}"
             continue
+        if STRICT:
+            # ENGINE-level type parity per column (DESCRIBE, not pandas
+            # dtype — both sides of a decimal render as object in pandas,
+            # but DECIMAL(28,2) vs DECIMAL(38,2) is exactly the mismatch
+            # that failed r6's q_gap_fill driver hash)
+            def types_of(sql):
+                rows = con.execute(f"DESCRIBE {sql}").fetchall()
+                return {r[0]: r[1] for r in rows}
+            tg = types_of(f"SELECT * FROM '{d}/*.parquet'")
+            te = types_of(f"({oracle[name]})")
+            tmis = [(c, tg.get(c), te.get(c)) for c in g_cols
+                    if tg.get(c) != te.get(c)]
+            if tmis:
+                results[name] = f"TYPE_MISMATCH {tmis}"
+                continue
         g = sorted(tuple(norm(v) for v in row) for row in got[g_cols].itertuples(index=False))
         e = sorted(tuple(norm(v) for v in row) for row in exp[e_cols].itertuples(index=False))
         if len(g) != len(e):
@@ -61,7 +92,8 @@ def main():
     for k, v in results.items():
         flag = "  " if (v.startswith("MATCH") or (v.startswith("ROWS_ONLY") and "EMPTY" not in v)) else "XX"
         print(f"{flag} {k}: {v}")
-    print(f"\n{ok}/{len(results)} ok")
+    mode = "strict" if STRICT else "lax"
+    print(f"\n{ok}/{len(results)} ok ({mode})")
 
 if __name__ == "__main__":
     main()
