@@ -59,7 +59,9 @@ object Bench {
     "sim_filtered_topk", "sim_mmr_rerank", "q_islands", "q_gap_fill",
     "cdc_funnel_windowed", "text_readability", "sample_weighted",
     "sketch_hh_rollup", "q_winsorize", "q_skyline", "sketch_kll_rollup",
-    "sketch_cube_report", "cdc_funnel_steps", "q_pagerank", "pipe_temperature_mix"
+    "sketch_cube_report", "cdc_funnel_steps", "q_pagerank", "pipe_temperature_mix",
+    "q_mad_outliers", "sketch_sliding_distinct", "cdc_time_to_convert",
+    "cdc_event_transitions"
   )
 
   private def loadavg: Double =

@@ -342,6 +342,79 @@ object SparkEntry {
           maxGapMs = Some(604800000L))
         .select(col("key").as("user_id"), col("funnel_stage"))),
 
+    "cdc_time_to_convert" -> ((s, d) =>
+      // first-view → first-purchase conversion lag per user: ONE hash
+      // aggregation with conditional mins — no self-joins, no windows;
+      // integer epoch arithmetic end to end. Non-converters (no purchase
+      // at-or-after their first view) carry NULL lag.
+      t(s, d, "events").groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", unix_millis(col("ts"))))
+            .as("first_view"),
+          min(when(col("event_type") === "purchase", unix_millis(col("ts"))))
+            .as("first_purchase"))
+        .withColumn("ms_to_convert",
+          when(col("first_purchase") >= col("first_view"),
+            col("first_purchase") - col("first_view")))),
+
+    "cdc_event_transitions" -> ((s, d) =>
+      // first-order Markov transition counts (the "what happens next"
+      // product-analytics read): lead() over each user's (ts, event_id)-
+      // ordered stream, then one hash aggregation over the type² matrix —
+      // one window exchange on the user key, output bounded by #types².
+      t(s, d, "events")
+        .withColumn("to_type", lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q_mad_outliers" -> ((s, d) => {
+      // robust outlier flags via Median Absolute Deviation (the
+      // Hampel/robust-statistics standard — unlike z-scores, the
+      // estimator itself is immune to the outliers it hunts): per-type
+      // median and MAD from KLL sketches (exact order statistics in the
+      // oracle regime, O(k) reducer state at any scale), both broadcast
+      // as GROUP-cardinality tables; the flag is a scan-local comparison.
+      // All doubles are data values or exact IEEE ops (x − med, 3·mad) —
+      // bit-identical cross-engine, no rounding discipline needed.
+      val ev = t(s, d, "events")
+      val med = ev.groupBy(col("event_type").as("__g"))
+        .agg(graft.functions.KllQuantileAgg.kllQuantiles(
+          col("value").cast("double"), 8192, Seq(0.5)).as("q"))
+        .select(col("__g"), col("q")(0).as("med"))
+      val mad = ev.join(broadcast(med), col("event_type") === col("__g"))
+        .groupBy(col("__g").as("__g2"))
+        .agg(graft.functions.KllQuantileAgg.kllQuantiles(
+          abs(col("value") - col("med")).cast("double"), 8192, Seq(0.5)).as("q"))
+        .select(col("__g2"), col("q")(0).as("mad"))
+      ev.join(broadcast(med), col("event_type") === col("__g"))
+        .join(broadcast(mad), col("event_type") === col("__g2"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (abs(col("value") - col("med")) > lit(3.0d) * col("mad"))
+            .as("is_outlier"))
+    }),
+
+    "sketch_sliding_distinct" -> ((s, d) => {
+      // rolling 7-day distinct users ("7-day MAU") — the query that is
+      // brutally expensive exact at scale (every day re-counts a week of
+      // raw traffic) and one sketch-table lookup here: daily KMV sketches
+      // build once (day-cardinality table), each day's window merges ≤7
+      // stored sketch VALUES. The non-equi day-range self-join runs over
+      // the DAY-sized table (broadcast), never the raw stream; exact
+      // below k = the oracle regime.
+      import graft.functions.KmvSetOps._
+      val daily = t(s, d, "events")
+        .groupBy((unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+        .agg(kmvSketch(xxhash64(col("user_id")), 16384).as("sk"))
+      daily.as("a")
+        .join(broadcast(daily.as("b")),
+          col("b.day").between(col("a.day") - 6, col("a.day")))
+        .groupBy(col("a.day").as("day"))
+        .agg(kmvEstimate(kmvMerge(col("b.sk"))).as("mau7"))
+    }),
+
     "cdc_funnel_steps" -> ((s, d) =>
       // the GENERAL funnel: heterogeneous per-step predicates — any view,
       // then a click worth ≥ 50, then a purchase worth ≥ 85 — which the
@@ -2995,6 +3068,55 @@ object SparkEntry {
          LEFT JOIN s1 USING (user_id)
          LEFT JOIN s2 USING (user_id)
          LEFT JOIN s3 USING (user_id)""",
+
+    "cdc_time_to_convert" ->
+      """WITH a AS (SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS first_view,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS first_purchase
+         FROM events GROUP BY user_id)
+         SELECT user_id, first_view, first_purchase,
+           CASE WHEN first_purchase >= first_view
+             THEN first_purchase - first_view END AS ms_to_convert
+         FROM a""",
+
+    "cdc_event_transitions" ->
+      """WITH t AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS cnt
+         FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+
+    // med and MAD are the KLL exact-regime order statistics (rank
+    // ceil(0.5·n), clamp ≥1); x − med and 3·mad are exact IEEE on both
+    // engines, so the boolean flag needs no rounding discipline
+    "q_mad_outliers" ->
+      """WITH r AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         med AS (SELECT event_type,
+             max(CASE WHEN rn = CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) THEN v END) AS med
+           FROM r GROUP BY 1),
+         r2 AS (SELECT e.event_type, abs(CAST(e.value AS DOUBLE) - med.med) AS av,
+             CAST(row_number() OVER (PARTITION BY e.event_type
+               ORDER BY abs(CAST(e.value AS DOUBLE) - med.med)) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY e.event_type) AS n
+           FROM events e JOIN med USING (event_type)),
+         mad AS (SELECT event_type,
+             max(CASE WHEN rn = CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) THEN av END) AS mad
+           FROM r2 GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+           abs(CAST(e.value AS DOUBLE) - med.med) > 3.0 * mad.mad AS is_outlier
+         FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)""",
+
+    "sketch_sliding_distinct" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+             epoch_ms(ts) // 86400000 AS d FROM events),
+         days AS (SELECT DISTINCT d AS day FROM act)
+         SELECT days.day, count(DISTINCT act.user_id) AS mau7
+         FROM days JOIN act ON act.d BETWEEN days.day - 6 AND days.day
+         GROUP BY days.day""",
 
     "cdc_funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events

@@ -60,8 +60,26 @@ object ScaleUp {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { t =>
+    // lineitem optionally replicates with offset order/part keys (flag
+    // "lineitem" as 4th arg): ×N DISJOINT co-purchase components — the
+    // honest scaling model for the graph lane (a bigger catalog, not a
+    // denser clique). Off by default so the TPC-H lanes' historical ×N
+    // ratios stay comparable (those were measured with copy-through).
+    val replicateLineitem = args.length > 3 && args(3) == "lineitem"
+    if (replicateLineitem) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+      val maxPk = li.agg(max("l_partkey")).head.getLong(0) + 1
+      li.crossJoin(spark.range(n).select(col("id").as("__rep")))
+        .select(li.columns.map {
+          case "l_orderkey" => (col("l_orderkey") + col("__rep") * maxOk).as("l_orderkey")
+          case "l_partkey"  => (col("l_partkey") + col("__rep") * maxPk).as("l_partkey")
+          case other        => col(other)
+        }: _*)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    (Seq("region", "nation", "customer", "supplier", "part", "orders") ++
+      (if (replicateLineitem) Seq.empty[String] else Seq("lineitem"))).foreach { t =>
       val p = new java.io.File(s"$src/$t.parquet")
       if (p.exists()) {
         java.nio.file.Files.copy(p.toPath,
@@ -69,7 +87,8 @@ object ScaleUp {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    println(s"[scaleup] wrote x$n documents/embeddings/events to $out")
+    println(s"[scaleup] wrote x$n documents/embeddings/events" +
+      (if (replicateLineitem) "/lineitem" else "") + s" to $out")
     spark.stop()
   }
 }
