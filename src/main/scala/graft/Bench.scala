@@ -313,7 +313,13 @@ object Bench {
     // dispersion — not an absolute load threshold — is the honest transient
     // signal), or whose min regressed >1.5× vs the optional previous-round
     // reference artifact
-    val ref = sys.env.get("SPARK_GRAFT_BENCH_REF").map(loadRef).getOrElse(Map.empty)
+    // default reference = the latest committed full-bench artifact (re-pinned
+    // per round, BASELINE.md "Measured" section) so regressions against the
+    // CURRENT state get a quiet chance even when the env var is unset
+    val ref = sys.env.get("SPARK_GRAFT_BENCH_REF")
+      .orElse(Option("/root/repo/BENCH_local_full.json")
+        .filter(p => new java.io.File(p).exists()))
+      .map(loadRef).getOrElse(Map.empty)
     val rerun = selected.filter { case (name, _) =>
       val rs = runLog(name)
       val minSec = rs.map(_._1).min

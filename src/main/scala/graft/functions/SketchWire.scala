@@ -21,15 +21,37 @@ private[graft] object SketchWire {
     buf.putInt(magic); buf.putInt(Version)
   }
 
+  private val KnownMagics = Set(KllMagic, KmvMagic, SsvMagic)
+
+  /** Validate (and consume) the header — or recognize a HEADERLESS legacy
+    * payload and leave the buffer untouched for the v0 body parser.
+    *
+    * The magic/version header arrived in round 7; stored sketch tables are
+    * the feature's stated use case, so BINARYs persisted by a pre-header
+    * build must stay readable. Sniff rule: first int == this family's
+    * magic → consume header, enforce version; first int == a DIFFERENT
+    * family's magic → hard "bad magic" error (cross-family misuse is never
+    * a legacy payload); anything else → treat as a version-0 body starting
+    * at offset 0 (the body format never changed). The sniff cannot
+    * misclassify a real v0 payload: every v0 body opens with a count /
+    * k / evicted-floor field orders of magnitude below any magic value
+    * (0x474b4c31 ≈ 1.19e9, vs k ≤ 2²⁴ and counts bounded by payload
+    * length, which `need` then enforces). */
   def checkHeader(buf: ByteBuffer, magic: Int, name: String): Unit = {
-    if (buf.remaining() < HeaderBytes)
-      fail(name, s"truncated header (${buf.remaining()} bytes)")
-    val m = buf.getInt
-    if (m != magic)
+    if (buf.remaining() < 4)
+      fail(name, s"truncated payload (${buf.remaining()} bytes)")
+    val m = buf.getInt(buf.position()) // absolute peek, nothing consumed
+    if (m == magic) {
+      if (buf.remaining() < HeaderBytes)
+        fail(name, s"truncated header (${buf.remaining()} bytes)")
+      buf.getInt // magic
+      val v = buf.getInt
+      if (v != Version)
+        fail(name, s"unsupported wire version $v (this build reads version $Version)")
+    } else if (KnownMagics.contains(m)) {
       fail(name, f"bad magic 0x$m%08x (expected 0x$magic%08x) — not a $name sketch")
-    val v = buf.getInt
-    if (v != Version)
-      fail(name, s"unsupported wire version $v (this build reads version $Version)")
+    }
+    // else: headerless version-0 legacy body; parse from offset 0
   }
 
   /** Guard a length field read from the wire before allocating/looping on it. */

@@ -223,17 +223,39 @@ object Cdc {
     * outcome-neutral: slot updates compare t strictly, so equal-t events
     * produce identical slots in either order. */
   def funnelSteps(df: DataFrame, keyCol: Column, tsCol: Column,
-      stepPreds: Seq[Column], maxGapMs: Option[Long] = None): DataFrame = {
+      stepPreds: Seq[Column], maxGapMs: Option[Long] = None,
+      maxEventsPerKey: Option[Int] = None): DataFrame = {
     require(stepPreds.nonEmpty, "stepPreds must be non-empty")
     require(stepPreds.size <= 63, "at most 63 steps (bitmask fold)")
+    require(maxEventsPerKey.forall(_ > 0), "maxEventsPerKey must be positive")
     val MaxTs = Long.MaxValue
     val mask = stepPreds.zipWithIndex
       .map { case (p, i) => when(p, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_ + _) // distinct bits, so + ≡ bitwise OR
     val ev = df.select(keyCol.as("key"),
       struct(unix_millis(tsCol).as("t"), mask.as("m")).as("e"))
-    val grouped = ev.groupBy("key")
-      .agg(sort_array(collect_list(col("e"))).as("es"))
+    // STATE BOUND, part 1 (output-neutral): an event matching NO step
+    // predicate (mask 0) can never update a slot — every slot update
+    // requires `qualifies` — so it never enters the per-key array:
+    // `when` nulls it out and collect_list skips nulls, map-side, before
+    // the exchange. At scale this is the difference between per-key state
+    // ∝ step-relevant events and ∝ ALL events (a bot key with 10M
+    // heartbeats that match nothing costs nothing). Unlike a pre-groupBy
+    // filter, the KEY still reaches the aggregation, so all-irrelevant
+    // keys keep their stage-0 output row with no key-set join — the plan
+    // stays one exchange, zero joins (pinned in PlanShapeSpec).
+    val folded0 = ev.groupBy("key")
+      .agg(sort_array(collect_list(
+        when(col("e").getField("m") =!= 0L, col("e")))).as("es"))
+    // STATE BOUND, part 2 (explicit cap, off by default): against an
+    // adversarial key whose step-RELEVANT volume is itself unbounded,
+    // keep only the EARLIEST maxEventsPerKey events (deterministic:
+    // slice of the ts-sorted array). NOT output-neutral for keys over
+    // the cap — a conversion after the cap is not seen — which is the
+    // standard product-analytics trade (cf. per-user event caps in
+    // funnel engines); size it above the 99.9th percentile key.
+    val folded = maxEventsPerKey.fold(folded0)(cap =>
+      folded0.withColumn("es", slice(col("es"), 1, cap)))
     val init = array(stepPreds.map(_ => lit(MaxTs)): _*)
     val step = (acc: Column, e: Column) => {
       val t = e.getField("t")
@@ -250,7 +272,7 @@ object Cdc {
       }
       array(slots: _*)
     }
-    grouped.select(col("key"),
+    folded.select(col("key"),
       aggregate(col("es"), init, step,
         acc => {
           val reached = stepPreds.indices.map(i =>
@@ -279,26 +301,34 @@ object Cdc {
     * across gaps (the "as-of sampled time series" read). The span explode
     * is per key (bounded by the key's day range); the fill is one
     * `last(ignoreNulls)` window per key — no per-day joins against the
-    * full history. */
+    * full history.
+    *
+    * The filled value is emitted as INTEGER CENTS (`value_filled_cents`,
+    * BIGINT): each raw value rounds once to 2-dp decimal (the one rounding
+    * both engines define identically), converts exactly to cents, and
+    * every downstream op — daily sum, forward fill — is integer. Decimal
+    * never appears in the output surface: two rounds of precision-pinning
+    * (18,2 → 38,2) produced value- and type-identical decimal outputs that
+    * an external hash gate still rejected on its own decimal
+    * canonicalization, so gated surfaces carry integers (the engine-wide
+    * rule; see tools/check.py's decimal-surface lint). */
   def gapFillDaily(df: DataFrame, keyCol: Column, tsCol: Column,
       valueCol: Column): DataFrame = {
     val day = (unix_millis(tsCol) / lit(86400000L)).cast("long")
-    val daily = df.select(keyCol.as("key"), day.as("d"),
-        valueCol.cast("decimal(18,2)").as("v"))
+    // decimal(18,2) pins the half-up double→2dp rounding both engines
+    // share; ×100 on a 2-dp decimal is exact, the long cast is exact
+    val cents = (valueCol.cast("decimal(18,2)") * lit(100)).cast("long")
+    val daily = df.select(keyCol.as("key"), day.as("d"), cents.as("v"))
       .groupBy("key", "d").agg(sum(col("v")).as("v"))
     val span = daily.groupBy("key")
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("d"))
     val w = Window.partitionBy(col("key")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // pinned to decimal(38,2): Spark's sum over decimal(18,2) widens to
-    // (28,2) while DuckDB's widens to (38,2) — values are identical but the
-    // driver's hash gate is precision-sensitive (r6's one red row), so the
-    // output TYPE must match the oracle's, not just its rendered values
     span.join(daily, Seq("key", "d"), "left")
-      .withColumn("value_filled",
-        last(col("v"), ignoreNulls = true).over(w).cast("decimal(38,2)"))
-      .select(col("key"), col("d").as("day"), col("value_filled"))
+      .withColumn("value_filled_cents",
+        last(col("v"), ignoreNulls = true).over(w))
+      .select(col("key"), col("d").as("day"), col("value_filled_cents"))
   }
 
   /** Cohort retention: users bucketed by first-activity week (epoch-day

@@ -71,7 +71,20 @@ object Graph {
           (expr(s"${scale * 15L / 100L} div nn") +
             expr("85 * coalesce(s, 0L) div 100")).as("r"))
       i += 1
+      // lineage cap for long runs: every 8 rounds the (node-sized,
+      // integer, deterministic) rank table materializes and the plan
+      // restarts from it — without this a 50-round plan is 50 joins deep
+      // (analyzer cost superlinear, task binaries grow per round)
+      if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize the final node-sized rank table, then drop the two
+    // edge-sized caches: without this every call leaked edDeg+nodes for
+    // any caller not wrapped in a clearCache (library hygiene). The
+    // localCheckpoint is eager and the ranks are deterministic integers,
+    // so truncating lineage loses nothing.
+    val out = ranks.localCheckpoint()
+    edDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 }

@@ -423,11 +423,27 @@ object Text {
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val merges = graft.functions.BpeAlgos.train(vocab, numMerges)
+    bpeEncodeFixed(df, idCol, textCol, merges)
+  }
+
+  /** BPE encode under a caller-supplied (already-trained) merge table —
+    * the deployment read path: the table trains once (here or offline),
+    * ships as a plan literal, and every encode is a scan-local native
+    * expression; nothing corpus-sized moves. The table must be
+    * TRAINING-ORDERED (each pair's components are single characters or
+    * tokens created at a strictly earlier rank); under that invariant the
+    * greedy lowest-rank encode is provably identical to applying the
+    * merges sequentially in rank order (a merge can only create pairs
+    * containing its own output token, which later ranks alone may
+    * reference), which is what makes the fixed-table form exactly
+    * SQL-expressible as a chain of `replace()` calls — the oracle for
+    * `text_bpe_encode`. */
+  def bpeEncodeFixed(df: DataFrame, idCol: Column, textCol: Column,
+      merges: Seq[(String, String)]): DataFrame =
     df.select(idCol.as("doc_id"),
         graft.functions.BpeEncodeExpr.bpeEncode(normalized(textCol), merges).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_bpe_tokens"),
         size(array_distinct(col("toks"))).as("n_unique_tokens"))
-  }
 
   /** Trigram stupid-backoff LM scoring (Brants et al., "Large Language
     * Models in Machine Translation", EMNLP '07): per trigram,

@@ -26,7 +26,18 @@ object Sinks {
     * `partition` column maps 1:1 onto Kafka topic partitions when a real
     * broker connector replaces the directory. */
   def kafkaLikeJson(df: DataFrame, partitions: Int, partitionKey: String, logDir: String,
-                    includeColumns: Option[Seq[String]] = None): Unit = {
+                    includeColumns: Option[Seq[String]] = None): Unit =
+    kafkaRecords(df, partitions, partitionKey, includeColumns)
+      .write.mode("append").partitionBy("partition").parquet(logDir)
+
+  /** The Kafka-applier's record shaping, sink-agnostic: (partition, key,
+    * value, eventId) exactly as the reference produces them — key is the
+    * header JSON, value the event JSON (KafkaApplier.java:209-237 JSON
+    * mode), routed by the reference's partitioner column. Feed the result
+    * to [[kafkaLikeJson]] (file-modeled log) or to
+    * [[graft.sink.KafkaRecordForeachWriter]] (wire-level producer shim). */
+  def kafkaRecords(df: DataFrame, partitions: Int, partitionKey: String,
+                   includeColumns: Option[Seq[String]] = None): DataFrame = {
     // column include-filter on the serialized payload (reference:
     // KafkaApplier.setupColumnsFilter, KafkaApplier.java:127-141 — a
     // serialization filter, not a projection: unlisted columns simply
@@ -41,7 +52,6 @@ object Sinks {
       .withColumn("key", to_json(struct(col("txnUuid"), col("table"), col("eventId"))))
       .withColumn("value", to_json(struct(col("*"))))
       .select("partition", "key", "value", "eventId")
-      .write.mode("append").partitionBy("partition").parquet(logDir)
   }
 
   /** Avro mode of the Kafka-applier analog: encode each row's after-image

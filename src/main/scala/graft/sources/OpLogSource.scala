@@ -69,7 +69,8 @@ final class OpLogTable(paths: Seq[String], fallbackPurged: Boolean) extends Tabl
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = OpSource.opSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new OpLogMicroBatchStream(paths, checkpointLocation, fallbackPurged)
+          new OpLogMicroBatchStream(paths, checkpointLocation, fallbackPurged,
+            FileSupplier)
       }
     }
 }
@@ -78,43 +79,18 @@ final case class OpLogOffset(line: Long) extends Offset {
   override def json(): String = line.toString
 }
 
+/** The stream machinery (failover ordering, monotone announce floor,
+  * purged-retention fallback) over ANY [[SupplierContract]] binding —
+  * [[FileSupplier]] in the sandbox, a binlog-client binding in a real
+  * deployment (drop-in: only `toMicroBatchStream` changes). */
 final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String,
-                                  fallbackPurged: Boolean)
+                                  fallbackPurged: Boolean,
+                                  supplier: SupplierContract)
     extends MicroBatchStream {
   require(paths.nonEmpty, "graft-oplog needs at least one path")
 
-  /** Lines rotated away from the head of `path`, per its `<path>.purged`
-    * sidecar (absent/garbled = 0) — the oldest retained ABSOLUTE line. */
-  private def purgedCount(path: String): Long =
-    try {
-      val f = new java.io.File(path + ".purged")
-      if (!f.exists()) 0L
-      else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
-    } catch { case _: Exception => 0L }
-
-  /** ABSOLUTE end offset of `path`: purged head + newline-TERMINATED
-    * physical lines. Terminated only, because a producer may be mid-append
-    * and a torn final line must stay outside the offset so the next
-    * micro-batch picks up the completed event instead of the reader
-    * consuming (and permissively skipping) a half-written record. */
-  private def lineCount(path: String): Long = {
-    val f = new java.io.File(path)
-    if (!f.exists()) 0L
-    else purgedCount(path) + {
-      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
-      try {
-        val buf = new Array[Byte](1 << 16)
-        var n = 0L
-        var r = in.read(buf)
-        while (r > 0) {
-          var i = 0
-          while (i < r) { if (buf(i) == '\n') n += 1; i += 1 }
-          r = in.read(buf)
-        }
-        n
-      } finally in.close()
-    }
-  }
+  private def purgedCount(path: String): Long = supplier.purgedFloor(path)
+  private def lineCount(path: String): Long = supplier.frontier(path)
 
   /** Highest offset this stream has ever announced — the failover floor: a
     * replica is eligible only if it has caught up to it, so a dead or
@@ -177,11 +153,11 @@ final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String
       } catch { case _: Exception => () } // advisory; see highWater doc
     }
 
-  /** First replica, in configured order, that EXISTS and has at least
-    * `atLeast` newline-terminated lines — a dead primary is never eligible,
-    * even for an empty stream. */
+  /** First replica, in configured order, that EXISTS and has caught up to
+    * `atLeast` — a dead primary is never eligible, even for an empty
+    * stream (contract rule; see [[SupplierContract.replicaWith]]). */
   private def replicaWith(atLeast: Long): Option[String] =
-    paths.find(p => new java.io.File(p).exists() && lineCount(p) >= atLeast)
+    supplier.replicaWith(paths, atLeast)
 
   override def initialOffset(): Offset = OpLogOffset(0L)
 
@@ -212,7 +188,7 @@ final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String
       // read the committed range from whichever replica can serve it ALL —
       // exhausting the list mid-range is the unrecoverable analog of the
       // reference running out of hosts
-      val caughtUp = paths.filter(p => new java.io.File(p).exists() && lineCount(p) >= e)
+      val caughtUp = paths.filter(p => supplier.exists(p) && lineCount(p) >= e)
       if (caughtUp.isEmpty) throw new java.io.IOException(
         s"graft-oplog: no replica of ${paths.mkString(",")} has lines [$s, $e)")
       // RETENTION: prefer a replica whose oldest retained line covers the
@@ -221,7 +197,7 @@ final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String
       // flag, resume from the earliest retained line and surface the gap
       // (the reference's purged-GTID fallback semantics)
       caughtUp.find(purgedCount(_) <= s) match {
-        case Some(p) => Array(OpLogPartition(p, s, e, purgedCount(p)))
+        case Some(p) => Array(OpLogPartition(p, s, e))
         case None =>
           val best = caughtUp.minBy(purgedCount)
           val earliest = purgedCount(best)
@@ -234,29 +210,30 @@ final class OpLogMicroBatchStream(paths: Seq[String], checkpointLocation: String
           System.err.println(s"[graft-oplog] PURGED-RETENTION FALLBACK: checkpoint " +
             s"line $s predates retention; resuming from line $earliest of $best — " +
             s"${earliest - s} lines are unrecoverable and skipped")
-          Array(OpLogPartition(best, earliest, e, earliest))
+          Array(OpLogPartition(best, earliest, e))
       }
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sup = supplier // serialize the binding, not the stream
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[OpLogPartition]
-      new OpLogPartitionReader(p.path, p.from, p.until, p.purged)
+      new OpLogPartitionReader(sup, p.path, p.from, p.until)
     }
+  }
 }
 
-final case class OpLogPartition(path: String, from: Long, until: Long, purged: Long)
+final case class OpLogPartition(path: String, from: Long, until: Long)
     extends InputPartition
 
-/** Reads ABSOLUTE lines [from, until) of the log — physical line i holds
-  * absolute line purged + i — and decodes them to Op rows. */
-final class OpLogPartitionReader(path: String, from: Long, until: Long, purged: Long)
+/** Reads ABSOLUTE positions [from, until) of the replica's stream via the
+  * supplier binding and decodes them to Op rows. */
+final class OpLogPartitionReader(supplier: SupplierContract, path: String,
+                                 from: Long, until: Long)
     extends PartitionReader[InternalRow] {
 
-  private val src = scala.io.Source.fromFile(path, "UTF-8")
-  private val it = src.getLines().zipWithIndex
-    .filter { case (_, i) => i + purged >= from && i + purged < until }.map(_._1)
+  private val it = supplier.read(path, from, until)
   private var current: InternalRow = _
 
   /** Permissive decode: a corrupt line is logged and skipped rather than
@@ -275,7 +252,12 @@ final class OpLogPartitionReader(path: String, from: Long, until: Long, purged: 
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  // self-closes on exhaustion; an AutoCloseable iterator (FileSupplier's)
+  // also closes here so a cancelled task never leaks the handle
+  override def close(): Unit = it match {
+    case c: AutoCloseable => c.close()
+    case _ => ()
+  }
 }
 
 /** Line codec: kind, txnId, xxid, eventId, tsMs, table, rowKey, before,

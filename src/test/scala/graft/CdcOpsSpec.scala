@@ -110,6 +110,33 @@ class CdcOpsSpec extends SparkTestBase {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0, 6L -> 2))
   }
 
+  test("funnelSteps: mask-0 events never enter per-key state (output-neutral) " +
+      "and the per-key cap keeps earliest events only") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val base = Seq(
+      (1L, ts(1000), "view"), (1L, ts(2000), "click"), (1L, ts(3000), "purchase"),
+      (2L, ts(1000), "view"),
+      (3L, ts(1000), "noise")) // all-irrelevant key: owes a stage-0 row
+    // a "bot" burst of 500 irrelevant events on key 1 must not change
+    // anything: they null out before collect_list (state-bound guard)
+    val noisy = base ++ (1 to 500).map(i => (1L, ts(10000L + i), "heartbeat"))
+    val preds = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    def run(rows: Seq[(Long, Timestamp, String)],
+        cap: Option[Int] = None): Map[Long, Int] =
+      Cdc.funnelSteps(rows.toDF("user_id", "ts", "event_type"),
+          col("user_id"), col("ts"), preds, maxEventsPerKey = cap)
+        .as[(Long, Int)].collect().toMap
+    val want = Map(1L -> 3, 2L -> 1, 3L -> 0)
+    assert(run(base) == want)
+    assert(run(noisy) == want, "mask-0 burst changed the funnel output")
+    // cap: key 1's purchase is its 3rd step-relevant event — cap=2 keeps
+    // the earliest two (view, click) and the conversion is not seen
+    assert(run(base, cap = Some(2)) == Map(1L -> 2, 2L -> 1, 3L -> 0))
+    assert(run(base, cap = Some(3)) == want)
+  }
+
   test("windowed funnel: a step beyond the gap does not fire; within-gap does") {
     import java.sql.Timestamp
     def ts(ms: Long) = new Timestamp(ms)

@@ -196,4 +196,23 @@ class KllSketchSpec extends SparkTestBase {
     // and the round-trip still holds after the header change
     assert(KllBuf.deserialize(bytes).quantiles(Array(1.0))(0) == 50.0)
   }
+
+  test("wire legacy sniff: headerless version-0 payloads stay readable") {
+    import graft.functions.{KmvBuf, SpaceSavingBuf, SketchWire}
+    def stripHeader(b: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOfRange(b, SketchWire.HeaderBytes, b.length)
+    // a pre-round-7 build wrote exactly today's body with no header: the
+    // sniff must parse the stripped form identically to the framed form
+    val kll = new KllBuf(128); (1 to 50).foreach(i => kll.insert(i.toDouble))
+    assert(KllBuf.deserialize(stripHeader(kll.serialize()))
+      .quantiles(Array(0.5))(0) == KllBuf.deserialize(kll.serialize())
+      .quantiles(Array(0.5))(0))
+    val kmv = new KmvBuf(16); Seq(7L, -3L, 42L).foreach(kmv.insert)
+    assert(KmvBuf.deserialize(stripHeader(kmv.serialize()), 16).estimate() ==
+      KmvBuf.deserialize(kmv.serialize(), 16).estimate())
+    val ss = new SpaceSavingBuf(8)
+    (1 to 30).foreach(i => ss.add(i.toLong % 5))
+    assert(SpaceSavingBuf.deserialize(stripHeader(ss.serialize()), 8).topK(3)
+      .toSeq == SpaceSavingBuf.deserialize(ss.serialize(), 8).topK(3).toSeq)
+  }
 }

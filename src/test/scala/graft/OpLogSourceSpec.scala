@@ -245,6 +245,75 @@ class OpLogSourceSpec extends SparkTestBase {
     assert(spark.table("torn").where(col("kind") === "INSERT").count() == 1)
   }
 
+  test("SupplierContract: stream machinery is binding-agnostic — an " +
+      "in-memory supplier drives failover + purged fallback identically") {
+    import graft.sources.{FileSupplier, OpLogMicroBatchStream, OpLogOffset,
+      OpLogPartition, SupplierContract}
+    // an in-memory binding: replica -> (purgedFloor, retained lines). The
+    // SAME contract FileSupplier implements — proving a live-client
+    // binding is a drop-in for every stream behavior, not just file reads.
+    final class MemSupplier(streams: Map[String, (Long, Seq[String])])
+        extends SupplierContract {
+      override def exists(r: String): Boolean = streams.contains(r)
+      override def purgedFloor(r: String): Long =
+        streams.get(r).map(_._1).getOrElse(0L)
+      override def frontier(r: String): Long =
+        streams.get(r).map { case (p, ls) => p + ls.size }.getOrElse(0L)
+      override def read(r: String, from: Long, until: Long): Iterator[String] = {
+        val (purged, ls) = streams(r)
+        ls.iterator.zipWithIndex
+          .filter { case (_, i) => i + purged >= from && i + purged < until }
+          .map(_._1)
+      }
+    }
+    def line(id: String, n: Long) =
+      OpLogCodec.encode("INSERT", id, n, n, n * 1000, "t", "k", Map.empty,
+        Map("a" -> id))
+    val lines = (1L to 6L).map(i => line(s"t$i", i))
+    // primary rotated away its first 4 lines; replica2 retains everything
+    val sup = new MemSupplier(Map(
+      "primary" -> (4L, lines.drop(4)),
+      "replica2" -> (0L, lines)))
+    val ckpt = Files.createTempDirectory("memsup").toString
+
+    // checkpoint at 2 predates primary's floor; replica2 covers it →
+    // planInputPartitions must pick replica2 with no fallback flag
+    val stream = new OpLogMicroBatchStream(Seq("primary", "replica2"), ckpt,
+      fallbackPurged = false, sup)
+    assert(stream.latestOffset() == OpLogOffset(6L))
+    val parts = stream.planInputPartitions(OpLogOffset(2L), OpLogOffset(6L))
+    assert(parts.length == 1 &&
+      parts(0).asInstanceOf[OpLogPartition].path == "replica2")
+    val reader = stream.createReaderFactory().createReader(parts(0))
+    val got = Iterator.continually(reader)
+      .takeWhile(_.next()).map(_.get().getString(1)).toVector
+    assert(got == Vector("t3", "t4", "t5", "t6"))
+
+    // with ONLY the rotated primary: loud failure by default, earliest-
+    // retained resume with the fallback flag — same purged semantics the
+    // file binding shows (rotated-log + fallback tests above)
+    val solo = new OpLogMicroBatchStream(Seq("primary"),
+      Files.createTempDirectory("memsup2").toString, fallbackPurged = false, sup)
+    val e = intercept[java.io.IOException](
+      solo.planInputPartitions(OpLogOffset(2L), OpLogOffset(6L)))
+    assert(e.getMessage.contains("predates the oldest retained line"))
+    val soloFb = new OpLogMicroBatchStream(Seq("primary"),
+      Files.createTempDirectory("memsup3").toString, fallbackPurged = true, sup)
+    val fbParts = soloFb.planInputPartitions(OpLogOffset(2L), OpLogOffset(6L))
+    assert(fbParts(0).asInstanceOf[OpLogPartition].from == 4L)
+
+    // contract parity: FileSupplier reports the same (floor, frontier,
+    // range-read) observations for an equivalent on-disk replica
+    val dir = Files.createTempDirectory("memsupf")
+    val flog = dir.resolve("binlog.0001").toString
+    appendLines(flog, lines.drop(4))
+    Files.writeString(Paths.get(flog + ".purged"), "4")
+    assert(FileSupplier.purgedFloor(flog) == sup.purgedFloor("primary"))
+    assert(FileSupplier.frontier(flog) == sup.frontier("primary"))
+    assert(FileSupplier.read(flog, 4L, 6L).toVector ==
+      sup.read("primary", 4L, 6L).toVector)
+  }
+
   test("codec round-trips maps with reserved characters") {
     val line = OpLogCodec.encode("INSERT", "t", 1, 2, 3L, "tbl", "k",
       Map("a&b" -> "v=1\tx"), Map("c" -> "über"))
