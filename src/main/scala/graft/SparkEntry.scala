@@ -474,6 +474,29 @@ object SparkEntry {
         .agg(kmvEstimate(kmvMerge(col("b.sk"))).as("mau7"))
     }),
 
+    "q_sessionize" -> ((s, d) =>
+      // gap-based sessionization (12h idle window over the sparse events
+      // fixture): lag marks opens, a running sum numbers them, and both
+      // windows + the session aggregation share ONE key-ordered exchange.
+      // Value totals ride as integer cents (decimal-surface rule).
+      graft.operators.Cdc.sessionize(t(s, d, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("value"), idleMs = 43200000L)),
+
+    "q_triangles" -> ((s, d) => {
+      // triangle census of the co-purchase graph via degree-ordered
+      // orientation (each wedge enumerated once at its smallest-degree
+      // apex; out-degree bounded O(√m) so wedge volume is O(m^1.5), not
+      // Σdeg² — the hub-proof form). All integer: count, Σd(d−1)/2,
+      // floor-div ppm coefficient; the oracle runs the identical algebra.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.triangleStats(edges, col("src"), col("dst"))
+    }),
+
     "cdc_funnel_steps" -> ((s, d) =>
       // the GENERAL funnel: heterogeneous per-step predicates — any view,
       // then a click worth ≥ 50, then a purchase worth ≥ 85 — which the
@@ -3180,6 +3203,46 @@ object SparkEntry {
          SELECT days.day, count(DISTINCT act.user_id) AS mau7
          FROM days JOIN act ON act.d BETWEEN days.day - 6 AND days.day
          GROUP BY days.day""",
+
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id AS eid,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w > 43200000 THEN 1 ELSE 0 END AS op
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, eid)),
+         sn AS (SELECT *, CAST(sum(op) OVER (PARTITION BY user_id
+                 ORDER BY t, eid ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS BIGINT) AS session_idx FROM m)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           min(t) AS session_start_ms, max(t) - min(t) AS duration_ms,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+         FROM sn GROUP BY 1, 2""",
+
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem),
+         und AS (SELECT DISTINCT least(a.pk, b.pk) a, greatest(a.pk, b.pk) b
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT v, count(*) d FROM
+           (SELECT a v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+         wd AS (SELECT und.a, und.b, da.d AS da, db.d AS db FROM und
+           JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+         ori AS (SELECT
+             CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END u,
+             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END w,
+             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END dw
+           FROM wd),
+         wedges AS (SELECT e1.u, e1.w v1, e2.w v2
+           FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+           WHERE e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w)),
+         closed AS (SELECT 1 FROM wedges
+           JOIN ori ON ori.u = wedges.v1 AND ori.w = wedges.v2)
+         SELECT (SELECT count(*) FROM closed) AS n_triangles,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           CAST(CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+             THEN 3000000 * (SELECT count(*) FROM closed)
+               // (SELECT sum(d * (d - 1) // 2) FROM deg)
+             ELSE 0 END AS BIGINT) AS clustering_ppm""",
 
     "cdc_funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events

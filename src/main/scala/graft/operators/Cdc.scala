@@ -337,6 +337,36 @@ object Cdc {
     * and one key join — the first-activity table is keyed and 1:1, so the
     * join shuffles once on the user key; output cardinality is
     * #cohorts × #weeks, tiny at any corpus size. */
+  /** Gap-based sessionization (the product-analytics primitive every
+    * funnel/retention read sits on): events more than `idleMs` apart open
+    * a new session; emit one row per session with its ordinal, bounds,
+    * event count, and value total in integer cents.
+    *
+    * Shape: the classic two-window identity — `lag` marks session opens,
+    * a running sum of open-markers numbers them — and both windows plus
+    * the final aggregation share ONE (key)×(ts-ordered) exchange, so the
+    * whole operator is a single shuffle at any scale. Session numbering is
+    * per key (no global order); all arithmetic is integer epoch-ms, and
+    * ties order on (t, event_id) so the numbering is deterministic. */
+  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column,
+      idCol: Column, valueCol: Column, idleMs: Long): DataFrame = {
+    require(idleMs > 0, "idleMs must be positive")
+    val ev = df.select(keyCol.as("key"), unix_millis(tsCol).as("t"),
+      idCol.as("eid"),
+      (valueCol.cast("decimal(18,2)") * lit(100)).cast("long").as("cents"))
+    val w = Window.partitionBy(col("key")).orderBy(col("t"), col("eid"))
+    val opens = when(
+      col("t") - lag(col("t"), 1).over(w) > idleMs ||
+        lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L)
+    ev.withColumn("session_idx",
+        sum(opens).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key").as("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t")).as("session_start_ms"),
+        (max(col("t")) - min(col("t"))).as("duration_ms"),
+        sum(col("cents")).as("value_cents"))
+  }
+
   def cohortRetention(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
     val week = (unix_millis(tsCol) / lit(86400000L)).cast("long") / lit(7L)
     val act = df.select(keyCol.as("key"), week.cast("long").as("w")).distinct()

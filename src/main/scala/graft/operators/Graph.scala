@@ -38,8 +38,10 @@ object Graph {
     * tables stay node-sized and broadcast while small. The driver loop
     * builds the PLAN; nothing collects. */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
-      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+      iterations: Int, scale: Long = 1000000000000L,
+      checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     // The edge relation (with out-degree attached ONCE) persists for the
     // loop — the standard posture for iterative graph ops (SCALE.md
     // principle 7): without it every round lazily re-derives the caller's
@@ -71,11 +73,17 @@ object Graph {
           (expr(s"${scale * 15L / 100L} div nn") +
             expr("85 * coalesce(s, 0L) div 100")).as("r"))
       i += 1
-      // lineage cap for long runs: every 8 rounds the (node-sized,
-      // integer, deterministic) rank table materializes and the plan
-      // restarts from it — without this a 50-round plan is 50 joins deep
-      // (analyzer cost superlinear, task binaries grow per round)
-      if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      // rank-table materialization cadence (default: every round). Two
+      // effects: (a) lineage cap — without it a 50-round plan is 50 joins
+      // deep (analyzer cost superlinear, task binaries grow per round);
+      // (b) EXACT SIZE STATS — a materialized node-sized table lets AQE
+      // broadcast the rank side of the next round's edge join instead of
+      // planning a conservative shuffle (measured 7.5 → 5.6 s on the 3-
+      // round sf0.1 bench row). The cost is holding one node-sized RDD
+      // per round in executor memory; raise the cadence only on graphs
+      // whose node set strains storage memory.
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     // materialize the final node-sized rank table, then drop the two
     // edge-sized caches: without this every call leaked edDeg+nodes for
@@ -86,5 +94,65 @@ object Graph {
     edDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
+  }
+
+  /** Global triangle count + clustering coefficient via degree-ordered
+    * edge orientation (Cohen's MapReduce formulation / the MGT algorithm):
+    * orient every undirected edge from its (degree, id)-smaller endpoint
+    * to its larger, join out-edges on their source to enumerate each
+    * wedge at its smallest vertex exactly once, and close wedges against
+    * the oriented edge set. Orientation is THE scale lever: max out-degree
+    * is O(√m) on any graph (a vertex's out-neighbors all have ≥ its
+    * degree), so wedge volume is O(m^1.5) worst-case instead of Σdeg² —
+    * the hub that breaks the naive form contributes almost nothing
+    * oriented. Plan shape: two hash-aggs (undirect + degree), a broadcast
+    * degree attach, one equi-join on wedge apex, one equi-join to close —
+    * every exchange keyed on well-distributed vertex ids, nothing global,
+    * no windows (a row_number rank over a global ORDER BY would serialize
+    * on one partition; the lexicographic (deg, id) compare is scan-local).
+    *
+    * Output (one row, all integers): `n_triangles`, `n_wedges` (the
+    * standard Σᵥ d(d−1)/2 over all centers — a node-sized aggregation,
+    * NOT the oriented wedge relation, which only materializes each wedge
+    * once for closing), and the global clustering coefficient
+    * `3·tri/wedges` in parts-per-million (floor-div — engine-exact;
+    * d(d−1) is always even so the /2 is exact integer). */
+  def triangleStats(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val und = edges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): strict total order, so each undirected edge
+    // appears exactly once in `ori` with out-endpoint degree carried for
+    // the wedge-ordering compare below
+    val withDeg = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ori = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("w"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+    // wedges at apex u: unordered pair of out-neighbors, ordered by the
+    // same (deg, id) rule so each wedge materializes once
+    val e1 = ori.select(col("u"), col("w").as("v1"), col("dw").as("d1"))
+    val e2 = ori.select(col("u"), col("w").as("v2"), col("dw").as("d2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val closed = wedges.join(
+      ori.select(col("u").as("v1"), col("w").as("v2")), Seq("v1", "v2"))
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val wed = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wed).select(
+      col("n_triangles"), col("n_wedges"),
+      when(col("n_wedges") > 0,
+        expr("3000000 * n_triangles div n_wedges")).otherwise(lit(0L))
+        .as("clustering_ppm"))
   }
 }

@@ -110,6 +110,31 @@ class CdcOpsSpec extends SparkTestBase {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0, 6L -> 2))
   }
 
+  test("sessionize: idle gaps split sessions, numbering is per-key and " +
+      "deterministic on ties, totals are integer cents") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val idle = 1000L
+    val rows = Seq(
+      // u1: [0, 500, 900] one session; [2500, 3000] second (gap 1600 > idle)
+      (1L, ts(0), 10L, 1.25), (1L, ts(500), 11L, 2.50), (1L, ts(900), 12L, 0.10),
+      (1L, ts(2500), 13L, 4.00), (1L, ts(3000), 14L, 0.05),
+      // u2: single event — one singleton session
+      (2L, ts(100), 20L, 9.99),
+      // u3: tie on ts — eid orders deterministically, same session
+      (3L, ts(50), 31L, 1.00), (3L, ts(50), 30L, 2.00))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Cdc.sessionize(rows, col("user_id"), col("ts"), col("event_id"),
+        col("value"), idleMs = idle)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(got == Map(
+      (1L, 1L) -> (3L, 0L, 900L, 385L),    // 1.25+2.50+0.10 = 385 cents
+      (1L, 2L) -> (2L, 2500L, 500L, 405L),
+      (2L, 1L) -> (1L, 100L, 0L, 999L),
+      (3L, 1L) -> (2L, 50L, 0L, 300L)))
+  }
+
   test("funnelSteps: mask-0 events never enter per-key state (output-neutral) " +
       "and the per-key cap keeps earliest events only") {
     import java.sql.Timestamp

@@ -39,6 +39,26 @@ class GraphSpec extends SparkTestBase {
     assert(rs(1L) > rs(2L) && rs(2L) == rs(3L) && rs(3L) == rs(4L))
   }
 
+  test("triangleStats: K4 + pendant — exact counts, duplicate/reversed " +
+      "edges collapse, coefficient is floor-div ppm") {
+    // K4 on {1,2,3,4} (4 triangles) plus pendant 1-5. Degrees 4,3,3,3,1 →
+    // wedges Σd(d−1)/2 = 6+3·3+0 = 15; coeff = 3·4/15 = 0.8 → 800000 ppm.
+    // Edges arrive duplicated and in both directions: und must collapse.
+    val e = for {
+      (a, b) <- Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(1L,5L))
+      d <- Seq((a, b), (b, a), (a, b)) // dup + reverse
+    } yield d
+    val r = Graph.triangleStats(e.toDF("src", "dst"), col("src"), col("dst"))
+      .collect()(0)
+    assert(r.getLong(0) == 4L, s"triangles: $r")
+    assert(r.getLong(1) == 15L, s"wedges: $r")
+    assert(r.getLong(2) == 800000L, s"ppm: $r")
+    // triangle-free graph (star): zero triangles, nonzero wedges, 0 ppm
+    val star = Seq((1L,2L),(1L,3L),(1L,4L)).toDF("src", "dst")
+    val r2 = Graph.triangleStats(star, col("src"), col("dst")).collect()(0)
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 3L && r2.getLong(2) == 0L)
+  }
+
   test("rank column is BIGINT — the no-float discipline") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val df = Graph.pageRank(edges, col("src"), col("dst"), iterations = 1)

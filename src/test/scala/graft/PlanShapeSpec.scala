@@ -322,6 +322,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"funnelSteps should shuffle once:\n$p")
   }
 
+  test("r8: sessionize is one exchange — both windows and the session agg " +
+      "share the key sort") {
+    val p = plan("q_sessionize")
+    assert(!p.contains("Join"), s"sessionize must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"sessionize should shuffle once:\n$p")
+  }
+
+  test("r8: triangle census — equi-joins only, no cartesian, no windows " +
+      "(global rank would serialize; the (deg,id) compare is scan-local)") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") ||
+      // the final 1×1 stats crossJoin is the only allowed product
+      "CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"unexpected products:\n$p")
+    assert(!p.contains("Window"), s"no global rank window allowed:\n$p")
+  }
+
   test("r6s5: consistency audit joins once, 1:1, no window") {
     val p = plan("cdc_consistency_check")
     assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
