@@ -482,6 +482,20 @@ object SparkEntry {
       graft.operators.Cdc.sessionize(t(s, d, "events"), col("user_id"),
         col("ts"), col("event_id"), col("value"), idleMs = 43200000L)),
 
+    "q_peak_concurrency" -> ((s, d) => {
+      // capacity-planning read: daily peak simultaneous sessions. Sweep
+      // line PARTITIONED BY DAY (intervals clip to day segments, ±1
+      // boundary deltas, one day-keyed RANGE window) — no global ordering
+      // anywhere; closed-interval tie semantics pinned by (t asc, delta
+      // desc) + RANGE peers. Composes the sessionize operator's output.
+      val sess = graft.operators.Cdc.sessionize(t(s, d, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        idleMs = 43200000L)
+      graft.operators.Cdc.peakConcurrencyDaily(sess,
+        col("session_start_ms"),
+        col("session_start_ms") + col("duration_ms"))
+    }),
+
     "q_triangles" -> ((s, d) => {
       // triangle census of the co-purchase graph via degree-ordered
       // orientation (each wedge enumerated once at its smallest-degree
@@ -3218,6 +3232,31 @@ object SparkEntry {
            min(t) AS session_start_ms, max(t) - min(t) AS duration_ms,
            CAST(sum(cents) AS BIGINT) AS value_cents
          FROM sn GROUP BY 1, 2""",
+
+    "q_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id AS eid
+           FROM events),
+         m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w > 43200000 THEN 1 ELSE 0 END AS op
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, eid)),
+         sn AS (SELECT *, sum(op) OVER (PARTITION BY user_id ORDER BY t, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+           FROM m),
+         sess AS (SELECT user_id, si, min(t) AS s, max(t) AS e
+           FROM sn GROUP BY 1, 2),
+         sp AS (SELECT s, e,
+             unnest(generate_series(s // 86400000, e // 86400000)) AS day
+           FROM sess),
+         seg AS (SELECT day, greatest(s, day * 86400000) AS ss,
+             least(e, day * 86400000 + 86399999) AS se FROM sp),
+         dl AS (SELECT day, ss AS t, 1 AS delta FROM seg
+           UNION ALL SELECT day, se + 1, -1 FROM seg),
+         c AS (SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+                 ORDER BY t ASC, delta DESC RANGE BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS conc FROM dl)
+         SELECT day, CAST(count(*) / 2 AS BIGINT) AS n_active_sessions,
+           max(conc) AS peak_concurrency
+         FROM c GROUP BY day""",
 
     "q_triangles" ->
       """WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem),

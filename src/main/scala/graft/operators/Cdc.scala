@@ -367,6 +367,41 @@ object Cdc {
         sum(col("cents")).as("value_cents"))
   }
 
+  /** Daily peak concurrency over closed intervals [startMs, endMs] (peak
+    * simultaneous sessions/calls/jobs — the capacity-planning read): the
+    * classic sweep line, PARTITIONED BY DAY so it distributes — intervals
+    * clip to per-day segments (explode over the interval's day span, the
+    * gap-fill spine trick), each segment emits +1/−1 boundary deltas, and
+    * one day-partitioned RANGE window runs the sweep. No global ordering
+    * anywhere (a whole-history sweep would serialize on one partition);
+    * day granularity caps every partition at its own day's boundary count.
+    *
+    * Tie semantics are pinned closed-interval: at instant t, sessions
+    * STARTING at t count as concurrent with sessions ENDING at t — the
+    * sweep orders (t asc, delta desc) so +1s land before −1s, and the
+    * RANGE frame (not ROWS) makes tied boundaries share one peer value,
+    * so the running sum is deterministic under any input order. */
+  def peakConcurrencyDaily(intervals: DataFrame, startCol: Column,
+      endCol: Column): DataFrame = {
+    val DayMs = 86400000L
+    val seg = intervals.select(startCol.as("s"), endCol.as("e"))
+      .filter(col("e") >= col("s"))
+      .select(col("s"), col("e"),
+        explode(sequence(expr("s div 86400000"), expr("e div 86400000"))).as("day"))
+      .select(col("day"),
+        greatest(col("s"), col("day") * DayMs).as("ss"),
+        least(col("e"), col("day") * DayMs + (DayMs - 1)).as("se"))
+    val deltas = seg.select(col("day"), col("ss").as("t"), lit(1L).as("delta"))
+      .unionAll(seg.select(col("day"), (col("se") + 1).as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t").asc, col("delta").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("conc", sum(col("delta")).over(w))
+      .groupBy("day")
+      .agg((count(lit(1)) / 2).cast("long").as("n_active_sessions"),
+        max(col("conc")).as("peak_concurrency"))
+  }
+
   def cohortRetention(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
     val week = (unix_millis(tsCol) / lit(86400000L)).cast("long") / lit(7L)
     val act = df.select(keyCol.as("key"), week.cast("long").as("w")).distinct()

@@ -135,6 +135,22 @@ class CdcOpsSpec extends SparkTestBase {
       (3L, 1L) -> (2L, 50L, 0L, 300L)))
   }
 
+  test("peakConcurrencyDaily: closed-interval ties count as concurrent, " +
+      "midnight-spanning intervals clip per day, singletons count") {
+    val Day = 86400000L
+    val iv = Seq(
+      (1000L, 5000L),        // A
+      (5000L, 6000L),        // B starts exactly as A ends → concurrent
+      (4000L, Day + 3600000L), // C spans midnight into day 1
+      (2000L, 2000L))        // D singleton
+      .toDF("s", "e")
+    val got = Cdc.peakConcurrencyDaily(iv, col("s"), col("e"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // day 0: peak at t=5000 (A still open on the +1 peer, C open, B opens)
+    // = 3; four segments active. day 1: only C's tail.
+    assert(got == Map(0L -> (4L, 3L), 1L -> (1L, 1L)), s"got $got")
+  }
+
   test("funnelSteps: mask-0 events never enter per-key state (output-neutral) " +
       "and the per-key cap keeps earliest events only") {
     import java.sql.Timestamp

@@ -348,6 +348,55 @@ class StreamingSpec extends SparkTestBase {
       == Set("plain"))
   }
 
+  test("streaming sessionization: native session_window aggregation matches " +
+      "the batch sessionize operator session-for-session") {
+    // the streaming form of q_sessionize: Structured Streaming's
+    // session_window (gap measured from the LAST event — the same idle
+    // semantics Cdc.sessionize folds with lag+running-sum) under a
+    // watermark, so session state closes and emits as event time advances.
+    // The cross-check pins the two forms to one definition: every
+    // (user, session) the stream emits must match a batch session's
+    // (start, n_events) exactly.
+    implicit val sq = spark.sqlContext
+    val ckpt = Files.createTempDirectory("sessck").toString
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val q = mem.toDS().toDF("user_id", "ms", "event_id", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "1 second"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, 1000L, 1L, 1.0), (1L, 1800L, 2L, 1.0), (1L, 2500L, 3L, 1.0),
+      (1L, 9000L, 4L, 1.0),
+      (2L, 1000L, 5L, 1.0))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every session gap so all sessions close
+    mem.addData((9L, 100000L, 99L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stream")
+      .filter(col("user_id") < 9)
+      .select("user_id", "session_start_ms", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Cdc.sessionize(
+        rows.toDF("user_id", "ms", "event_id", "value")
+          .withColumn("ts", timestamp_millis(col("ms"))),
+        col("user_id"), col("ts"), col("event_id"), col("value"),
+        idleMs = 1000L)
+      .filter(col("user_id") < 9)
+      .select(col("user_id"), col("session_start_ms"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch == Set((1L, 1000L, 3L), (1L, 9000L, 1L), (2L, 1000L, 1L)))
+  }
+
   test("streaming corpus dedup: fingerprint state dedups across micro-batches") {
     // the streaming form of incremental exact dedup: dropDuplicates on the
     // content fingerprint keeps per-key state across batches, so a doc
