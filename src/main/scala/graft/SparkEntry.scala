@@ -2042,6 +2042,15 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
     }),
 
+    "sim_range_search" -> ((s, d) => {
+      // radius search (cosine >= 0.2): the recall-complete complement of
+      // top-k — scan-local filter, no per-query state, output-bound
+      val emb = t(s, d, "embeddings")
+      Similarity.rangeSearch(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 0.2)
+    }),
+
     "sim_filtered_topk" -> ((s, d) => {
       // filtered ANN: the metadata predicate (same label) is part of the
       // JOIN KEY, so the search space partitions by the attribute instead
@@ -4444,6 +4453,17 @@ object SparkEntry {
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    "sim_range_search" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         sc AS (SELECT query_id, vec_id,
+             round(list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6)
+               AS cos_sim
+           FROM c, q WHERE vec_id <> query_id)
+         SELECT query_id, vec_id, cos_sim FROM sc WHERE cos_sim >= 0.2""",
 
     "sim_filtered_topk" ->
       """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -58,6 +58,29 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 
+  /** Radius (range) search: ALL corpus vectors within cosine ≥ minSim of
+    * each query — the recall-complete complement of top-k (dedup
+    * candidate generation, "find everything this close"). One broadcast
+    * of the query batch, one corpus scan, a scan-local filter: no top-k
+    * state, no per-query ordering, output-bound by construction — the
+    * cheapest member of the family at any scale (and the one that
+    * parallelizes perfectly: every partition emits its own matches).
+    * The threshold compares the ROUNDED score (same 6-digit discipline as
+    * every cosine in this file) so engine and oracle agree at the
+    * boundary. For selective thresholds over huge corpora, compose with
+    * the IVF route (probe cells whose centroid distance admits minSim)
+    * exactly as [[ivfTopK]] does for top-k. */
+  def rangeSearch(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                  queries: DataFrame, queryId: Column, queryVec: Column,
+                  minSim: Double): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"))
+    val q = queries.select(queryId.as("query_id"), asDouble(queryVec).as("qv"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
+      .filter(col("cos_sim") >= minSim)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"))
+  }
+
   /** Filtered retrieval ("filtered ANN"): top-k among corpus rows sharing
     * the query's attribute value (same-category search). The predicate is
     * part of the JOIN KEY — at scale the search space hash-partitions by
