@@ -482,6 +482,25 @@ object SparkEntry {
       graft.operators.Cdc.sessionize(t(s, d, "events"), col("user_id"),
         col("ts"), col("event_id"), col("value"), idleMs = 43200000L)),
 
+    "q_components" -> ((s, d) => {
+      // connected-component census of the high-quantity co-purchase graph
+      // (103 components at sf0.01: one giant + a long tail): the graph
+      // lane's third member, REUSING the dedup-resolution kernel —
+      // min-label propagation with pointer doubling (Shiloach/Vishkin
+      // shape, O(log diameter) rounds, driver sees only the converged
+      // count). The oracle is a recursive-CTE reachability closure: both
+      // compute "min id reachable", so the census is exact.
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.select(col("ok"), col("pk").as("a_id"))
+        .join(li.select(col("ok"), col("pk").as("b_id")), "ok")
+        .filter(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      graft.operators.Dedup.resolveCanonicalStars(pairs)
+        .groupBy(col("canonical_id").as("component_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
     "q_peak_concurrency" -> ((s, d) => {
       // capacity-planning read: daily peak simultaneous sessions. Sweep
       // line PARTITIONED BY DAY (intervals clip to day segments, ±1
@@ -2439,6 +2458,25 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
     }),
 
+    "mm_phash_neardup" -> ((s, d) => {
+      // image NEAR-dup pairs (hamming <= 6 over the decoded-pixel aHash):
+      // 8-band banding — maxHamming < bands makes recall EXACT by
+      // pigeonhole, so the banded join provably finds every pair the
+      // oracle's all-pairs scan finds; the quadratic form exists only as
+      // the oracle. Same PNG encode→ImageIO decode→hash path as mm_phash.
+      import s.implicits._
+      val withPng = t(s, d, "documents")
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, Multimodal.ImageCodec.buildPng(8, 8,
+            java.util.Arrays.copyOf(text.getBytes("US-ASCII"), 64)))
+        }.toDF("doc_id", "payload")
+      Multimodal.phashNearDup(
+        Multimodal.perceptualHash(withPng, "payload"),
+        col("doc_id"), col("ahash"), maxHamming = 6, bands = 8)
+    }),
+
     "mm_frame_sample" -> ((s, d) => {
       // deterministic frame sampling over a DECODED media container: each
       // doc becomes an 8×(4·n_frames) film-strip PNG (n_frames from
@@ -3241,6 +3279,21 @@ object SparkEntry {
            min(t) AS session_start_ms, max(t) - min(t) AS duration_ms,
            CAST(sum(cents) AS BIGINT) AS value_cents
          FROM sn GROUP BY 1, 2""",
+
+    "q_components" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey ok, l_partkey pk
+           FROM lineitem WHERE l_quantity >= 45),
+         e0 AS (SELECT DISTINCT a.pk a, b.pk b FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT a AS v FROM ed),
+         reach(v, l) AS (
+           SELECT v, v AS l FROM nodes
+           UNION
+           SELECT e.b AS v, reach.l FROM reach JOIN ed e ON e.a = reach.v),
+         comp AS (SELECT v, min(l) AS component_id FROM reach GROUP BY v)
+         SELECT component_id, count(*) AS n_nodes
+         FROM comp GROUP BY component_id""",
 
     "q_peak_concurrency" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id AS eid
@@ -4592,6 +4645,22 @@ object SparkEntry {
          FROM b)
          SELECT ahash, min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM h GROUP BY ahash""",
+
+    "mm_phash_neardup" ->
+      """WITH b AS (SELECT doc_id,
+           list_transform(range(1, 65), i -> ascii(substr(text, CAST(i AS INT), 1))) AS px
+         FROM documents WHERE length(text) >= 64),
+         h AS (SELECT doc_id,
+           list_aggregate(list_transform(px,
+             p -> CASE WHEN p * 64 >= list_sum(px) THEN '1' ELSE '0' END),
+             'string_agg', '') AS ahash
+         FROM b),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(length(list_filter(range(1, 65),
+               i -> substr(a.ahash, CAST(i AS INT), 1)
+                 <> substr(b.ahash, CAST(i AS INT), 1))) AS INT) AS hamming
+           FROM h a JOIN h b ON a.doc_id < b.doc_id)
+         SELECT a_id, b_id, hamming FROM p WHERE hamming <= 6""",
 
     "mm_wav_rms" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n,

@@ -477,6 +477,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual NEAR-duplicate pairs over aHash bit strings — image dedup,
+    * the multimodal member of the near-dup family (simhash's banding
+    * applied to decoded-pixel hashes): split each 64-bit hash into
+    * `bands` equal bands, equi-join on (band index, band value) so only
+    * hashes agreeing on some whole band ever meet, then postfilter
+    * candidates with the exact Hamming distance. Recall is EXACT, not
+    * probabilistic: `maxHamming < bands` means two hashes within the
+    * threshold cannot damage every band (pigeonhole), so every true pair
+    * shares ≥1 band key — the all-pairs form exists only as the oracle.
+    * Scale: candidate volume is governed by band-key collision counts
+    * (64/bands-bit keys); the exact postfilter is scan-local on the
+    * joined pair. Emits (a_id, b_id, hamming), a < b. */
+  def phashNearDup(hashed: DataFrame, idCol: Column, hashCol: Column,
+      maxHamming: Int, bands: Int = 8): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val bandLen = 64 / bands
+    // Two representations of the same hash: band substrings as the join
+    // key, and four 16-bit INTEGER chunks for the postfilter — Hamming as
+    // Σ bit_count(xor) is a handful of codegen'd ALU ops per pair, where a
+    // per-character HOF compare is ~64 interpreted lambda calls. On skewed
+    // hash distributions the band guarantee forces candidate volume up
+    // (text-derived aHashes collide heavily: 8.6M candidates for 3.6k true
+    // pairs at sf0.1) and the postfilter IS the scan — it must be cheap.
+    val chunks = (0 until 4).map(k =>
+      expr(s"cast(conv(substring(h, ${k * 16 + 1}, 16), 2, 10) as long)")
+        .as(s"c$k"))
+    val h = hashed.select(Seq(idCol.as("id"), hashCol.as("h")) ++ chunks: _*)
+      .filter(col("h").isNotNull)
+    val banded = h.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"),
+        col("h"))
+      .withColumn("bv", expr(s"substring(h, b * $bandLen + 1, $bandLen)"))
+      .drop("h")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(Seq(col("x.id").as("a_id"), col("y.id").as("b_id")) ++
+        (0 until 4).flatMap(k => Seq(col(s"x.c$k").as(s"a$k"),
+          col(s"y.c$k").as(s"b$k"))): _*)
+      .distinct() // a pair agreeing on k bands meets k times
+    cand.withColumn("hamming",
+        expr("cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Sample-level PCM feature extraction via `mapPartitions`; appends a
     * `pcm` struct (n_samples, sum_abs, peak) — null for undecodable or
     * non-16-bit payloads. Payload bytes never shuffle. */

@@ -267,4 +267,39 @@ class MultimodalSpec extends SparkTestBase {
       timestampMs = 123L, isDeleted = false, binlogPosition = 456L)
     assert(bytes.nonEmpty)
   }
+
+  test("phashNearDup: banded candidates find EVERY pair within the " +
+      "threshold (pigeonhole recall), none beyond it") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val zeros = "0" * 64
+    def flip(bits: Int*): String =
+      zeros.zipWithIndex.map { case (c, i) => if (bits.contains(i)) '1' else c }.mkString
+    val hashed = Seq(
+      1L -> zeros,
+      2L -> flip(0),                    // hd(1,2)=1
+      3L -> flip(7, 15, 23, 31, 39, 47), // hd(1,3)=6 — exactly at threshold,
+                                         // one flipped bit in SIX different
+                                         // 8-bit bands (worst case for banding)
+      4L -> flip(0, 8, 16, 24, 32, 40, 48), // hd(1,4)=7 — beyond threshold
+      5L -> "1" * 64)                   // far from everything
+      .toDF("doc_id", "ahash")
+    val got = Multimodal.phashNearDup(hashed, col("doc_id"), col("ahash"),
+        maxHamming = 6, bands = 8)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute-force truth over the 10 pairs
+    val hs = Map(1L -> zeros, 2L -> flip(0), 3L -> flip(7, 15, 23, 31, 39, 47),
+      4L -> flip(0, 8, 16, 24, 32, 40, 48), 5L -> "1" * 64)
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      hd = hs(a).zip(hs(b)).count { case (x, y) => x != y } if hd <= 6
+    } yield (a, b) -> hd).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((1L, 3L)), "worst-case 6-band spread pair must be found")
+    assert(!got.contains((1L, 4L)), "beyond-threshold pair must be filtered")
+    // invalid recall configuration is rejected loudly
+    intercept[IllegalArgumentException](
+      Multimodal.phashNearDup(hashed, col("doc_id"), col("ahash"),
+        maxHamming = 8, bands = 8))
+  }
 }
