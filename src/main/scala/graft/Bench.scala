@@ -61,7 +61,7 @@ object Bench {
     "sketch_hh_rollup", "q_winsorize", "q_skyline", "sketch_kll_rollup",
     "sketch_cube_report", "cdc_funnel_steps", "q_pagerank", "pipe_temperature_mix",
     "q_mad_outliers", "sketch_sliding_distinct", "cdc_time_to_convert",
-    "cdc_event_transitions", "q_sessionize", "q_triangles", "q_peak_concurrency", "sim_range_search", "mm_phash_neardup", "q_components"
+    "cdc_event_transitions", "q_sessionize", "q_triangles", "q_peak_concurrency", "sim_range_search", "mm_phash_neardup", "q_components", "cdc_join_maintain"
   )
 
   private def loadavg: Double =

@@ -659,6 +659,54 @@ object SparkEntry {
           (col("sum_value") * 100).cast("long").as("sum_value_cents"))
     }),
 
+    "cdc_join_maintain" -> ((s, d) => {
+      // incremental JOIN-view maintenance (the IVM family's third member
+      // beside cdc_agg_maintain's delta rule and cdc_scd2_apply): a
+      // stored keyed view V = latest-user-state ⋈ per-user-event-counts
+      // folds a post-cut cell batch by re-joining ONLY touched keys
+      // (V_old rows for untouched keys carry verbatim behind a broadcast
+      // anti-join) — O(batch) work, no history re-scan — and must equal
+      // the full-history recompute (the oracle). The count side is itself
+      // delta-maintained (additive merge), showing IVM composition.
+      val ops = EventsAsCdc.opsFromEvents(s, t(s, d, "events"))
+      val stamped = TransactionAssembler.assembleBatch(ops).toDF()
+      val cells = TimeMachineSink.organize(TimeMachineSink.mutationCells(stamped))
+      val thr = t(s, d, "events").groupBy("user_id")
+        .agg(max(unix_millis(col("ts"))).as("cms"))
+        .agg(expr("(min(cms) + (max(cms) - min(cms)) * 7 div 8) * 1000").as("__cut"))
+      val w = cells.crossJoin(broadcast(thr))
+      val snapCells = w.filter(col("cell_ts") <= col("__cut"))
+      val batch = w.filter(col("cell_ts") > col("__cut"))
+      val touched = batch.select("table", "row_key").distinct()
+      def stateA(c: org.apache.spark.sql.DataFrame) =
+        TimeMachineSink.rowsAsOfCells(TimeMachineSink.latestCellsKeyed(c))
+          .select(col("row_key"),
+            element_at(col("cols"), "value").as("value"),
+            element_at(col("cols"), "event_type").as("event_type"))
+      def stateB(c: org.apache.spark.sql.DataFrame) =
+        c.groupBy("row_key")
+          .agg(countDistinct(col("event_id")).as("n_events"),
+            max(col("event_id")).as("last_event_id"))
+      // the stored view at the cut (production: read from storage)
+      val vOld = stateA(snapCells).join(stateB(snapCells), "row_key")
+      // A_new for touched keys: latest state folded over retained + batch
+      val touchedOld = snapCells.join(touched, Seq("table", "row_key"), "left_semi")
+      val aNew = stateA(touchedOld.unionByName(
+        batch.select(touchedOld.columns.map(col): _*)))
+      // B_new for touched keys: ADDITIVE delta merge onto the stored counts
+      // (count state is itself incrementally maintained, never re-scanned)
+      val bDelta = stateB(batch)
+      val bNew = stateB(snapCells).join(touched.select("row_key"), Seq("row_key"), "left_semi")
+        .unionByName(bDelta)
+        .groupBy("row_key")
+        .agg(sum(col("n_events")).as("n_events"),
+          max(col("last_event_id")).as("last_event_id"))
+      TimeMachineSink.maintainKeyedJoin(vOld, aNew, bNew,
+          touched.select("row_key"), "row_key")
+        .select(col("row_key").as("user_id"), col("value"), col("event_type"),
+          col("n_events"), col("last_event_id"))
+    }),
+
     "cdc_scd2" -> ((s, d) => {
       // SCD Type-2 dimension build: the versioned cell store rendered as a
       // validity-interval table (one row per version, [valid_from,
@@ -3463,6 +3511,21 @@ object SparkEntry {
     // latest live state; in this cell synthesis the latest version per
     // row_key is the row with the greatest event_id (cell_ts is monotone
     // in per-user event order, event_id breaks the capped ties)
+    "cdc_join_maintain" ->
+      """WITH l AS (
+           SELECT user_id, value, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events),
+         a AS (SELECT CAST(user_id AS VARCHAR) AS row_key,
+             CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value, event_type
+           FROM l WHERE rn = 1),
+         b AS (SELECT CAST(user_id AS VARCHAR) AS row_key,
+             count(*) AS n_events, max(event_id) AS last_event_id
+           FROM events GROUP BY 1)
+         SELECT a.row_key AS user_id, a.value, a.event_type,
+           b.n_events, b.last_event_id
+         FROM a JOIN b ON a.row_key = b.row_key""",
+
     "cdc_agg_maintain" ->
       """WITH latest AS (
            SELECT user_id, value, event_type,

@@ -199,6 +199,29 @@ object TimeMachineSink {
       .filter(col("cnt") > 0)
   }
 
+  /** Incremental maintenance of a KEYED equi-join view V = A ⋈ B (both
+    * sides 1:1 on the key, inner join) — the join-view member of the IVM
+    * family next to [[maintainAggregate]]'s delta rule: a batch can only
+    * change V's rows for keys it TOUCHES, so the new view is
+    *
+    *   V_new = V_old ▷ touched  ∪  (A_new ⋉ touched) ⋈ (B_new ⋉ touched)
+    *
+    * (anti-join keeps untouched rows verbatim; only touched keys are
+    * re-joined). Per-batch work is O(|Δ|) plus one key-anti-join against
+    * the stored view — at scale `touchedKeys` is batch-sized and
+    * broadcasts, so the stored view is never shuffled, only scanned with
+    * the broadcast filter; the A/B semi-joins prune both state scans the
+    * same way. Callers supply A_new/B_new as keyed state (stored tables
+    * or their own maintained views — counts compose via
+    * [[maintainAggregate]]-style deltas, as `cdc_join_maintain` shows). */
+  def maintainKeyedJoin(storedView: DataFrame, aNew: DataFrame,
+      bNew: DataFrame, touchedKeys: DataFrame, key: String): DataFrame = {
+    val untouched = storedView.join(broadcast(touchedKeys), Seq(key), "left_anti")
+    val refreshed = aNew.join(broadcast(touchedKeys), Seq(key), "left_semi")
+      .join(bNew.join(broadcast(touchedKeys), Seq(key), "left_semi"), Seq(key))
+    untouched.unionByName(refreshed)
+  }
+
   /** foreachBatch body of a MAINTAINED SCD2 view: the interval-table twin
     * of [[maintainSnapshot]] — same versioned-dir layout (`v=<batchId>`
     * holds the complete interval table AFTER that batch), same

@@ -348,6 +348,22 @@ class StreamingSpec extends SparkTestBase {
       == Set("plain"))
   }
 
+  test("maintainKeyedJoin: untouched rows carry verbatim, touched keys " +
+      "re-join from new state, keys absent from either side drop") {
+    import graft.streaming.TimeMachineSink
+    val vOld = Seq(("k1", "a1", "b1"), ("k2", "a2", "b2"), ("k4", "a4", "b4"))
+      .toDF("k", "a", "b")
+    val aNew = Seq(("k2", "a2x"), ("k3", "a3")).toDF("k", "a")
+    val bNew = Seq(("k2", "b2x"), ("k3", "b3")).toDF("k", "b")
+    // k2 updated, k3 inserted, k4 touched but gone from A (deleted row):
+    // inner-join semantics must drop it from the view
+    val touched = Seq("k2", "k3", "k4").toDF("k")
+    val got = TimeMachineSink.maintainKeyedJoin(vOld, aNew, bNew, touched, "k")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("k1", "a1", "b1"), ("k2", "a2x", "b2x"),
+      ("k3", "a3", "b3")))
+  }
+
   test("streaming sessionization: native session_window aggregation matches " +
       "the batch sessionize operator session-for-session") {
     // the streaming form of q_sessionize: Structured Streaming's
