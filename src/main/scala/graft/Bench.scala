@@ -61,7 +61,8 @@ object Bench {
     "sketch_hh_rollup", "q_winsorize", "q_skyline", "sketch_kll_rollup",
     "sketch_cube_report", "cdc_funnel_steps", "q_pagerank", "pipe_temperature_mix",
     "q_mad_outliers", "sketch_sliding_distinct", "cdc_time_to_convert",
-    "cdc_event_transitions", "q_sessionize", "q_triangles", "q_peak_concurrency", "sim_range_search", "mm_phash_neardup", "q_components", "cdc_join_maintain"
+    "cdc_event_transitions", "q_sessionize", "q_triangles", "q_peak_concurrency", "sim_range_search", "mm_phash_neardup", "q_components", "cdc_join_maintain",
+    "dedup_jaccard_join", "pipe_pack_chunks", "q_pivot"
   )
 
   private def loadavg: Double =
@@ -118,7 +119,8 @@ object Bench {
       only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter") ||
         only.contains("cdc_as_of_state") || only.contains("cdc_snapshot_apply") ||
         only.contains("cdc_scd2") || only.contains("cdc_snapshot_diff") ||
-        only.contains("cdc_scd2_apply") || only.contains("cdc_agg_maintain")
+        only.contains("cdc_scd2_apply") || only.contains("cdc_agg_maintain") ||
+        only.contains("cdc_join_maintain")
     val cdcFix = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val synthT0 = System.nanoTime()
     val cdcOverrides: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
@@ -165,6 +167,28 @@ object Bench {
               .groupBy("grp")
               .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_value"))
               .write.mode("overwrite").parquet(s"$cdcFix/aggview")
+          }
+          // ...and the join-view-maintain bench folds into a STORED join
+          // view + STORED count view over STORED retained cells (all three
+          // live in the warehouse in production; the timed work is the
+          // touched-key delta fold)
+          locally {
+            import org.apache.spark.sql.functions.{countDistinct, element_at}
+            w.filter(col("cell_ts") <= col("__cut"))
+              .select("table", "row_key", "column", "value", "cell_ts", "event_id")
+              .write.mode("overwrite").parquet(s"$cdcFix/retained")
+            val snapCells = spark.read.parquet(s"$cdcFix/retained")
+            val stB = snapCells.groupBy("row_key")
+              .agg(countDistinct(col("event_id")).as("n_events"),
+                max(col("event_id")).as("last_event_id"))
+            stB.write.mode("overwrite").parquet(s"$cdcFix/counts")
+            val stA = graft.streaming.TimeMachineSink.rowsAsOfCells(
+                spark.read.parquet(s"$cdcFix/snapshot"))
+              .select(col("row_key"),
+                element_at(col("cols"), "value").as("value"),
+                element_at(col("cols"), "event_type").as("event_type"))
+            stA.join(spark.read.parquet(s"$cdcFix/counts"), "row_key")
+              .write.mode("overwrite").parquet(s"$cdcFix/joinview")
           }
         }
         Map(
@@ -224,6 +248,37 @@ object Bench {
             val storedAgg = s.read.parquet(s"$cdcFix/aggview")
             graft.streaming.TimeMachineSink.maintainAggregate(storedAgg,
               snapshot, s.read.parquet(s"$cdcFix/batch"), "event_type", "value")
+          }),
+          "cdc_join_maintain" -> ((s: SparkSession, _: String) => {
+            import org.apache.spark.sql.functions.{countDistinct, element_at, max, sum}
+            // production shape: stored retained cells, stored join view,
+            // stored count view; timed work = the touched-key delta fold
+            val retained = s.read.parquet(s"$cdcFix/retained")
+            val vOld = s.read.parquet(s"$cdcFix/joinview")
+            val bStored = s.read.parquet(s"$cdcFix/counts")
+            val batch = s.read.parquet(s"$cdcFix/batch")
+            val touched = batch.select("table", "row_key").distinct()
+            def stateA(c: org.apache.spark.sql.DataFrame) =
+              graft.streaming.TimeMachineSink.rowsAsOfCells(
+                  graft.streaming.TimeMachineSink.latestCellsKeyed(c))
+                .select(col("row_key"),
+                  element_at(col("cols"), "value").as("value"),
+                  element_at(col("cols"), "event_type").as("event_type"))
+            val touchedOld = retained.join(touched, Seq("table", "row_key"), "left_semi")
+            val aNew = stateA(touchedOld.unionByName(
+              batch.select(touchedOld.columns.map(col): _*)))
+            val bDelta = batch.groupBy("row_key")
+              .agg(countDistinct(col("event_id")).as("n_events"),
+                max(col("event_id")).as("last_event_id"))
+            val bNew = bStored.join(touched.select("row_key"), Seq("row_key"), "left_semi")
+              .unionByName(bDelta)
+              .groupBy("row_key")
+              .agg(sum(col("n_events")).as("n_events"),
+                max(col("last_event_id")).as("last_event_id"))
+            graft.streaming.TimeMachineSink.maintainKeyedJoin(vOld, aNew, bNew,
+                touched.select("row_key"), "row_key")
+              .select(col("row_key").as("user_id"), col("value"), col("event_type"),
+                col("n_events"), col("last_event_id"))
           }),
           "cdc_scd2_apply" -> ((s: SparkSession, _: String) => {
             graft.streaming.TimeMachineSink.applyScd2(

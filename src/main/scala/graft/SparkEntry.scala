@@ -488,14 +488,20 @@ object SparkEntry {
       // lane's third member, REUSING the dedup-resolution kernel —
       // min-label propagation with pointer doubling (Shiloach/Vishkin
       // shape, O(log diameter) rounds, driver sees only the converged
-      // count). The oracle is a recursive-CTE reachability closure: both
-      // compute "min id reachable", so the census is exact.
+      // count). The oracle is a recursive-CTE reachability closure over
+      // the per-order CLIQUE: both compute "min id reachable", so the
+      // census is exact. The engine never materializes the clique —
+      // for connectivity a per-order STAR (each part → min part of the
+      // order) spans the same components over the same node set, and it
+      // is linear in qualifying lineitems where the clique is k² per
+      // order (the hub-proof form for a 100 TB basket table): one
+      // groupBy exchange instead of a self-join + distinct.
       val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.select(col("ok"), col("pk").as("a_id"))
-        .join(li.select(col("ok"), col("pk").as("b_id")), "ok")
+      val pairs = li.groupBy("ok")
+        .agg(min(col("pk")).as("m"), collect_set(col("pk")).as("nbrs"))
+        .select(col("m").as("a_id"), explode(col("nbrs")).as("b_id"))
         .filter(col("a_id") =!= col("b_id"))
-        .select("a_id", "b_id").distinct()
       graft.operators.Dedup.resolveCanonicalStars(pairs)
         .groupBy(col("canonical_id").as("component_id"))
         .agg(count(lit(1)).as("n_nodes"))
@@ -978,6 +984,17 @@ object SparkEntry {
           t(s, d, "documents").withColumn("n_tokens", Text.tokenCount(col("text"))),
           col("lang"), col("doc_id"), col("n_tokens"), budget = 10000L)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))),
+
+    "pipe_pack_chunks" -> ((s, d) =>
+      // GPT-style concat-and-chunk packing into 512-token context windows:
+      // chunk boundaries cut THROUGH documents (each straddled chunk gets
+      // the doc's [tok_start, tok_end) span). Global offsets come from the
+      // two-level distributed prefix sum (shard totals + shard-summary
+      // window + per-shard window) — no corpus-wide window; the oracle
+      // computes the same layout with one global window.
+      graft.operators.Sampling.packChunksGlobal(
+        t(s, d, "documents").withColumn("n_tokens", Text.tokenCount(col("text"))),
+        col("doc_id"), col("n_tokens"), chunkTokens = 512L, shardSize = 64L)),
 
     "skew_salted_agg" -> ((s, d) =>
       // two-phase salted aggregation (hot-key spread over salt buckets,
@@ -1884,6 +1901,33 @@ object SparkEntry {
       graft.operators.Dedup.editDistance1Pairs(
           t(s, d, "customer"), col("c_custkey"), col("c_name"))
         .select(col("id_a"), col("id_b"))),
+
+    "dedup_jaccard_join" -> ((s, d) =>
+      // EXACT trigram-shingle Jaccard self-join at θ = 0.8 — the
+      // exact-recall counterpart to dedup_minhash_lsh's banding (same set
+      // definition, same threshold, independent algorithm family):
+      // AllPairs/PPJoin prefix filtering — rare-shingle-first global
+      // order, only the first len − ⌈θ·len⌉ + 1 shingles of a set are
+      // join keys (soundness in the operator scaladoc: every qualifying
+      // pair collides — exact recall by pigeonhole, not by band config),
+      // size prefilter, exact array_intersect verify. Shingles, not
+      // words: the corpus' 31-word vocabulary makes word sets
+      // unfilterable (measured 44.7M candidates); trigrams spread to a
+      // 27k vocabulary → 300k candidates for 256 true pairs. The
+      // quadratic form exists only as the oracle. Integer-ppm surface.
+      // Elements are 64-bit SPAN HASHES from the native codegen'd
+      // PosSpanHashExpr (one pass; the interpreted shingle lambda costs
+      // 6.6 s at sf0.1 on its own and re-runs per consumer) — the same
+      // exactness trade dedup_containment makes: a cross-shingle hash
+      // collision is ~n²/2⁶⁴ per doc, and the oracle's string-set algebra
+      // verifies the counts end-to-end. Tokens materialize behind a
+      // projection BEFORE hashing (Dedup.shingles scaladoc trap).
+      graft.operators.Dedup.jaccardJoin(
+        t(s, d, "documents").select(col("doc_id"),
+          split(graft.operators.Text.normalized(col("text")), " ").as("__toks")),
+        col("doc_id"),
+        array_distinct(graft.operators.Dedup.spanHashes(col("__toks"), 3)),
+        thresholdPpm = 800000L)),
 
     "dedup_url" -> ((s, d) => {
       // crawl-level URL dedup: canonicalize (scheme/fragment/www/default
@@ -2824,6 +2868,22 @@ object SparkEntry {
            CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 10000) AS BIGINT) AS bin_id
          FROM d""",
+
+    "pipe_pack_chunks" ->
+      """WITH n AS (SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+         o AS (SELECT doc_id, n_tok,
+           CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         FROM n),
+         sp AS (SELECT doc_id, n_tok, o,
+           unnest(generate_series(o // 512, (o + n_tok - 1) // 512)) AS chunk_id
+         FROM o WHERE n_tok > 0)
+         SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+           CAST(greatest(0, chunk_id * 512 - o) AS BIGINT) AS tok_start,
+           CAST(least(n_tok, (chunk_id + 1) * 512 - o) AS BIGINT) AS tok_end
+         FROM sp""",
 
     "skew_salted_agg" ->
       """SELECT event_type,
@@ -4223,6 +4283,26 @@ object SparkEntry {
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+
+    "dedup_jaccard_join" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         tok AS (SELECT doc_id, unnest(s) AS tk FROM sh WHERE len(s) > 0),
+         sz AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+           FROM tok a JOIN tok b ON a.tk = b.tk AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         j AS (SELECT a_id, b_id, i, sa.len + sb.len - i AS u
+           FROM pairs JOIN sz sa ON sa.doc_id = a_id
+           JOIN sz sb ON sb.doc_id = b_id)
+         SELECT a_id, b_id, CAST(i AS BIGINT) AS n_common,
+           CAST(u AS BIGINT) AS n_union,
+           CAST((i * 1000000) // u AS BIGINT) AS jaccard_ppm
+         FROM j WHERE (i * 1000000) // u >= 800000""",
 
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,

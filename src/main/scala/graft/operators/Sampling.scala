@@ -422,6 +422,53 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** GPT-style concat-and-chunk packing: the corpus token stream in doc-id
+    * order is cut into fixed `chunkTokens` context windows, and a document
+    * contributes the span [tok_start, tok_end) of its own tokens to every
+    * chunk it straddles — chunk boundaries cut THROUGH documents, which is
+    * the pretraining loader's actual layout ([[packSequences]] is the
+    * other discipline: per-shard bins, no straddling). Output one row per
+    * (chunk_id, doc_id) incidence, integer-only surface.
+    *
+    * The global running offset is a textbook two-level distributed prefix
+    * sum — NO corpus-wide window anywhere: shard by id range (≤`shardSize`
+    * docs per shard), per-shard totals via one map-side-combined
+    * aggregate, an EXCLUSIVE prefix over the shard summary (a window over
+    * ~n/shardSize rows — 1e9 docs at the default shard size is a 250k-row
+    * single-task window over kilobyte rows, the same summary-level pattern
+    * as the skyline/peak-concurrency operators), broadcast of the shard
+    * offsets back, and a per-shard window for the local exclusive sum.
+    * Chunk incidence is a scan-local `sequence` explode: a doc spanning k
+    * chunks emits k rows, so output volume is Σ tokens/chunkTokens + n —
+    * linear, never quadratic. */
+  def packChunksGlobal(df: DataFrame, idCol: Column, nTokCol: Column,
+                       chunkTokens: Long, shardSize: Long = 4096L): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.cast("long").as("doc_id"),
+        nTokCol.cast("long").as("n_tok"))
+      .withColumn("__shard", expr(s"doc_id div ${shardSize}L"))
+    val shardTot = base.groupBy("__shard").agg(sum("n_tok").as("__stot"))
+    val wS = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOff = shardTot
+      .withColumn("__soff", coalesce(sum("__stot").over(wS), lit(0L)))
+      .select("__shard", "__soff")
+    val wL = Window.partitionBy("__shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.join(broadcast(shardOff), "__shard")
+      .withColumn("__loff", coalesce(sum("n_tok").over(wL), lit(0L)))
+      .withColumn("__o", col("__soff") + col("__loff"))
+    off.filter(col("n_tok") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"__o div ${chunkTokens}L"),
+        expr(s"(__o + n_tok - 1) div ${chunkTokens}L"))))
+      .select(col("chunk_id"), col("doc_id"),
+        greatest(lit(0L), col("chunk_id") * chunkTokens - col("__o")).as("tok_start"),
+        least(col("n_tok"), (col("chunk_id") + lit(1L)) * chunkTokens - col("__o")).as("tok_end"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
     * 2023): score every raw-pool document by how much its hashed-n-gram
     * distribution looks like a small target domain, then keep the top-k.

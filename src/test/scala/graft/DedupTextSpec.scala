@@ -854,6 +854,50 @@ class DedupTextSpec extends SparkTestBase {
     assert(minDist > 1e-4, f"bm25 floor margin too thin: $minDist%.3e")
   }
 
+  test("jaccardJoin: exact values, threshold boundary, and the adversarial " +
+      "common-tokens-shared case all match the all-pairs form") {
+    // d0/d1: 9 shared of 11 union → 818181 ppm; d2 ≡ d0 → 1000000;
+    // d4/d5 share ONLY the corpus-common tokens (the rare ones differ) —
+    // the case a naive shared-rare-token blocking would miss; prefix
+    // soundness must still surface it
+    val rows = Seq(
+      0L -> "a b c d e f g h i j",
+      1L -> "a b c d e f g h i k",
+      2L -> "a b c d e f g h i j",
+      3L -> "x y z",
+      4L -> "a b c d e r1",
+      5L -> "a b c d e r2")
+    val df = rows.toDF("doc_id", "text").repartition(3)
+    def run(ppm: Long) = Dedup.jaccardJoin(df, col("doc_id"),
+        split(col("text"), " "), ppm)
+      .select("a_id", "b_id", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
+    // brute-force expected from word sets
+    def brute(ppm: Long) = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      a = sa.split(" ").toSet; b = sb.split(" ").toSet
+      i = (a intersect b).size.toLong; u = (a union b).size.toLong
+      j = i * 1000000L / u if j >= ppm
+    } yield (ia, ib, j)).toSet
+    for (ppm <- Seq(500000L, 700000L, 818181L, 818182L, 999999L)) {
+      assert(run(ppm) == brute(ppm), s"mismatch at ppm=$ppm")
+    }
+    // at the boundary the J=9/11 pairs are INCLUDED...
+    assert(run(818181L).map(p => (p._1, p._2)).contains((0L, 1L)))
+    // ...one ppm above, only the exact-dup pair survives from that family
+    assert(run(818182L).map(p => (p._1, p._2)) == Set((0L, 2L)))
+    // the common-tokens-shared pair (J = 5/7 = 714285 ppm) is found
+    assert(run(700000L).map(p => (p._1, p._2)).contains((4L, 5L)))
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(df, col("doc_id"), split(col("text"), " "), 1000000L)
+    }
+    // shingle sets through the same kernel: the near-dup pair (one-token
+    // edit) survives at θ=0.5, the unrelated doc never pairs
+    val sh = Dedup.jaccardJoin(df.limit(4), col("doc_id"),
+        Dedup.shingles(col("text"), 3), 200000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sh.contains((0L, 2L)) && !sh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("editDistance1Pairs ≡ all-pairs levenshtein filter, transpositions excluded") {
     val rows = Seq(
       1L -> "kitten", 2L -> "mitten", // substitution: dist 1

@@ -340,6 +340,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"no global rank window allowed:\n$p")
   }
 
+  test("r8: join-view maintenance — the stored view anti-joins against a " +
+      "BROADCAST touched-key set (scanned, never shuffled)") {
+    val p = plan("cdc_join_maintain")
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).nonEmpty,
+      s"untouched carry must be a broadcast anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("r6s5: consistency audit joins once, 1:1, no window") {
     val p = plan("cdc_consistency_check")
     assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r

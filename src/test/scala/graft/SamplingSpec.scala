@@ -114,6 +114,31 @@ class SamplingSpec extends SparkTestBase {
       ("en", 4L, 1L), ("fr", 10L, 0L), ("fr", 11L, 0L)))
   }
 
+  test("packChunksGlobal: straddling spans exact, shard-size invariant, " +
+      "empty docs dropped") {
+    // chunk=10: stream offsets — d1:[0,4) d2:[4,16) d3:[16,16) d4:[16,33)
+    // d2 straddles chunks 0/1; d4 straddles 1/2/3; d3 (0 tokens) emits none
+    val df = Seq((1L, 4L), (2L, 12L), (3L, 0L), (4L, 17L))
+      .toDF("doc_id", "n_tokens")
+    def run(shardSize: Long) = Sampling.packChunksGlobal(
+        df.repartition(3), col("doc_id"), col("n_tokens"), 10L, shardSize)
+      .select("chunk_id", "doc_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (0L, 1L, 0L, 4L),
+      (0L, 2L, 0L, 6L), (1L, 2L, 6L, 12L),
+      (1L, 4L, 0L, 4L), (2L, 4L, 4L, 14L), (3L, 4L, 14L, 17L))
+    assert(run(4096L) == want)
+    // shard-size invariance pins the two-level prefix sum: per-shard local
+    // offsets + shard-summary offsets must compose to the same global
+    // offsets for ANY sharding, including one doc per shard
+    assert(run(1L) == want)
+    assert(run(2L) == want)
+    intercept[IllegalArgumentException] {
+      Sampling.packChunksGlobal(df, col("doc_id"), col("n_tokens"), 0L)
+    }
+  }
+
   test("mixture upsample: integer epochs exact, fractional in expectation, deterministic") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
     val up = Sampling.mixtureUpsample(df, col("id"), col("source"),
