@@ -371,8 +371,11 @@ object Bench {
     // default reference = the latest committed full-bench artifact (re-pinned
     // per round, BASELINE.md "Measured" section) so regressions against the
     // CURRENT state get a quiet chance even when the env var is unset
+    // resolved relative to the working directory, like the writer side —
+    // an absolute path here silently disabled the regression gate on any
+    // other checkout location
     val ref = sys.env.get("SPARK_GRAFT_BENCH_REF")
-      .orElse(Option("/root/repo/BENCH_local_full.json")
+      .orElse(Option("BENCH_local_full.json")
         .filter(p => new java.io.File(p).exists()))
       .map(loadRef).getOrElse(Map.empty)
     val rerun = selected.filter { case (name, _) =>
@@ -397,7 +400,21 @@ object Bench {
     // r6 full line (98 queries + load map) outgrew that window, so the round
     // shipped an unparseable BENCH_r06.json ("parsed": null).
     val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load":$loads,"runs_per_query":$passes,"reran":"${rerun.map(_._1).mkString(",")}","cdc_synthesis_sec":$synthSec%.3f}"""
-    val fullPath = "BENCH_local_full.json"
+    // Artifact routing: filtered debug runs (SPARK_GRAFT_BENCH_ONLY set)
+    // write to BENCH_solo.json so they can never clobber the committed
+    // full-sweep reference; full runs refuse to overwrite the committed
+    // artifact when they started on a loaded box (the r8 artifact was
+    // captured at loadavg 11.67 and poisoned the next round's regression
+    // gate) — they land in BENCH_local_full.loaded.json instead.
+    val maxCommitLoad =
+      sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD").map(_.toDouble).getOrElse(3.0)
+    val fullPath =
+      if (only.nonEmpty) "BENCH_solo.json"
+      else if (loadStart > maxCommitLoad) {
+        System.err.println(f"[bench] loadavg_start $loadStart%.2f > $maxCommitLoad%.2f — " +
+          "NOT overwriting BENCH_local_full.json; writing BENCH_local_full.loaded.json")
+        "BENCH_local_full.loaded.json"
+      } else "BENCH_local_full.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full artifact write failed: $e") }

@@ -525,14 +525,17 @@ object SparkEntry {
       // triangle census of the co-purchase graph via degree-ordered
       // orientation (each wedge enumerated once at its smallest-degree
       // apex; out-degree bounded O(√m) so wedge volume is O(m^1.5), not
-      // Σdeg² — the hub-proof form). All integer: count, Σd(d−1)/2,
-      // floor-div ppm coefficient; the oracle runs the identical algebra.
+      // Σdeg² — the hub-proof form). The clique-edge CONSTRUCTION is
+      // hub-capped too: baskets bound to the 32 lowest partkeys per order
+      // (deterministic; part of the query contract, encoded identically
+      // in the oracle), so per-order edge volume is ≤ 32·31 instead of k²
+      // — on TPC-H every basket is ≤7 so the census stays exact. All
+      // integer: count, Σd(d−1)/2, floor-div ppm coefficient; the oracle
+      // runs the identical algebra.
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst")
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
       graft.operators.Graph.triangleStats(edges, col("src"), col("dst"))
     }),
 
@@ -2552,10 +2555,16 @@ object SparkEntry {
 
     "mm_phash_neardup" -> ((s, d) => {
       // image NEAR-dup pairs (hamming <= 6 over the decoded-pixel aHash):
-      // 8-band banding — maxHamming < bands makes recall EXACT by
-      // pigeonhole, so the banded join provably finds every pair the
-      // oracle's all-pairs scan finds; the quadratic form exists only as
-      // the oracle. Same PNG encode→ImageIO decode→hash path as mm_phash.
+      // 8-band banding on 2-band COMBINATION keys — maxHamming <= bands −
+      // comboBands makes recall EXACT by pigeonhole (≤6 damaged bands
+      // leave ≥2 clean, so some band PAIR is clean on every true pair), so
+      // the banded join provably finds every pair the oracle's all-pairs
+      // scan finds; the quadratic form exists only as the oracle. The
+      // 16-bit combination keys are the skew lever: text-derived aHashes
+      // cluster heavily, Σ per-key f² measures 17.3M on 8-bit single
+      // bands vs 6.2M on combos at sf0.1, with zero recall cost (unlike a
+      // maxBandDf drop cap, which loses 30% of true pairs here at 256).
+      // Same PNG encode→ImageIO decode→hash path as mm_phash.
       import s.implicits._
       val withPng = t(s, d, "documents")
         .filter(length(col("text")) >= 64)
@@ -2566,7 +2575,8 @@ object SparkEntry {
         }.toDF("doc_id", "payload")
       Multimodal.phashNearDup(
         Multimodal.perceptualHash(withPng, "payload"),
-        col("doc_id"), col("ahash"), maxHamming = 6, bands = 8)
+        col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
+        comboBands = 2)
     }),
 
     "mm_frame_sample" -> ((s, d) => {
@@ -3430,8 +3440,13 @@ object SparkEntry {
 
     "q_triangles" ->
       """WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem),
-         und AS (SELECT DISTINCT least(a.pk, b.pk) a, greatest(a.pk, b.pk) b
-           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         basket AS (SELECT ok,
+             list_sort(list_distinct(list(pk)))[1:32] AS ps
+           FROM li GROUP BY ok),
+         ba AS (SELECT ok, unnest(ps) AS pka, ps FROM basket),
+         bp AS (SELECT pka, unnest(ps) AS pkb FROM ba),
+         und AS (SELECT DISTINCT least(pka, pkb) a, greatest(pka, pkb) b
+           FROM bp WHERE pka <> pkb),
          deg AS (SELECT v, count(*) d FROM
            (SELECT a v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
          wd AS (SELECT und.a, und.b, da.d AS da, db.d AS db FROM und

@@ -23,6 +23,21 @@ private[graft] object SketchWire {
 
   private val KnownMagics = Set(KllMagic, KmvMagic, SsvMagic)
 
+  /** Headerless version-0 payloads are accepted only behind this explicit
+    * opt-in (default strict): the v0 sniff necessarily treats ANY payload
+    * whose first int is not a known magic as a candidate body, so a
+    * corrupted or non-sketch BINARY whose leading fields happen to pass
+    * the plausibility checks would yield silently-wrong estimates —
+    * contradicting the module's fail-loud contract. Set it per session
+    * (`spark.conf.set(...)`, propagated to executors with the other SQL
+    * confs) only while migrating a pre-round-7 stored sketch table, then
+    * rewrite the table framed and drop the flag. */
+  final val LegacyV0Conf = "spark.graft.sketch.allowLegacyV0"
+  private def legacyV0Allowed: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(LegacyV0Conf, "false").toBoolean
+    catch { case scala.util.control.NonFatal(_) => false }
+
   /** Validate (and consume) the header — or recognize a HEADERLESS legacy
     * payload and leave the buffer untouched for the v0 body parser.
     *
@@ -50,8 +65,12 @@ private[graft] object SketchWire {
         fail(name, s"unsupported wire version $v (this build reads version $Version)")
     } else if (KnownMagics.contains(m)) {
       fail(name, f"bad magic 0x$m%08x (expected 0x$magic%08x) — not a $name sketch")
+    } else if (!legacyV0Allowed) {
+      fail(name, f"bad magic 0x$m%08x (expected 0x$magic%08x) — not a framed " +
+        s"$name sketch. If this is a headerless pre-v1 payload, set " +
+        s"$LegacyV0Conf=true for the migration read.")
     }
-    // else: headerless version-0 legacy body; parse from offset 0
+    // else: opted-in headerless version-0 legacy body; parse from offset 0
   }
 
   /** Guard a length field read from the wire before allocating/looping on it. */

@@ -958,10 +958,13 @@ object Dedup {
     // a 50-element set exposes 11 prefix rows, so an array carried here
     // would shuffle ~11× before any dedup could collapse it. Sets join
     // back AFTER the candidate pairs are distinct bare id pairs.
+    // integral div for the ceil term (this file's own rule): a double
+    // divide + cast can round across an integer boundary at very large
+    // set sizes and silently shrink the prefix, breaking exact recall
     val pref = ordered
       .withColumn("p", (col("len") -
-        ((col("len") * lit(thresholdPpm) + lit(999999L)).divide(lit(1000000L)))
-          .cast("long") + lit(1L)).cast("int"))
+        expr(s"(len * ${thresholdPpm}L + 999999L) div 1000000L")
+        + lit(1L)).cast("int"))
       .select(col("id"), col("len"),
         explode(slice(col("tks"), lit(1), col("p"))).as("tk"))
     val a = pref.select(col("id").as("a_id"), col("len").as("a_len"), col("tk"))

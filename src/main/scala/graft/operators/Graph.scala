@@ -39,22 +39,41 @@ object Graph {
     * builds the PLAN; nothing collects. */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
       iterations: Int, scale: Long = 1000000000000L,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // checkpointEvery == 0 → no materialization anywhere: the call returns
+    // a pure, fully-replayable lazy plan with ZERO cached or checkpointed
+    // state (the pre-round-8 contract). That is the safe mode for small
+    // iteration counts on clusters with executor churn — localCheckpoint
+    // blocks are non-replayable, so an executor loss after a
+    // localCheckpoint'd loop fails the job unrecoverably. Cluster callers
+    // who want lineage capping WITH fault tolerance pass
+    // `materialize = _.checkpoint()` (reliable, HDFS-backed — requires
+    // sparkContext.setCheckpointDir); localCheckpoint stays the local-mode
+    // default because it is 10-100× cheaper and local[n] has no executor
+    // loss to survive.
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val doMat = checkpointEvery >= 1
     // The edge relation (with out-degree attached ONCE) persists for the
     // loop — the standard posture for iterative graph ops (SCALE.md
     // principle 7): without it every round lazily re-derives the caller's
     // edge-construction plan (for the co-purchase graph, a self-join +
     // distinct — measured ~5× the rollup cost when recomputed per round).
     // The node and count tables are derived once off the same cache.
+    // In lazy mode (checkpointEvery == 0) nothing persists either — the
+    // returned plan must reference no cache that this call later drops.
     val ed = edges.select(srcCol.as("src"), dstCol.as("dst"))
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edDeg = ed.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edDeg.select(col("src").as("v"))
+    val edDeg0 = ed.join(deg, "src")
+    val edDeg = if (doMat)
+      edDeg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else edDeg0
+    val nodes0 = edDeg.select(col("src").as("v"))
       .union(edDeg.select(col("dst").as("v"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = if (doMat)
+      nodes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else nodes0
     val n = nodes.agg(count(lit(1)).as("nn"))
     // `div` (SQL integer division), never `/`: a double quotient that
     // lands within an ulp of an integer would cast-truncate differently
@@ -82,15 +101,16 @@ object Graph {
       // round sf0.1 bench row). The cost is holding one node-sized RDD
       // per round in executor memory; raise the cadence only on graphs
       // whose node set strains storage memory.
-      if (i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+      if (doMat && i % checkpointEvery == 0 && i < iterations)
+        ranks = materialize(ranks)
     }
+    if (!doMat) return ranks // pure lazy plan, zero retained state
     // materialize the final node-sized rank table, then drop the two
     // edge-sized caches: without this every call leaked edDeg+nodes for
     // any caller not wrapped in a clearCache (library hygiene). The
-    // localCheckpoint is eager and the ranks are deterministic integers,
+    // materialization is eager and the ranks are deterministic integers,
     // so truncating lineage loses nothing.
-    val out = ranks.localCheckpoint()
+    val out = materialize(ranks)
     edDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -162,5 +182,34 @@ object Graph {
       when(col("n_wedges") > 0,
         expr("3000000 * n_triangles div n_wedges")).otherwise(lit(0L))
         .as("clustering_ppm"))
+  }
+
+  /** Co-occurrence (co-purchase) edge list from a (group, item) relation:
+    * directed pairs of distinct items sharing a group, both orientations —
+    * the graph-construction half of the triangle/components queries.
+    *
+    * Per-group edge volume is k² on basket size k — the hub hazard that
+    * breaks clique expansion at scale (one million-item group emits 10¹²
+    * edges) — so the basket is CAPPED at `maxBasket` items per group,
+    * selected deterministically as the lowest-`maxBasket` item ids
+    * (stable under re-execution and partitioning; an arbitrary-k sample
+    * would make the census non-reproducible). The cap is part of the
+    * query contract: groups at or below the cap contribute their exact
+    * clique (on TPC-H every order has ≤7 parts, so any cap ≥7 leaves the
+    * census exact); above it, the lowest-id sub-clique. Bounded guarantee:
+    * ≤ maxBasket·(maxBasket−1) directed edges per group, and the
+    * `collect_set` buffer holds one group's distinct items (the input
+    * contract; cap that upstream with a quantity predicate if a source
+    * can produce unbounded groups). */
+  def coOccurrenceEdges(df: DataFrame, groupCol: Column, itemCol: Column,
+      maxBasket: Int = 32): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val basket = df.select(groupCol.as("ok"), itemCol.as("pk"))
+      .groupBy("ok")
+      .agg(slice(array_sort(collect_set(col("pk"))), 1, maxBasket).as("ps"))
+    basket.select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
   }
 }

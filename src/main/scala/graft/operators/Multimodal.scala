@@ -490,28 +490,61 @@ object Multimodal {
     * (64/bands-bit keys); the exact postfilter is scan-local on the
     * joined pair. Emits (a_id, b_id, hamming), a < b. */
   def phashNearDup(hashed: DataFrame, idCol: Column, hashCol: Column,
-      maxHamming: Int, bands: Int = 8): DataFrame = {
+      maxHamming: Int, bands: Int = 8, comboBands: Int = 1,
+      maxBandDf: Int = Int.MaxValue): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"recall guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    require(comboBands >= 1 && comboBands <= bands,
+      s"comboBands must be in [1, $bands], got $comboBands")
+    require(maxHamming >= 0 && maxHamming <= bands - comboBands,
+      s"recall guarantee needs maxHamming <= bands - comboBands " +
+        s"($maxHamming > $bands - $comboBands)")
+    require(maxBandDf >= 1, "maxBandDf must be >= 1")
     val bandLen = 64 / bands
-    // Two representations of the same hash: band substrings as the join
-    // key, and four 16-bit INTEGER chunks for the postfilter — Hamming as
-    // Σ bit_count(xor) is a handful of codegen'd ALU ops per pair, where a
-    // per-character HOF compare is ~64 interpreted lambda calls. On skewed
-    // hash distributions the band guarantee forces candidate volume up
-    // (text-derived aHashes collide heavily: 8.6M candidates for 3.6k true
-    // pairs at sf0.1) and the postfilter IS the scan — it must be cheap.
+    // Two representations of the same hash: band(-combination) substrings
+    // as the join key, and four 16-bit INTEGER chunks for the postfilter —
+    // Hamming as Σ bit_count(xor) is a handful of codegen'd ALU ops per
+    // pair, where a per-character HOF compare is ~64 interpreted lambda
+    // calls. On skewed hash distributions the band guarantee forces
+    // candidate volume up and the postfilter IS the scan — it must be
+    // cheap. Two skew levers, both against Σ per-key f²:
+    //   * comboBands > 1 joins on every size-`comboBands` SUBSET of bands
+    //     (C(bands, comboBands) keys per row, comboBands·bandLen-bit
+    //     values) — still EXACT by pigeonhole: ≤ maxHamming damaged bands
+    //     leave ≥ comboBands clean ones, so some whole subset is clean on
+    //     every true pair. Wider keys collide far less on clustered
+    //     hashes: text-derived aHashes at sf0.1 measure Σf² 17.3M at
+    //     comboBands=1 vs 6.2M at 2 (max key 1443 → 340), at 3.5× more
+    //     (but tiny) exploded rows. Requires maxHamming ≤ bands−comboBands.
+    //   * maxBandDf drops key groups with > maxBandDf members before the
+    //     self-join — a hard cap on the worst key's f² for adversarial
+    //     distributions. NOT exact: a true pair is lost only if EVERY one
+    //     of its ≥ bands−maxHamming clean band keys (≥ C(clean,comboBands)
+    //     subset keys) is above the cap; each dropped key leaves all the
+    //     others as chances. Default off — prefer comboBands, which costs
+    //     no recall.
     val chunks = (0 until 4).map(k =>
       expr(s"cast(conv(substring(h, ${k * 16 + 1}, 16), 2, 10) as long)")
         .as(s"c$k"))
     val h = hashed.select(Seq(idCol.as("id"), hashCol.as("h")) ++ chunks: _*)
       .filter(col("h").isNotNull)
-    val banded = h.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        explode(sequence(lit(0), lit(bands - 1))).as("b"),
-        col("h"))
-      .withColumn("bv", expr(s"substring(h, b * $bandLen + 1, $bandLen)"))
-      .drop("h")
+    // one struct per band subset, built scan-local from substring concat —
+    // the combo index is the key's first component so distinct subsets
+    // with equal concatenated text never meet
+    val combos = (0 until bands).combinations(comboBands).map(_.toSeq).toSeq
+    val keyArr = array(combos.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("b"),
+        concat(c.map(i =>
+          expr(s"substring(h, ${i * bandLen + 1}, $bandLen)")): _*).as("bv"))
+    }: _*)
+    val banded0 = h.select(col("id"), col("c0"), col("c1"), col("c2"),
+        col("c3"), explode(keyArr).as("k"))
+      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("k.b").as("b"), col("k.bv").as("bv"))
+    val banded = if (maxBandDf == Int.MaxValue) banded0 else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "bv")
+      banded0.withColumn("bdf", count(lit(1)).over(w))
+        .filter(col("bdf") <= maxBandDf).drop("bdf")
+    }
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))

@@ -413,13 +413,31 @@ object Text {
     * class the IVF/PQ codebooks use; the corpus never leaves executors),
     * then encode every doc scan-locally with the merges as a plan literal.
     * See [[graft.functions.BpeAlgos]]. Not SQL-expressible (iterative
-    * greedy merges) → rows-only gate + golden-vector specs (BpeSpec). */
+    * greedy merges) → rows-only gate + golden-vector specs (BpeSpec).
+    *
+    * The collect is BOUNDED: `minFreq` floors the word frequency inside
+    * the aggregation (scan-local filter after the hash-agg — hapax
+    * legomena dominate a web corpus's distinct-word count yet cannot win
+    * a merge argmax against any repeated pair at corpus scale) and
+    * `maxVocab` hard-caps the rows the driver ever holds, selected
+    * deterministically as the (`c` desc, `w` asc) top-V — Spark's
+    * TakeOrdered: per-partition top-V, driver merges partition heads, so
+    * driver memory is O(maxVocab) regardless of distinct-word count.
+    * Training is vocab-ORDER-insensitive (train() sorts internally), so a
+    * non-binding cap changes nothing; a binding cap trains on the
+    * highest-frequency V words — the standard BPE corpus-sampling
+    * posture. */
   def bpeTokenize(df: DataFrame, idCol: Column, textCol: Column,
-      numMerges: Int): DataFrame = {
+      numMerges: Int, minFreq: Long = 1L, maxVocab: Int = 1000000): DataFrame = {
+    require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val vocab = df
       .select(explode(split(normalized(textCol), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minFreq)
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val merges = graft.functions.BpeAlgos.train(vocab, numMerges)

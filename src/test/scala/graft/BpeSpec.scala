@@ -57,6 +57,28 @@ class BpeSpec extends SparkTestBase {
     assert(out(3L) == ((0, 0))) // empty doc -> zero tokens
   }
 
+  test("bounded train: non-binding minFreq/maxVocab change nothing; a " +
+      "binding cap trains on the deterministic top-V words only") {
+    val docs = Seq((1L, "low low lower"), (2L, "newest widest"), (3L, ""))
+      .toDF("doc_id", "text")
+    def run(minFreq: Long, maxVocab: Int) = graft.operators.Text
+      .bpeTokenize(docs, col("doc_id"), col("text"), numMerges = 100,
+        minFreq = minFreq, maxVocab = maxVocab)
+      .as[(Long, Int, Int)].collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    // defaults are non-binding on a small vocab — identical to uncapped
+    assert(run(1L, 1000000) ==
+      Map(1L -> ((3, 2)), 2L -> ((2, 2)), 3L -> ((0, 0))))
+    // minFreq=2 floors out every hapax: only "low" (c=2) trains, so
+    // "low" collapses to one token while lower/newest/widest stay
+    // character-level (l,o,w merged inside them where applicable)
+    val floored = run(2L, 1000000)
+    assert(floored(1L)._1 < 3 + 5 + 5 && floored(2L)._1 > 2,
+      s"hapax words must not fully collapse: $floored")
+    // maxVocab=1 keeps only the (c desc, w asc) top word — "low" —
+    // deterministically; same training set as the minFreq=2 floor here
+    assert(run(1L, 1) == floored)
+  }
+
   test("token-count bounds: words <= bpe tokens <= chars on real text") {
     val docs = Seq((1L, "some words repeat some words here"))
       .toDF("doc_id", "text")

@@ -59,6 +59,58 @@ class GraphSpec extends SparkTestBase {
     assert(r2.getLong(0) == 0L && r2.getLong(1) == 3L && r2.getLong(2) == 0L)
   }
 
+  test("checkpointEvery=0 returns a pure lazy plan with identical ranks " +
+      "and zero retained cache; materialize strategy is pluggable") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val eager = Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 3, scale = 1000000L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lazyDf = Graph.pageRank(edges, col("src"), col("dst"),
+      iterations = 3, scale = 1000000L, checkpointEvery = 0)
+    // nothing persisted or checkpointed by the lazy form — safe under
+    // executor churn on a real cluster (localCheckpoint is non-replayable)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "lazy mode must not persist anything")
+    assert(lazyDf.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      == eager)
+    // a caller-supplied materializer (e.g. reliable checkpoint() on a
+    // cluster) is honored per cadence tick — count invocations
+    var calls = 0
+    val custom = Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 3, scale = 1000000L, checkpointEvery = 1,
+        materialize = df => { calls += 1; df.localCheckpoint() })
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(custom == eager)
+    assert(calls == 3, s"2 in-loop ticks + 1 final, got $calls")
+  }
+
+  test("coOccurrenceEdges: exact clique at or below the cap; above it the " +
+      "deterministic lowest-maxBasket sub-clique (hub bound)") {
+    // order 10: basket {5,3,9} (≤ cap) → full 3-clique, both orientations;
+    // order 20: basket {8,6,7,2,4} with maxBasket=3 → lowest ids {2,4,6}
+    val li = Seq((10L, 5L), (10L, 3L), (10L, 9L), (10L, 3L), // dup row
+      (20L, 8L), (20L, 6L), (20L, 7L), (20L, 2L), (20L, 4L))
+      .toDF("ok", "pk")
+    val e = Graph.coOccurrenceEdges(li, col("ok"), col("pk"), maxBasket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clique10 = for { a <- Set(3L, 5L, 9L); b <- Set(3L, 5L, 9L) if a != b }
+      yield (a, b)
+    val clique20 = for { a <- Set(2L, 4L, 6L); b <- Set(2L, 4L, 6L) if a != b }
+      yield (a, b)
+    assert(e == clique10 ++ clique20, s"got $e")
+    // per-group bound: ≤ maxBasket·(maxBasket−1) directed edges
+    assert(e.size == 12)
+    // a cap at/above every basket size changes nothing (TPC-H contract)
+    val full = Graph.coOccurrenceEdges(li, col("ok"), col("pk"), maxBasket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clique20full = for {
+      a <- Set(2L, 4L, 6L, 7L, 8L); b <- Set(2L, 4L, 6L, 7L, 8L) if a != b
+    } yield (a, b)
+    assert(full == clique10 ++ clique20full)
+  }
+
   test("rank column is BIGINT — the no-float discipline") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val df = Graph.pageRank(edges, col("src"), col("dst"), iterations = 1)

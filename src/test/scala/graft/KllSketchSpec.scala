@@ -197,22 +197,34 @@ class KllSketchSpec extends SparkTestBase {
     assert(KllBuf.deserialize(bytes).quantiles(Array(1.0))(0) == 50.0)
   }
 
-  test("wire legacy sniff: headerless version-0 payloads stay readable") {
+  test("wire legacy sniff: headerless v0 payloads read only behind the opt-in") {
     import graft.functions.{KmvBuf, SpaceSavingBuf, SketchWire}
     def stripHeader(b: Array[Byte]): Array[Byte] =
       java.util.Arrays.copyOfRange(b, SketchWire.HeaderBytes, b.length)
-    // a pre-round-7 build wrote exactly today's body with no header: the
-    // sniff must parse the stripped form identically to the framed form
     val kll = new KllBuf(128); (1 to 50).foreach(i => kll.insert(i.toDouble))
-    assert(KllBuf.deserialize(stripHeader(kll.serialize()))
-      .quantiles(Array(0.5))(0) == KllBuf.deserialize(kll.serialize())
-      .quantiles(Array(0.5))(0))
     val kmv = new KmvBuf(16); Seq(7L, -3L, 42L).foreach(kmv.insert)
-    assert(KmvBuf.deserialize(stripHeader(kmv.serialize()), 16).estimate() ==
-      KmvBuf.deserialize(kmv.serialize(), 16).estimate())
     val ss = new SpaceSavingBuf(8)
     (1 to 30).foreach(i => ss.add(i.toLong % 5))
-    assert(SpaceSavingBuf.deserialize(stripHeader(ss.serialize()), 8).topK(3)
-      .toSeq == SpaceSavingBuf.deserialize(ss.serialize(), 8).topK(3).toSeq)
+    // DEFAULT is strict: a headerless body fails loud with a migration hint
+    // (an arbitrary non-sketch BINARY must never yield a silent estimate)
+    val strict = intercept[IllegalArgumentException](
+      KllBuf.deserialize(stripHeader(kll.serialize())))
+    assert(strict.getMessage.contains(SketchWire.LegacyV0Conf))
+    // with the explicit migration opt-in, a pre-round-7 body (exactly
+    // today's body with no header) parses identically to the framed form
+    spark.conf.set(SketchWire.LegacyV0Conf, "true")
+    try {
+      assert(KllBuf.deserialize(stripHeader(kll.serialize()))
+        .quantiles(Array(0.5))(0) == KllBuf.deserialize(kll.serialize())
+        .quantiles(Array(0.5))(0))
+      assert(KmvBuf.deserialize(stripHeader(kmv.serialize()), 16).estimate() ==
+        KmvBuf.deserialize(kmv.serialize(), 16).estimate())
+      assert(SpaceSavingBuf.deserialize(stripHeader(ss.serialize()), 8).topK(3)
+        .toSeq == SpaceSavingBuf.deserialize(ss.serialize(), 8).topK(3).toSeq)
+      // cross-family misuse stays a hard error even under the opt-in
+      val cross = intercept[IllegalArgumentException](
+        KllBuf.deserialize(kmv.serialize()))
+      assert(cross.getMessage.contains("bad magic"))
+    } finally spark.conf.unset(SketchWire.LegacyV0Conf)
   }
 }

@@ -108,6 +108,11 @@ def main():
         print(f"{flag} {k}: {v}")
     mode = "strict" if STRICT else "lax"
     print(f"\n{ok}/{len(results)} ok ({mode})")
+    # machine-readable artifact for tools/headline.py (NOTES numbers must
+    # come from committed artifacts, not prose — the r6-r8 drift rule)
+    with open("CHECK_local.json", "w") as f:
+        json.dump({"ok": ok, "total": len(results), "mode": mode,
+                   "sf_dir": sf_dir, "results": results}, f, indent=0)
 
 if __name__ == "__main__":
     main()
