@@ -2374,6 +2374,35 @@ object SparkEntry {
         threshold = 0.35, k = 16, iters = 3, trainFraction = 0.5)
     }),
 
+    "sim_ann_ivf_stored" -> ((s, d) => {
+      // the STORED-index ANN lifecycle (the reference's build-once/
+      // read-many philosophy applied to the ANN lane): v1 = index built
+      // over the standing corpus and persisted as a versioned parquet
+      // table; v2 = a new batch FOLDED in (batch-sized work — old members
+      // are never re-encoded, radii grow to cover the newcomers); queries
+      // run against the stored v2 cells. ivfSearch is exact for any
+      // assignment, so the incremental index answers identically to a
+      // full rebuild — the all-corpus brute-force oracle gates exactly
+      // that claim.
+      val emb = t(s, d, "embeddings")
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val cts = Similarity.kmeansCentroids(base, col("vec_id"),
+        col("embedding"), k = 16, iters = 3, trainFraction = 0.5)
+      val (a1, c1) = Similarity.ivfClusterIndex(base, col("vec_id"),
+        col("embedding"), cts)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ix").toString
+      Similarity.writeIvfIndex(a1, c1, dir, version = 1L)
+      val (sa1, sc1) = Similarity.readIvfIndex(s, dir, version = 1L)
+      val (a2, c2) = Similarity.ivfAppend(sa1, sc1, batch,
+        col("vec_id"), col("embedding"))
+      Similarity.writeIvfIndex(a2, c2, dir, version = 2L)
+      val (sa2, sc2) = Similarity.readIvfIndex(s, dir, version = 2L)
+      Similarity.ivfSearch(sa2, sc2,
+        emb.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
+        threshold = 0.35)
+    }),
+
     "sim_pq_encode" -> ((s, d) => {
       // product quantization encode: 8×8-dim subspaces, 16 codewords from
       // the deterministic seed codebook — the compression step that lets a
@@ -5026,6 +5055,20 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 5""",
 
     "sim_ann_ivf_exact" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 100)
+         SELECT query_id, vec_id,
+           round(list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+         FROM c, q WHERE vec_id <> query_id
+           AND round(list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) >= 0.35""",
+
+    "sim_ann_ivf_stored" ->
+      // identical contract to sim_ann_ivf_exact: the stored/incremental
+      // index is output-equal to a full rebuild, and both equal the
+      // brute-force threshold join over the whole corpus
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
          q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 100)

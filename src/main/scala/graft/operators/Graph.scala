@@ -185,8 +185,10 @@ object Graph {
   }
 
   /** Co-occurrence (co-purchase) edge list from a (group, item) relation:
-    * directed pairs of distinct items sharing a group, both orientations —
-    * the graph-construction half of the triangle/components queries.
+    * CANONICAL (src < dst) pairs of distinct items sharing a group — the
+    * graph-construction half of the triangle/components queries
+    * ([[triangleStats]] symmetrizes + dedups internally, so canonical
+    * pairs are the lean feed).
     *
     * Per-group edge volume is k² on basket size k — the hub hazard that
     * breaks clique expansion at scale (one million-item group emits 10¹²
@@ -197,19 +199,31 @@ object Graph {
     * query contract: groups at or below the cap contribute their exact
     * clique (on TPC-H every order has ≤7 parts, so any cap ≥7 leaves the
     * census exact); above it, the lowest-id sub-clique. Bounded guarantee:
-    * ≤ maxBasket·(maxBasket−1) directed edges per group, and the
-    * `collect_set` buffer holds one group's distinct items (the input
-    * contract; cap that upstream with a quantity predicate if a source
-    * can produce unbounded groups). */
+    * ≤ maxBasket·(maxBasket−1)/2 pairs per group, and the `collect_set`
+    * buffer holds one group's distinct items (the input contract; cap
+    * that upstream with a quantity predicate if a source can produce
+    * unbounded groups).
+    *
+    * Plan shape: the cap is a row_number window over (group, item asc) —
+    * a group-keyed sort, NOT a collect_set basket (an ObjectHashAggregate
+    * basket + pair explode broke whole-stage codegen and measured 10.1 s
+    * vs this form's 6.3 s for the full sf0.1 triangle census; the capped
+    * window join matches the UNCAPPED join's 6.2 s, i.e. the cap is
+    * free) — followed by the codegen'd self-equi-join on the group key,
+    * kept to canonical src < dst pairs. The window sort's per-group state
+    * is one group's items (the same bound the basket buffer had); the cap
+    * then bounds what the join can emit. */
   def coOccurrenceEdges(df: DataFrame, groupCol: Column, itemCol: Column,
       maxBasket: Int = 32): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
-    val basket = df.select(groupCol.as("ok"), itemCol.as("pk"))
-      .groupBy("ok")
-      .agg(slice(array_sort(collect_set(col("pk"))), 1, maxBasket).as("ps"))
-    basket.select(explode(col("ps")).as("src"), col("ps"))
-      .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val ranked = df.select(groupCol.as("ok"), itemCol.as("pk")).distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ok").orderBy("pk")))
+      .filter(col("rk") <= maxBasket).drop("rk")
+    ranked.select(col("ok"), col("pk").as("src"))
+      .join(ranked.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") < col("dst"))
       .select("src", "dst")
   }
 }

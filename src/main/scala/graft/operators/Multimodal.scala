@@ -522,10 +522,16 @@ object Multimodal {
     //     subset keys) is above the cap; each dropped key leaves all the
     //     others as chances. Default off — prefer comboBands, which costs
     //     no recall.
-    val chunks = (0 until 4).map(k =>
-      expr(s"cast(conv(substring(h, ${k * 16 + 1}, 16), 2, 10) as long)")
-        .as(s"c$k"))
-    val h = hashed.select(Seq(idCol.as("id"), hashCol.as("h")) ++ chunks: _*)
+    // pack the hash into ONE 64-bit long, scan-local, via four 16-bit
+    // conv() chunks shifted together (conv on the full 64-bit string would
+    // overflow the signed-long cast when bit 0 is set) — the join and the
+    // distinct then carry a single long per side instead of four, and the
+    // postfilter is one xor + popcount
+    val packed = (0 until 4).map(k =>
+        expr(s"shiftleft(cast(conv(substring(h, ${k * 16 + 1}, 16), 2, 10)" +
+          s" as long), ${48 - 16 * k})"))
+      .reduce(_.bitwiseOR(_)).as("hl")
+    val h = hashed.select(idCol.as("id"), hashCol.as("h"), packed)
       .filter(col("h").isNotNull)
     // one struct per band subset, built scan-local from substring concat —
     // the combo index is the key's first component so distinct subsets
@@ -536,10 +542,12 @@ object Multimodal {
         concat(c.map(i =>
           expr(s"substring(h, ${i * bandLen + 1}, $bandLen)")): _*).as("bv"))
     }: _*)
-    val banded0 = h.select(col("id"), col("c0"), col("c1"), col("c2"),
-        col("c3"), explode(keyArr).as("k"))
-      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        col("k.b").as("b"), col("k.bv").as("bv"))
+    // the packed hash rides along through the self-join (an id-only join
+    // with post-join hash lookups was measured SLOWER here — the two
+    // lookup joins recompute the decode→hash subplan, while the identical
+    // x/y subplans below collapse into one reused exchange)
+    val banded0 = h.select(col("id"), col("hl"), explode(keyArr).as("k"))
+      .select(col("id"), col("hl"), col("k.b").as("b"), col("k.bv").as("bv"))
     val banded = if (maxBandDf == Int.MaxValue) banded0 else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "bv")
       banded0.withColumn("bdf", count(lit(1)).over(w))
@@ -548,13 +556,10 @@ object Multimodal {
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
-      .select(Seq(col("x.id").as("a_id"), col("y.id").as("b_id")) ++
-        (0 until 4).flatMap(k => Seq(col(s"x.c$k").as(s"a$k"),
-          col(s"y.c$k").as(s"b$k"))): _*)
-      .distinct() // a pair agreeing on k bands meets k times
-    cand.withColumn("hamming",
-        expr("cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
-          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as int)"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.hl").as("ah"), col("y.hl").as("bh"))
+      .distinct() // a pair agreeing on k keys meets k times
+    cand.withColumn("hamming", expr("cast(bit_count(ah ^ bh) as int)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }

@@ -361,6 +361,18 @@ object Similarity {
                         trainFraction: Double = 1.0): DataFrame = {
     val cts = kmeansCentroids(corpus, corpusId, corpusVec, k, iters, trainFraction)
     val (assigned, clusters) = ivfClusterIndex(corpus, corpusId, corpusVec, cts)
+    ivfSearch(assigned, clusters, queries, queryId, queryVec, threshold)
+  }
+
+  /** The IVF READ path, decoupled from index construction: probe plan +
+    * exact cosine verify over an (assigned, clusters) index pair — built
+    * this session or loaded from a stored table. Exact for ANY assignment
+    * and ANY centroid set (the bound only prunes provably match-free
+    * cells), so reading a stale-but-covering stored index returns exactly
+    * what a fresh rebuild would. */
+  def ivfSearch(assigned: DataFrame, clusters: DataFrame,
+                queries: DataFrame, queryId: Column, queryVec: Column,
+                threshold: Double): DataFrame = {
     val probes = ivfProbes(clusters, queries, queryId, queryVec, threshold)
     probes.join(assigned, "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
@@ -368,6 +380,52 @@ object Similarity {
         round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("query_id", "vec_id", "cos_sim")
+  }
+
+  /** Persist an IVF index as a VERSIONED stored table — the sketch-table
+    * architecture applied to the ANN lane (and the reference's
+    * stored-artifact philosophy: build once, read many). At 100 TB the
+    * cell assignment is the expensive scan; recomputing it per query
+    * batch re-encodes the whole corpus, while the stored form pays it
+    * once and each new version is batch-sized work ([[ivfAppend]]).
+    * Layout: `path/v=<version>/{assigned,clusters}` parquet. */
+  def writeIvfIndex(assigned: DataFrame, clusters: DataFrame,
+                    path: String, version: Long): Unit = {
+    assigned.write.mode("overwrite").parquet(s"$path/v=$version/assigned")
+    clusters.write.mode("overwrite").parquet(s"$path/v=$version/clusters")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   version: Long): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/v=$version/assigned"),
+      spark.read.parquet(s"$path/v=$version/clusters"))
+
+  /** Fold a NEW batch into a standing IVF index without touching the
+    * standing corpus: batch rows assign scan-locally to the EXISTING
+    * centroids (no retrain, no re-encode of old members — the argmax
+    * kernel runs over batch rows only) and each touched cluster's pruning
+    * radius grows to cover its new members
+    * (max_theta' = max(max_theta, batch thetas)). Because [[ivfSearch]]
+    * is exact for any assignment, the appended index answers queries
+    * IDENTICALLY to a full rebuild over base ∪ batch — centroid drift
+    * only affects speed (clusters loosen over many appends; re-train on a
+    * cadence, like compaction). Returns the new (assigned, clusters). */
+  def ivfAppend(assigned: DataFrame, clusters: DataFrame,
+                batch: DataFrame, idCol: Column, vecCol: Column): (DataFrame, DataFrame) = {
+    val cts = clusters.select(col("centroid_id"), col("cvec"), col("cn"))
+    val newAssigned = ivfAssign(batch, idCol, vecCol, cts)
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val batchTheta = newAssigned.join(broadcast(cts), "centroid_id")
+      .withColumn("theta",
+        acos(least(greatest(dot(col("v"), col("cvec")) / (col("n") * col("cn")),
+          lit(-1.0)), lit(1.0))))
+      .groupBy("centroid_id").agg(max(col("theta")).as("batch_theta"))
+    val newClusters = clusters.join(broadcast(batchTheta), Seq("centroid_id"), "left")
+      .withColumn("max_theta",
+        greatest(col("max_theta"), coalesce(col("batch_theta"), lit(0.0))))
+      .drop("batch_theta")
+    (assigned.unionByName(newAssigned.select("vec_id", "centroid_id", "v", "n")),
+      newClusters)
   }
 
   /** Distributed Lloyd's iterations for the IVF coarse quantizer (spherical

@@ -347,6 +347,52 @@ class DedupTextSpec extends SparkTestBase {
     assert(probes < 15L * 10 / 2, s"pruning too weak: $probes of ${15 * 10} probes survive")
   }
 
+  test("stored IVF index: write/read round-trip, batch append folds in " +
+      "without re-encoding the base, search equals full rebuild and brute force") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = base(i % 10)
+      (i.toLong, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") % 6 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 6 === 0)
+    val queries = vecs.filter(col("vec_id") < 15)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    val cts = Similarity.kmeansCentroids(corpus, col("vec_id"), col("embedding"), 10, 3)
+    val (a1, c1) = Similarity.ivfClusterIndex(corpus, col("vec_id"), col("embedding"), cts)
+    Similarity.writeIvfIndex(a1, c1, dir, 1L)
+    val (sa1, sc1) = Similarity.readIvfIndex(spark, dir, 1L)
+    // round-trip: stored v1 answers base-corpus queries like the live index
+    val live = Similarity.ivfSearch(a1, c1, queries, col("vec_id"),
+        col("embedding"), 0.9).as[(Long, Long, Double)].collect().toSet
+    val stored = Similarity.ivfSearch(sa1, sc1, queries, col("vec_id"),
+        col("embedding"), 0.9).as[(Long, Long, Double)].collect().toSet
+    assert(stored == live && stored.nonEmpty)
+    // append: batch folds into stored centroids; search over v2 equals the
+    // brute-force threshold join over corpus ∪ batch (= all of vecs)
+    val (a2, c2) = Similarity.ivfAppend(sa1, sc1, batch, col("vec_id"), col("embedding"))
+    Similarity.writeIvfIndex(a2, c2, dir, 2L)
+    val (sa2, sc2) = Similarity.readIvfIndex(spark, dir, 2L)
+    val got = Similarity.ivfSearch(sa2, sc2, queries, col("vec_id"),
+        col("embedding"), 0.9).as[(Long, Long, Double)].collect().toSet
+    val truth = Similarity.bruteForceTopK(vecs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 120)
+      .filter(col("cos_sim") >= 0.9)
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == truth, s"appended-index search must equal brute force")
+    // batch members must be findable (radii actually grew): every batch id
+    // near a query appears in the result set
+    assert(got.exists { case (_, v, _) => v % 6 == 0 },
+      "appended members must be reachable through the stored index")
+    // the append touched only batch-sized state: assigned grew by exactly
+    // the batch row count, cluster count unchanged
+    assert(sa2.count() == sa1.count() + batch.count())
+    assert(sc2.count() == sc1.count())
+  }
+
   test("ivfadc: probed compressed scan + exact re-rank equals brute force on clustered data") {
     import graft.operators.{Pq, Similarity}
     val rnd = new scala.util.Random(23)

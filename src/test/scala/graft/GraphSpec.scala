@@ -95,20 +95,27 @@ class GraphSpec extends SparkTestBase {
       .toDF("ok", "pk")
     val e = Graph.coOccurrenceEdges(li, col("ok"), col("pk"), maxBasket = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val clique10 = for { a <- Set(3L, 5L, 9L); b <- Set(3L, 5L, 9L) if a != b }
+    val clique10 = for { a <- Set(3L, 5L, 9L); b <- Set(3L, 5L, 9L) if a < b }
       yield (a, b)
-    val clique20 = for { a <- Set(2L, 4L, 6L); b <- Set(2L, 4L, 6L) if a != b }
+    val clique20 = for { a <- Set(2L, 4L, 6L); b <- Set(2L, 4L, 6L) if a < b }
       yield (a, b)
     assert(e == clique10 ++ clique20, s"got $e")
-    // per-group bound: ≤ maxBasket·(maxBasket−1) directed edges
-    assert(e.size == 12)
+    // per-group bound: ≤ maxBasket·(maxBasket−1)/2 canonical pairs
+    assert(e.size == 6)
+    assert(e.forall { case (a, b) => a < b }, "pairs must be canonical")
     // a cap at/above every basket size changes nothing (TPC-H contract)
     val full = Graph.coOccurrenceEdges(li, col("ok"), col("pk"), maxBasket = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val clique20full = for {
-      a <- Set(2L, 4L, 6L, 7L, 8L); b <- Set(2L, 4L, 6L, 7L, 8L) if a != b
+      a <- Set(2L, 4L, 6L, 7L, 8L); b <- Set(2L, 4L, 6L, 7L, 8L) if a < b
     } yield (a, b)
     assert(full == clique10 ++ clique20full)
+    // triangleStats symmetrizes internally: canonical pairs produce the
+    // same census as a both-orientations feed (K3 on order 10 at cap 3)
+    val stats = Graph.triangleStats(
+      Graph.coOccurrenceEdges(li, col("ok"), col("pk"), maxBasket = 3),
+      col("src"), col("dst")).collect()(0)
+    assert(stats.getLong(0) == 2L, s"two 3-cliques -> 2 triangles: $stats")
   }
 
   test("rank column is BIGINT — the no-float discipline") {

@@ -330,14 +330,25 @@ class PlanShapeSpec extends SparkTestBase {
       s"sessionize should shuffle once:\n$p")
   }
 
-  test("r8: triangle census — equi-joins only, no cartesian, no windows " +
-      "(global rank would serialize; the (deg,id) compare is scan-local)") {
+  test("r8: triangle census — equi-joins only, no cartesian, no GLOBAL " +
+      "window (an unpartitioned rank would serialize; the basket cap's " +
+      "row_number is group-keyed, the (deg,id) compare is scan-local)") {
     val p = plan("q_triangles")
     assert(!p.contains("CartesianProduct") ||
       // the final 1×1 stats crossJoin is the only allowed product
       "CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       s"unexpected products:\n$p")
-    assert(!p.contains("Window"), s"no global rank window allowed:\n$p")
+    // r9: the maxBasket hub cap is a row_number window PARTITIONED BY the
+    // order key — allowed (per-group state, fully parallel; Spark further
+    // rewrites it to a partial+final WindowGroupLimit, i.e. the cap prunes
+    // map-side before the exchange). The plan TEXT replicates the capped
+    // subtree under every consumer (runtime collapses them into reused
+    // exchanges), so the pin is on window KIND, not count: an
+    // unpartitioned window, whose spec prints an empty partition list
+    // ("], [], [") and moves every row to one task, stays forbidden.
+    assert(p.contains("WindowGroupLimit"),
+      s"the cap should prune map-side via WindowGroupLimit:\n$p")
+    assert(!p.contains("], [], ["), s"unpartitioned window forbidden:\n$p")
   }
 
   test("r8: join-view maintenance — the stored view anti-joins against a " +

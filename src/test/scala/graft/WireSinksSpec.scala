@@ -97,6 +97,103 @@ class WireSinksSpec extends SparkTestBase {
     assert(puts.map(p => (p._2, p._5, p._6)).toSet == Set(("r1", 7L, "x"), ("r2", 8L, "y")))
     assert(WireSinksSpec.hbaseClosed.get() == WireSinksSpec.hbaseOpened.get())
   }
+  test("joint wire-path drill: crash after BOTH wire sinks flushed, restart " +
+      "replays the batch — kafka wire carries the duplicate prefix the seeker " +
+      "(K2) drops; hbase cells are idempotent by cell version") {
+    WireSinksSpec.reset()
+    import java.nio.file.Files
+    import graft.streaming.{Op, TimeMachineSink, TransactionAssembler}
+    val ckpt = Files.createTempDirectory("wireckpt").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Op]
+    def op(kind: String, txn: String, ev: Long, key: String = "k1",
+           after: Map[String, String] = Map.empty): Op =
+      Op(kind, txn, txn.hashCode.toLong & 0xFFFF, ev, 1704067200000L, "t",
+        key, Map.empty, after)
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run() = TransactionAssembler.assemble(mem.toDS()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StampedOp],
+          batchId: Long) =>
+        val df = batch.toDF()
+        // kafka leg: routed records through the per-partition producer
+        // lifecycle (open → send× → flush → close), exactly the applier task
+        Sinks.kafkaRecords(df, partitions = 2, partitionKey = "txnUuid")
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            val w = new KafkaRecordForeachWriter("bigdata-db-t-value",
+              () => new WireSinksSpec.MemKafka)
+            w.open(0L, batchId); try rows.foreach(w.process(_)) finally w.close(null)
+          }
+        // hbase leg: versioned time-machine cells through the buffered
+        // mutator lifecycle against the KEYED store (cell-version semantics)
+        TimeMachineSink.organize(TimeMachineSink.mutationCells(df))
+          .select("table", "row_key", "column", "value", "cell_ts")
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            val w = new HBaseCellForeachWriter("d", bufferCap = 2,
+              () => new WireSinksSpec.MemHBaseKeyed)
+            w.open(0L, batchId); try rows.foreach(w.process(_)) finally w.close(null)
+          }
+        // the reference's ForceRewindException point: sinks flushed, engine
+        // commit not yet written — restart must replay this batch id
+        if (!batch.isEmpty && crashOnce.getAndSet(false)) sys.error("forced rewind")
+      }.start()
+
+    val q1 = run()
+    mem.addData(op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, "k1", Map("a" -> "1")),
+      op("INSERT", "t1", 3, "k2", Map("a" -> "2")),
+      op("COMMIT", "t1", 4))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+
+    // the wire tail at crash time: both txn1 records WERE flushed to the
+    // broker (at-least-once is real, not hypothetical)
+    val evRe = """"eventId":(\d+)""".r
+    def sentPairs() = WireSinksSpec.kafkaSent
+      .toArray(Array.empty[(String, Int, String, String)])
+      .map { case (_, p, _, v) =>
+        (p.toLong, evRe.findFirstMatchIn(v).get.group(1).toLong) }
+    val tail = sentPairs()
+    assert(tail.map(_._2).toSet == Set(2L, 3L), s"crash-time wire tail: ${tail.toSeq}")
+    // K2: the seeker's watermarks are the per-partition max event id on the
+    // wire — exactly what Sinks.seekWatermarks reads off the sink tail
+    val watermarks = tail.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).max }
+
+    val q2 = run()
+    q2.processAllAvailable() // replays txn1's batch into both wire sinks
+    mem.addData(op("BEGIN", "t2", 5),
+      op("INSERT", "t2", 6, "k3", Map("a" -> "3")),
+      op("COMMIT", "t2", 7))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // kafka wire: txn1 records delivered TWICE (doomed attempt + replay),
+    // txn2 once — the at-least-once duplicate prefix, on the real wire
+    val all = sentPairs()
+    assert(all.count(_._2 == 2L) == 2 && all.count(_._2 == 3L) == 2 &&
+      all.count(_._2 == 6L) == 1, s"wire contents: ${all.toSeq}")
+    // ... and the seeker drops exactly the replayed prefix: what a consumer
+    // resuming from the crash-time watermarks accepts is txn2 alone
+    val postRestart = Seq(("t1", 2L), ("t1", 3L), ("t2", 6L))
+      .toDF("txnUuid", "eventId")
+    val accepted = Sinks.seekFilter(postRestart, 2, "txnUuid", watermarks)
+      .select("eventId").as[Long].collect().toSet
+    assert(accepted == Set(6L), s"seeker must drop the replayed prefix: $accepted")
+
+    // hbase wire: more puts than cells (the duplicates), but the KEYED store
+    // converged to the exactly-once cell image — replayed cells carry the
+    // same deterministic version (organize is a pure function of the txn),
+    // so the re-put overwrites instead of duplicating
+    val puts = WireSinksSpec.hbaseKeyedPuts.get()
+    val cells = WireSinksSpec.hbaseCellMap
+    assert(puts > cells.size(), s"expected duplicate puts: $puts vs ${cells.size()}")
+    import scala.jdk.CollectionConverters._
+    val aCells = cells.asScala.collect {
+      case ((_, rk, "a", _), v) => rk -> v }.toMap
+    assert(aCells == Map("k1" -> "1", "k2" -> "2", "k3" -> "3"),
+      s"cell image must be exactly-once: $aCells")
+  }
 }
 
 /** Static in-memory client registry: local-mode tasks share the JVM, so the
@@ -114,10 +211,16 @@ object WireSinksSpec {
   val hbaseFlushed = new AtomicInteger(0)
   val hbaseClosed = new AtomicInteger(0)
 
+  /** Cell-version-keyed store — real HBase semantics: a Put at an existing
+    * (row, qualifier, ts) overwrites the cell, it does not duplicate it. */
+  val hbaseCellMap =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Long), String]()
+  val hbaseKeyedPuts = new AtomicInteger(0)
+
   def reset(): Unit = {
-    kafkaSent.clear(); hbasePuts.clear()
+    kafkaSent.clear(); hbasePuts.clear(); hbaseCellMap.clear()
     Seq(kafkaOpened, kafkaFlushed, kafkaClosed,
-      hbaseOpened, hbaseFlushed, hbaseClosed).foreach(_.set(0))
+      hbaseOpened, hbaseFlushed, hbaseClosed, hbaseKeyedPuts).foreach(_.set(0))
   }
 
   final class MemKafka extends WireSinks.KafkaClient {
@@ -128,6 +231,18 @@ object WireSinksSpec {
         new String(value, "UTF-8"))): Unit
     override def flush(): Unit = kafkaFlushed.incrementAndGet(): Unit
     override def close(): Unit = kafkaClosed.incrementAndGet(): Unit
+  }
+
+  final class MemHBaseKeyed extends WireSinks.HBaseClient {
+    hbaseOpened.incrementAndGet()
+    override def put(table: String, rowKey: String, family: String,
+        qualifier: String, tsMicros: Long, value: Array[Byte]): Unit = {
+      hbaseKeyedPuts.incrementAndGet()
+      hbaseCellMap.put((table, rowKey, qualifier, tsMicros),
+        new String(value, "UTF-8")): Unit
+    }
+    override def flush(): Unit = hbaseFlushed.incrementAndGet(): Unit
+    override def close(): Unit = hbaseClosed.incrementAndGet(): Unit
   }
 
   final class MemHBase extends WireSinks.HBaseClient {
