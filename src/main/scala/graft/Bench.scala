@@ -62,7 +62,8 @@ object Bench {
     "sketch_cube_report", "cdc_funnel_steps", "q_pagerank", "pipe_temperature_mix",
     "q_mad_outliers", "sketch_sliding_distinct", "cdc_time_to_convert",
     "cdc_event_transitions", "q_sessionize", "q_triangles", "q_peak_concurrency", "sim_range_search", "mm_phash_neardup", "q_components", "cdc_join_maintain",
-    "dedup_jaccard_join", "pipe_pack_chunks", "q_pivot", "sim_ann_ivf_stored"
+    "dedup_jaccard_join", "pipe_pack_chunks", "q_pivot", "sim_ann_ivf_stored",
+    "q_kcore", "dedup_lsh_stored", "cdc_chunk_checksum"
   )
 
   private def loadavg: Double =

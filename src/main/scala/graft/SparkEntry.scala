@@ -181,6 +181,39 @@ object SparkEntry {
        SELECT v AS part_id, r AS rank_s FROM r$PageRankRounds"""
   }
 
+  private[graft] val KCoreK = 3
+  private[graft] val KCoreRounds = 3
+
+  /** k-core oracle: [[graft.operators.Graph.kCoreMembers]]'s bounded peel
+    * unrolled as chained CTEs over the SAME hub-capped co-purchase edges
+    * as `q_triangles` (quantity-thinned so the peel actually iterates:
+    * 1494 → 512 → 232 → 108 nodes at sf0.01). Pure integer counting —
+    * bit-identical by construction. */
+  private[graft] val kCoreOracleSql: String = {
+    def peel(i: Int): String = s""",
+       n${i - 1} AS (SELECT v FROM d${i - 1} WHERE d >= $KCoreK),
+       e$i AS (SELECT a, b FROM e${i - 1}
+         JOIN n${i - 1} x ON x.v = e${i - 1}.a
+         JOIN n${i - 1} y ON y.v = e${i - 1}.b),
+       d$i AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+         FROM (SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i)
+         GROUP BY v)"""
+    s"""WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem
+         WHERE l_quantity >= 45),
+       basket AS (SELECT ok,
+           list_sort(list_distinct(list(pk)))[1:32] AS ps
+         FROM li GROUP BY ok),
+       ba AS (SELECT ok, unnest(ps) AS pka, ps FROM basket),
+       bp AS (SELECT pka, unnest(ps) AS pkb FROM ba),
+       e0 AS (SELECT DISTINCT least(pka, pkb) a, greatest(pka, pkb) b
+         FROM bp WHERE pka <> pkb),
+       d0 AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+         FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+         GROUP BY v)""" +
+      (1 to KCoreRounds).map(peel).mkString + s"""
+       SELECT v AS part_id, d AS deg FROM d$KCoreRounds"""
+  }
+
   /** Table loader. The driver's parquet uses TIMESTAMP(NANOS) for `events.ts`
     * (Spark 4 rejects nanos unless read as raw longs) and unadjusted-UTC ms
     * timestamps elsewhere (which would infer as TIMESTAMP_NTZ); normalize both
@@ -539,6 +572,24 @@ object SparkEntry {
       graft.operators.Graph.triangleStats(edges, col("src"), col("dst"))
     }),
 
+    "q_kcore" -> ((s, d) => {
+      // bounded k-core peel over the quantity-thinned hub-capped
+      // co-purchase graph — the community-density primitive (dense
+      // subgraph extraction; the standard "influential cohort" read).
+      // k=3, 3 peel rounds: deterministic at any round count, so the
+      // oracle unrolls the identical algebra (the pagerank posture);
+      // the thinned graph actually peels (1494 -> 108 nodes at sf0.01)
+      // rather than being one dense core.
+      val li = t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
+      graft.operators.Graph.kCoreMembers(edges, col("src"), col("dst"),
+          k = KCoreK, rounds = KCoreRounds)
+        .select(col("v").as("part_id"), col("deg"))
+    }),
+
     "cdc_funnel_steps" -> ((s, d) =>
       // the GENERAL funnel: heterogeneous per-step predicates — any view,
       // then a click worth ≥ 50, then a purchase worth ≥ 85 — which the
@@ -597,6 +648,29 @@ object SparkEntry {
         col("event_id"), Seq("event_type", "value"))
       Cdc.consistencyCheck(source, sink, "key", Seq("event_type", "value"))
         .select(col("key").as("user_id"), col("status"))
+    }),
+
+    "cdc_chunk_checksum" -> ((s, d) => {
+      // pt-table-checksum analog over the same source/stale-sink fixture
+      // as cdc_consistency_check: both sides fold to 64 chunk aggregates
+      // (count + bit_xor of md5-derived row hashes) and the verdict is a
+      // 64-row join — the table never ships. Values render as exact
+      // decimal(18,2) cents so the hashed string surface is
+      // engine-identical.
+      val ev = t(s, d, "events")
+      val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(expr("mn + (mx - mn) * 63 div 64").as("__cut"))
+      def cents(df: DataFrame) = df.withColumn("value_cents",
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+      val source = cents(Cdc.latestStateAgg(ev, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value")))
+      val stale = ev.crossJoin(broadcast(cut))
+        .filter(unix_millis(col("ts")) <= col("__cut"))
+      val sink = cents(Cdc.latestStateAgg(stale, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value")))
+      Cdc.chunkChecksum(source, sink, "key",
+        Seq("event_type", "value_cents"), chunks = 64)
     }),
 
     "cdc_repair_plan" -> ((s, d) => {
@@ -2036,6 +2110,36 @@ object SparkEntry {
         n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L)
     }),
 
+    "dedup_lsh_stored" -> ((s, d) => {
+      // the STORED-index near-dup lifecycle (stored-IVF's text twin): v1 =
+      // corpus band rows + shingle sets persisted as a versioned table;
+      // each crawl batch signs only itself, probes the STORED generation,
+      // exact-verifies, and writes the appended generation — two
+      // generations chained here, corpus never re-signed or re-paired.
+      // Generations partition the pair set (a cross-generation pair
+      // belongs to the newer side's generation), so the union equals the
+      // all-pairs result restricted to new-doc-touching pairs — the same
+      // contract (and recall machinery: 16×4 bands at 0.8) as
+      // dedup_incremental_lsh, now through the parquet round-trip.
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-lsh-ix").toString
+      val (b1, s1) = Dedup.lshIndexBuild(docs.filter(col("doc_id") < 250),
+        col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16)
+      Dedup.writeLshIndex(b1, s1, dir, version = 1L)
+      val (rb1, rs1) = Dedup.readLshIndex(s, dir, version = 1L)
+      val (p1, b2, s2) = Dedup.lshProbeAppend(rb1, rs1,
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
+        thresholdPpm = 800000L)
+      Dedup.writeLshIndex(b2, s2, dir, version = 2L)
+      val (rb2, rs2) = Dedup.readLshIndex(s, dir, version = 2L)
+      val (p2, _, _) = Dedup.lshProbeAppend(rb2, rs2,
+        docs.filter(col("doc_id") >= 375),
+        col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
+        thresholdPpm = 800000L)
+      p1.unionByName(p2)
+    }),
+
     "dedup_paragraph" -> ((s, d) =>
       // sub-document exact dedup (MassiveText "repeated passage" rule):
       // 10-token chunks, corpus-wide keep-first, reassemble in doc order
@@ -2775,6 +2879,7 @@ object SparkEntry {
          FROM s CROSS JOIN d""",
 
     "q_pagerank" -> pageRankOracleSql,
+    "q_kcore" -> kCoreOracleSql,
     "text_bpe_encode" -> bpeFixedOracleSql,
 
     "pipe_source_mix" ->
@@ -3568,6 +3673,48 @@ object SparkEntry {
                   OR src.value IS DISTINCT FROM snk.value THEN 'DIFF'
                 ELSE 'MATCH' END AS status
          FROM src FULL OUTER JOIN snk ON src.user_id = snk.user_id""",
+
+    "cdc_chunk_checksum" ->
+      // hex-digit parse mirrors Spark's conv(substring(md5(x),1,n),16,10):
+      // 15 digits < 2^60 (exact BIGINT), per-digit products stay integral
+      """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 63 // 64 AS cut
+           FROM events),
+         src AS (SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         snk AS (SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           FROM events, b WHERE epoch_ms(ts) <= cut
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         sf AS (SELECT
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 4 - i) AS BIGINT) for i in range(1, 5)]) AS BIGINT) % 64 AS chunk_id,
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || CAST(vc AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 15 - i) AS BIGINT) for i in range(1, 16)]) AS BIGINT) AS rh
+           FROM src),
+         kf AS (SELECT
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 4 - i) AS BIGINT) for i in range(1, 5)]) AS BIGINT) % 64 AS chunk_id,
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || CAST(vc AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 15 - i) AS BIGINT) for i in range(1, 16)]) AS BIGINT) AS rh
+           FROM snk),
+         sa AS (SELECT chunk_id, CAST(count(*) AS BIGINT) AS src_rows,
+             bit_xor(rh) AS ssig FROM sf GROUP BY chunk_id),
+         ka AS (SELECT chunk_id, CAST(count(*) AS BIGINT) AS tgt_rows,
+             bit_xor(rh) AS ksig FROM kf GROUP BY chunk_id)
+         SELECT coalesce(sa.chunk_id, ka.chunk_id) AS chunk_id,
+           coalesce(src_rows, 0) AS src_rows,
+           coalesce(tgt_rows, 0) AS tgt_rows,
+           CASE WHEN ka.chunk_id IS NULL THEN 'MISSING'
+                WHEN sa.chunk_id IS NULL THEN 'EXTRA'
+                WHEN src_rows <> tgt_rows OR ssig IS DISTINCT FROM ksig THEN 'DIFF'
+                ELSE 'MATCH' END AS status
+         FROM sa FULL OUTER JOIN ka ON sa.chunk_id = ka.chunk_id""",
 
     "cdc_repair_plan" ->
       """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 63 // 64 AS cut
@@ -4553,6 +4700,22 @@ object SparkEntry {
          WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
 
     "dedup_incremental_lsh" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE (a.doc_id >= 250 OR b.doc_id >= 250)
+           AND CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    "dedup_lsh_stored" ->
+      // same contract as dedup_incremental_lsh (all near-dup pairs
+      // touching a doc outside the v1 corpus), exercised through the
+      // stored two-generation lifecycle
       """WITH docs AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
          FROM documents),

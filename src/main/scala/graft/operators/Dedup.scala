@@ -269,6 +269,68 @@ object Dedup {
     jaccardVerify(cands, idx.unionByName(neu), "id", "sh", thresholdPpm)
   }
 
+  /** Build the STORED form of the MinHash-LSH index: the band rows (the
+    * probe side) and the hashed shingle sets (the verify side) — exactly
+    * the two relations [[minhashNearDupIncremental]] recomputes from
+    * `indexDocs` per batch, materialized once instead. Returns
+    * (bands: doc_id, band_id, band_hash; sets: id, sh). */
+  def lshIndexBuild(docs: DataFrame, idCol: Column, textCol: Column,
+      n: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rows = numHashes / bands
+    val signed = tokenized(docs, idCol, textCol)
+      .select(col("id"), shinglesOfTokens(col("__toks"), n).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    (lshBands(signed, col("id"), col("sig"), bands, rows),
+      signed.select(col("id"), col("sh")))
+  }
+
+  /** Persist an LSH index as a VERSIONED stored table
+    * (`path/v=<version>/{bands,sets}` parquet) — the sketch-table / stored-
+    * IVF architecture applied to the text near-dup lane. At 100 TB the
+    * shingle+signature pass is the expensive corpus scan; the stored form
+    * pays it once, and each crawl batch is batch-sized work
+    * ([[lshProbeAppend]]). Production layout note: bucket `bands` by
+    * (band_id, band_hash) so probes co-locate without a shuffle. */
+  def writeLshIndex(bandsDf: DataFrame, setsDf: DataFrame,
+      path: String, version: Long): Unit = {
+    bandsDf.write.mode("overwrite").parquet(s"$path/v=$version/bands")
+    setsDf.write.mode("overwrite").parquet(s"$path/v=$version/sets")
+  }
+
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/v=$version/bands"),
+      spark.read.parquet(s"$path/v=$version/sets"))
+
+  /** One crawl-batch generation against a STORED LSH index: the batch
+    * signs only itself, probes the stored band rows (plus its own, so
+    * batch-batch pairs surface), exact-verifies against the stored shingle
+    * sets, and returns (pairs, bands', sets') where the primed relations
+    * are the appended next index generation (write them as v+1). Emitted
+    * pairs all touch the batch; generations partition the full pair set
+    * (a corpus×batch pair belongs to the batch's generation), so chaining
+    * generations yields exactly the all-pairs result restricted to
+    * new-doc-touching pairs — the oracle gate — while the standing corpus
+    * is never re-signed and never re-paired. */
+  def lshProbeAppend(storedBands: DataFrame, storedSets: DataFrame,
+      batchDocs: DataFrame, idCol: Column, textCol: Column,
+      n: Int, numHashes: Int, bands: Int, thresholdPpm: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (newBands, newSets) = lshIndexBuild(batchDocs, idCol, textCol, n, numHashes, bands)
+    val probe = newBands.select(col("band_id"), col("band_hash"), col("doc_id").as("p_id"))
+    val build = storedBands.unionByName(newBands)
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("q_id"))
+    val cands = probe.join(build, Seq("band_id", "band_hash"))
+      .filter(col("p_id") =!= col("q_id"))
+      .select(least(col("p_id"), col("q_id")).as("a_id"),
+        greatest(col("p_id"), col("q_id")).as("b_id"))
+      .distinct()
+    val allSets = storedSets.unionByName(newSets)
+    (jaccardVerify(cands, allSets, "id", "sh", thresholdPpm),
+      storedBands.unionByName(newBands), allSets)
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bits — near-dups differ in few bits. Native expression
     * ([[graft.functions.SimHash64Expr]]): one codegen'd pass over the token

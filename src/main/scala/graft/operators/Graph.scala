@@ -184,6 +184,53 @@ object Graph {
         .as("clustering_ppm"))
   }
 
+  /** Bounded k-core peel (Seidman, "Network structure and minimum degree",
+    * Social Networks '83; the Batagelj–Zaveršnik peeling formulation run
+    * breadth-synchronously): `rounds` iterations of "drop every node with
+    * degree < k, restrict edges to survivors", over the undirected
+    * simple graph. With enough rounds this converges to the exact k-core;
+    * the BOUNDED round count is the gated contract (the pagerank posture:
+    * deterministic at any round count, so the oracle unrolls the same
+    * algebra as chained CTEs). Returns (v, deg) over the subgraph after
+    * the last peel — a row's deg may still be < k if unconverged (it
+    * would be peeled next round); isolated nodes drop out with their
+    * edges on both engines.
+    *
+    * Scale shape: each round is one node-sized hash-agg (degrees, map-side
+    * partial) + two survivor joins keyed on the edge endpoints — the
+    * survivor set is node-sized, so AQE broadcasts it against the
+    * edge-sized relation once the frontier materializes (the same
+    * cadence/`materialize` policy as [[pageRank]]: localCheckpoint locally,
+    * reliable checkpoint() on clusters, 0 = pure lazy plan). Nothing
+    * global, no windows; the peel is monotone so each round's edge
+    * relation only shrinks. */
+  def kCoreMembers(edges: DataFrame, srcCol: Column, dstCol: Column,
+      k: Int, rounds: Int, checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var e = edges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var i = 0
+    while (i < rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("v")
+      e = e.join(keep.withColumnRenamed("v", "a"), "a")
+        .join(keep.withColumnRenamed("v", "b"), "b")
+        .select("a", "b")
+      i += 1
+      if (checkpointEvery >= 1 && i % checkpointEvery == 0 && i < rounds)
+        e = materialize(e)
+    }
+    degrees(e)
+  }
+
   /** Co-occurrence (co-purchase) edge list from a (group, item) relation:
     * CANONICAL (src < dst) pairs of distinct items sharing a group — the
     * graph-construction half of the triangle/components queries

@@ -228,6 +228,41 @@ class CdcOpsSpec extends SparkTestBase {
       5L -> "MATCH")) // NULL == NULL under null-safe compare, not DIFF
   }
 
+  test("chunkChecksum: identical tables all-MATCH; a drifted value flips " +
+      "ONLY its chunk to DIFF; count mismatch flags without a hash check") {
+    val source = (1L to 200L).map(i => (i, s"t$i", i * 100L))
+      .toDF("key", "tpe", "vc")
+    // chunks=1: the degenerate single chunk matches as one aggregate
+    val one = Cdc.chunkChecksum(source, source, "key", Seq("tpe", "vc"), 1)
+      .as[(Long, Long, Long, String)].collect()
+    assert(one.toSeq == Seq((0L, 200L, 200L, "MATCH")))
+    // identical at 16 chunks: every chunk MATCH, counts add to 200
+    val same = Cdc.chunkChecksum(source, source, "key", Seq("tpe", "vc"), 16)
+      .as[(Long, Long, Long, String)].collect()
+    assert(same.forall(_._4 == "MATCH") && same.map(_._2).sum == 200L)
+    // one drifted value: exactly the chunks containing the touched keys
+    // flip to DIFF (same count, different xor signature)
+    val drift = source.withColumn("vc",
+      when(col("key") === 7L, lit(9999L)).otherwise(col("vc")))
+    val diffs = Cdc.chunkChecksum(source, drift, "key", Seq("tpe", "vc"), 16)
+      .as[(Long, Long, Long, String)].collect().filter(_._4 != "MATCH")
+    assert(diffs.length == 1 && diffs(0)._4 == "DIFF" &&
+      diffs(0)._2 == diffs(0)._3, s"one same-count DIFF chunk: ${diffs.toSeq}")
+    // a dropped row: its chunk flags via the independent row count
+    val dropped = source.filter(col("key") =!= 7L)
+    val cnt = Cdc.chunkChecksum(source, dropped, "key", Seq("tpe", "vc"), 16)
+      .as[(Long, Long, Long, String)].collect().filter(_._4 != "MATCH")
+    assert(cnt.length == 1 && cnt(0)._2 == cnt(0)._3 + 1)
+    // xor-cancellation resistance check the design relies on: two rows
+    // swapping values across chunks cannot cancel inside one chunk
+    val swapped = source.withColumn("vc",
+      when(col("key") === 7L, lit(800L))
+        .when(col("key") === 8L, lit(700L)).otherwise(col("vc")))
+    val sw = Cdc.chunkChecksum(source, swapped, "key", Seq("tpe", "vc"), 16)
+      .as[(Long, Long, Long, String)].collect().filter(_._4 != "MATCH")
+    assert(sw.nonEmpty, "cross-key value swap must be detected")
+  }
+
   test("repairPlan emits UPSERT for missing/diff, DELETE for extra, drops matches") {
     val source = Seq((1L, "a", Some(10.0)), (2L, "b", Some(5.0)),
       (3L, "c", Some(1.0)))

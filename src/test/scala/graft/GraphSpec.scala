@@ -86,6 +86,30 @@ class GraphSpec extends SparkTestBase {
     assert(calls == 3, s"2 in-loop ticks + 1 final, got $calls")
   }
 
+  test("kCoreMembers: hand-computed peel — pendant chain strips round by " +
+      "round, the triangle survives as the 2-core; bounded rounds expose " +
+      "the unconverged frontier") {
+    // triangle {1,2,3} + chain 3-4-5. k=2 peel: round 1 drops 5 (deg 1),
+    // round 2 drops 4 (deg fell to 1), round 3 fixpoint = the triangle.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def run(rounds: Int) = Graph.kCoreMembers(g, col("src"), col("dst"),
+        k = 2, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after ONE round: 5 gone, 4 still present with its not-yet-peeled
+    // degree 1 — the documented bounded-round contract
+    assert(run(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // converged: exactly the triangle, every degree >= k
+    val conv = run(3)
+    assert(conv == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run(5) == conv, "fixpoint is stable under extra rounds")
+    // duplicate/reversed edges collapse before peeling (simple graph)
+    val noisy = (g.collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      Seq((2L, 1L), (3L, 2L))).toSeq.toDF("src", "dst")
+    assert(Graph.kCoreMembers(noisy, col("src"), col("dst"), 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == conv)
+  }
+
   test("coOccurrenceEdges: exact clique at or below the cap; above it the " +
       "deterministic lowest-maxBasket sub-clique (hub bound)") {
     // order 10: basket {5,3,9} (≤ cap) → full 3-clique, both orientations;
