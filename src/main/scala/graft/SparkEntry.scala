@@ -673,6 +673,36 @@ object SparkEntry {
         Seq("event_type", "value_cents"), chunks = 64)
     }),
 
+    "cdc_checksum_maintain" -> ((s, d) => {
+      // IVM of the chunk-checksum table: the stored 64-chunk fold of the
+      // pre-cut state updates from the post-cut mutation batch alone
+      // (before-images xor OUT, after-images xor IN, counts adjust) — the
+      // standing replica is never rescanned. (count, xor) are abelian-
+      // group aggregates, so the maintained table is bit-identical to
+      // re-folding the full post-batch state — which is the oracle.
+      val ev = t(s, d, "events")
+      val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(expr("mn + (mx - mn) * 63 div 64").as("__cut"))
+      def cents(df: DataFrame) = df.withColumn("value_cents",
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+      val pre = ev.crossJoin(broadcast(cut))
+        .filter(unix_millis(col("ts")) <= col("__cut"))
+      val old = cents(Cdc.latestStateAgg(pre, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value")))
+      val neu = cents(Cdc.latestStateAgg(ev, col("user_id"), col("ts"),
+        col("event_id"), Seq("event_type", "value")))
+      val touched = ev.crossJoin(broadcast(cut))
+        .filter(unix_millis(col("ts")) > col("__cut"))
+        .select(col("user_id").as("key")).distinct()
+      val cols = Seq("event_type", "value_cents")
+      val stored = Cdc.chunkFold(old, "key", cols, chunks = 64)
+      Cdc.maintainChunkChecksum(stored,
+        added = neu.join(touched, Seq("key"), "left_semi"),
+        removed = old.join(touched, Seq("key"), "left_semi"),
+        key = "key", cols = cols, chunks = 64)
+    }),
+
     "cdc_repair_plan" -> ((s, d) => {
       // the write-back half of the consistency audit: per divergent key,
       // the mutation that converges the sink (UPSERT with source values /
@@ -3715,6 +3745,24 @@ object SparkEntry {
                 WHEN src_rows <> tgt_rows OR ssig IS DISTINCT FROM ksig THEN 'DIFF'
                 ELSE 'MATCH' END AS status
          FROM sa FULL OUTER JOIN ka ON sa.chunk_id = ka.chunk_id""",
+
+    "cdc_checksum_maintain" ->
+      // the RECOMPUTE: fold the full post-batch latest state from scratch
+      // — the maintained table must be bit-identical to it
+      """WITH src AS (SELECT user_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+           FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         sf AS (SELECT
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 4 - i) AS BIGINT) for i in range(1, 5)]) AS BIGINT) % 64 AS chunk_id,
+             CAST(list_sum([CAST(strpos('0123456789abcdef',
+                 substring(md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || CAST(vc AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 15 - i) AS BIGINT) for i in range(1, 16)]) AS BIGINT) AS rh
+           FROM src)
+         SELECT chunk_id, CAST(count(*) AS BIGINT) AS n, bit_xor(rh) AS sig
+         FROM sf GROUP BY chunk_id""",
 
     "cdc_repair_plan" ->
       """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 63 // 64 AS cut

@@ -166,20 +166,26 @@ object Cdc {
     * hash keeps 15 md5 hex digits (< 2⁶⁰ — exact in BIGINT on both
     * engines); a per-chunk xor collision requires colliding 60-bit
     * hashes, and the row COUNT is compared independently. */
+  /** The per-side fold of [[chunkChecksum]]: (chunk_id, n, sig) — one
+    * map-side-combined hash aggregation over scan-local row hashes. Also
+    * the STORED form for [[maintainChunkChecksum]]. */
+  def chunkFold(df: DataFrame, key: String, cols: Seq[String],
+      chunks: Int): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val rendered = concat_ws("|",
+      (col(key) +: cols.map(col)).map(_.cast("string")): _*)
+    val rowHash = conv(substring(md5(rendered), 1, 15), 16, 10).cast("long")
+    val chunkId = pmod(
+      conv(substring(md5(col(key).cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(chunks.toLong))
+    df.select(chunkId.as("chunk_id"), rowHash.as("__rh"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__rh)").as("sig"))
+  }
+
   def chunkChecksum(source: DataFrame, target: DataFrame, key: String,
       cols: Seq[String], chunks: Int): DataFrame = {
-    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
-    def fold(df: DataFrame): DataFrame = {
-      val rendered = concat_ws("|",
-        (col(key) +: cols.map(col)).map(_.cast("string")): _*)
-      val rowHash = conv(substring(md5(rendered), 1, 15), 16, 10).cast("long")
-      val chunkId = pmod(
-        conv(substring(md5(col(key).cast("string")), 1, 4), 16, 10).cast("long"),
-        lit(chunks.toLong))
-      df.select(chunkId.as("chunk_id"), rowHash.as("__rh"))
-        .groupBy("chunk_id")
-        .agg(count(lit(1)).as("n"), expr("bit_xor(__rh)").as("sig"))
-    }
+    def fold(df: DataFrame): DataFrame = chunkFold(df, key, cols, chunks)
     val s = fold(source).select(col("chunk_id"),
       col("n").as("src_rows"), col("sig").as("__ss"))
     val t = fold(target).select(col("chunk_id").as("__ck"),
@@ -194,6 +200,34 @@ object Cdc {
           .when(col("src_rows") =!= col("tgt_rows") ||
             !(col("__ss") <=> col("__ts")), "DIFF")
           .otherwise("MATCH").as("status"))
+  }
+
+  /** Incrementally maintain a stored [[chunkFold]] table under a mutation
+    * batch — the IVM form of replica validation, and the reason the fold
+    * uses XOR: it is self-inverse, so a row LEAVING the table folds out
+    * with the same operation that folded it in. Per batch:
+    *   sig' = sig ⊕ (⊕ h(added rows)) ⊕ (⊕ h(removed rows))
+    *   n'   = n + |added| − |removed|
+    * (UPDATE contributes its before-image to `removed` and after-image to
+    * `added`; INSERT only to `added`; DELETE only to `removed` — exactly
+    * the images a CDC mutation stream carries.) Because (count, xor) are
+    * abelian-group aggregates, the maintained table is BIT-IDENTICAL to
+    * re-folding the post-batch state from scratch, at O(stored chunks +
+    * touched rows) per batch — the standing 100 TB replica is never
+    * rescanned; the full-scan [[chunkChecksum]] becomes the occasional
+    * audit, not the steady state. Chunks whose count reaches 0 drop out
+    * (matching the recompute, where an empty chunk never appears). */
+  def maintainChunkChecksum(stored: DataFrame, added: DataFrame,
+      removed: DataFrame, key: String, cols: Seq[String],
+      chunks: Int): DataFrame = {
+    val a = chunkFold(added, key, cols, chunks)
+    val r = chunkFold(removed, key, cols, chunks)
+      .select(col("chunk_id"), (-col("n")).as("n"), col("sig"))
+    stored.select("chunk_id", "n", "sig")
+      .unionByName(a).unionByName(r)
+      .groupBy("chunk_id")
+      .agg(sum(col("n")).as("n"), expr("bit_xor(sig)").as("sig"))
+      .filter(col("n") > 0)
   }
 
   /** Repair plan from a consistency audit — the write-back half of

@@ -263,6 +263,41 @@ class CdcOpsSpec extends SparkTestBase {
     assert(sw.nonEmpty, "cross-key value swap must be detected")
   }
 
+  test("maintainChunkChecksum: update/insert/delete fold incrementally to " +
+      "the exact recompute; empty chunks drop; redelivery is NOT idempotent " +
+      "(xor cancels — fence by batch id)") {
+    val cols = Seq("tpe", "vc")
+    val v0 = (1L to 100L).map(i => (i, s"t$i", i * 100L)).toDF("key", "tpe", "vc")
+    // batch: key 7 updated, key 500 inserted, key 8 deleted
+    val v1 = v0.withColumn("vc",
+        when(col("key") === 7L, lit(777L)).otherwise(col("vc")))
+      .filter(col("key") =!= 8L)
+      .unionByName(Seq((500L, "t500", 50000L)).toDF("key", "tpe", "vc"))
+    val added = v1.filter(col("key").isin(7L, 500L))
+    val removed = v0.filter(col("key").isin(7L, 8L))
+    val stored = Cdc.chunkFold(v0, "key", cols, 16)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val maintained = m(Cdc.maintainChunkChecksum(stored, added, removed,
+      "key", cols, 16))
+    val recompute = m(Cdc.chunkFold(v1, "key", cols, 16))
+    assert(maintained == recompute, "maintained must be bit-identical to recompute")
+    // a chunk emptied by deletes drops out, matching the recompute
+    val onlyRow = Seq((42L, "x", 1L)).toDF("key", "tpe", "vc")
+    val tiny = Cdc.chunkFold(onlyRow, "key", cols, 16)
+    val emptied = Cdc.maintainChunkChecksum(tiny,
+      onlyRow.filter(lit(false)), onlyRow, "key", cols, 16)
+    assert(emptied.count() == 0L)
+    // the documented at-least-once hazard: applying the SAME batch twice
+    // xor-cancels the delta (sig reverts, counts drift) — redelivery must
+    // be fenced (batch-id overwrite, the TimeMachineSink pattern), unlike
+    // the max_by-maintained views which are naturally idempotent
+    val twice = m(Cdc.maintainChunkChecksum(
+      Cdc.maintainChunkChecksum(stored, added, removed, "key", cols, 16),
+      added, removed, "key", cols, 16))
+    assert(twice != recompute, "double-apply must NOT equal single-apply")
+  }
+
   test("repairPlan emits UPSERT for missing/diff, DELETE for extra, drops matches") {
     val source = Seq((1L, "a", Some(10.0)), (2L, "b", Some(5.0)),
       (3L, "c", Some(1.0)))
