@@ -181,6 +181,33 @@ object SparkEntry {
        SELECT v AS part_id, r AS rank_s FROM r$PageRankRounds"""
   }
 
+  /** Personalized-PageRank oracle: [[pageRankOracleSql]]'s algebra with a
+    * seed-conditional teleport (seeds = nodes with v % 97 = 0, which
+    * equals the entry's li-partkey filter intersected with the node
+    * set). */
+  private[graft] val pprOracleSql: String = {
+    def round(i: Int): String = s""",
+       r$i AS (SELECT nodes.v,
+           CAST((CASE WHEN sd.v IS NOT NULL THEN 150000000000 // k ELSE 0 END)
+             + (85 * coalesce(c.s, 0) // 100) AS BIGINT) AS r
+         FROM nodes CROSS JOIN ns LEFT JOIN sd ON sd.v = nodes.v LEFT JOIN (
+           SELECT ed.b AS v, CAST(sum(p.r // dg.d) AS BIGINT) AS s
+           FROM ed JOIN r${i - 1} p ON p.v = ed.a JOIN dg ON dg.a = ed.a
+           GROUP BY ed.b) c ON c.v = nodes.v)"""
+    """WITH ed AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+         FROM lineitem l1 JOIN lineitem l2
+           ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey),
+       nodes AS (SELECT DISTINCT a AS v FROM ed UNION SELECT DISTINCT b FROM ed),
+       dg AS (SELECT a, count(*) AS d FROM ed GROUP BY a),
+       sd AS (SELECT v FROM nodes WHERE v % 97 = 0),
+       ns AS (SELECT count(*) AS k FROM sd),
+       r0 AS (SELECT nodes.v,
+           CAST(CASE WHEN sd.v IS NOT NULL THEN 1000000000000 // k ELSE 0 END AS BIGINT) AS r
+         FROM nodes CROSS JOIN ns LEFT JOIN sd ON sd.v = nodes.v)""" +
+      (1 to PageRankRounds).map(round).mkString + s"""
+       SELECT v AS part_id, r AS rank_s FROM r$PageRankRounds"""
+  }
+
   private[graft] val KCoreK = 3
   private[graft] val KCoreRounds = 3
 
@@ -937,6 +964,26 @@ object SparkEntry {
         .select("src", "dst").distinct()
       graft.operators.Graph.pageRank(edges, col("src"), col("dst"),
         SparkEntry.PageRankRounds)
+        .select(col("v").as("part_id"), col("r").as("rank_s"))
+    }),
+
+    "q_ppr" -> ((s, d) => {
+      // personalized PageRank: teleport mass returns to a SEED catalog
+      // (every ~97th part) instead of the whole graph — the seeded
+      // "parts related to this assortment" recommendation read. Same
+      // integer algebra and unrolled oracle as q_pagerank; only the
+      // teleport term is seed-conditional (scale·15% div |S∩V| on seeds,
+      // 0 elsewhere; initial mass uniform on seeds).
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val seeds = li.select(col("pk").as("v")).distinct()
+        .filter(col("v") % 97 === 0)
+      graft.operators.Graph.personalizedPageRank(edges, col("src"),
+          col("dst"), seeds, col("v"), SparkEntry.PageRankRounds)
         .select(col("v").as("part_id"), col("r").as("rank_s"))
     }),
 
@@ -2660,6 +2707,26 @@ object SparkEntry {
           col("pcm.sum_abs").as("sum_abs"), col("pcm.peak").as("peak"))
     }),
 
+    "mm_silence_spans" -> ((s, d) => {
+      // VAD-lite: vowels/spaces silence their byte (a deterministic
+      // "quiet speech" synth the oracle reproduces from the same text),
+      // the REAL codec decodes the PCM chunk, frames of 2 samples are
+      // silent when peak |sample| <= 4095 (high byte quiet), consecutive
+      // silent frames merge into spans via one doc-keyed islands window.
+      import s.implicits._
+      val withWav = t(s, d, "documents")
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val quieted = text.getBytes("US-ASCII").map(b =>
+            if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u' ||
+              b == ' ') 0.toByte else b)
+          (id, Multimodal.buildWav(1, 8000, 16, quieted))
+        }.toDF("doc_id", "payload")
+      Multimodal.silenceSpans(withWav, "doc_id", "payload",
+        samplesPerFrame = 2, maxAbs = 4095L)
+    }),
+
     "mm_payload_dedup" -> ((s, d) =>
       // exact dedup on the OPAQUE BINARY payload (the multimodal analog of
       // text fingerprint dedup): md5 over raw bytes, hash-agg clusters —
@@ -2910,6 +2977,7 @@ object SparkEntry {
 
     "q_pagerank" -> pageRankOracleSql,
     "q_kcore" -> kCoreOracleSql,
+    "q_ppr" -> pprOracleSql,
     "text_bpe_encode" -> bpeFixedOracleSql,
 
     "pipe_source_mix" ->
@@ -5031,6 +5099,32 @@ object SparkEntry {
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id,
            count(*) AS dup_count
          FROM documents GROUP BY 1""",
+
+    "mm_silence_spans" ->
+      // byte walk mirrors buildWav(1ch,16bit): sample i = b(2i) + 256*b(2i+1)
+      // with vowels/spaces zeroed; frame f = samples 2f, 2f+1; silent when
+      // the frame peak <= 4095; islands by fi - row_number per doc
+      """WITH d AS (SELECT doc_id, text,
+           (length(text) // 2) // 2 AS nf
+         FROM documents WHERE length(text) >= 4),
+         fr AS (SELECT doc_id, CAST(f AS BIGINT) AS fi,
+             greatest(
+               (CASE WHEN substring(text, CAST(4*f+1 AS INT), 1) IN ('a','e','i','o','u',' ')
+                  THEN 0 ELSE ascii(substring(text, CAST(4*f+1 AS INT), 1)) END)
+               + 256 * (CASE WHEN substring(text, CAST(4*f+2 AS INT), 1) IN ('a','e','i','o','u',' ')
+                  THEN 0 ELSE ascii(substring(text, CAST(4*f+2 AS INT), 1)) END),
+               (CASE WHEN substring(text, CAST(4*f+3 AS INT), 1) IN ('a','e','i','o','u',' ')
+                  THEN 0 ELSE ascii(substring(text, CAST(4*f+3 AS INT), 1)) END)
+               + 256 * (CASE WHEN substring(text, CAST(4*f+4 AS INT), 1) IN ('a','e','i','o','u',' ')
+                  THEN 0 ELSE ascii(substring(text, CAST(4*f+4 AS INT), 1)) END)) AS mx
+           FROM (SELECT doc_id, text, unnest(range(0, nf)) AS f FROM d)),
+         silent AS (SELECT doc_id, fi FROM fr WHERE mx <= 4095),
+         g AS (SELECT doc_id, fi,
+             fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+           FROM silent)
+         SELECT doc_id, min(fi) AS span_start_frame, max(fi) AS span_end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+         FROM g GROUP BY doc_id, grp""",
 
     "mm_phash" ->
       """WITH b AS (SELECT doc_id,

@@ -184,6 +184,63 @@ object Graph {
         .as("clustering_ppm"))
   }
 
+  /** Personalized PageRank (Jeh & Widom, "Scaling personalized web
+    * search", WWW '03; the random surfer teleports back to a SEED set
+    * instead of the whole graph): the "items similar to this catalog" /
+    * seeded-recommendation read. Same integer algebra, loop shape,
+    * persist/materialize policy and no-float discipline as [[pageRank]] —
+    * only the teleport term changes: seeds get `scale·15% div |S∩V|`,
+    * everyone else 0, and the initial mass sits uniformly on the seeds.
+    * Seeds outside the node set are ignored (they can neither receive
+    * nor emit mass); |S∩V| must be nonzero. */
+  def personalizedPageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
+      seeds: DataFrame, seedCol: Column, iterations: Int,
+      scale: Long = 1000000000000L, checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val doMat = checkpointEvery >= 1
+    val ed = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edDeg0 = ed.join(deg, "src")
+    val edDeg = if (doMat)
+      edDeg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else edDeg0
+    val sd = seeds.select(seedCol.as("v")).distinct()
+      .withColumn("__seed", lit(1))
+    val nodes0 = edDeg.select(col("src").as("v"))
+      .union(edDeg.select(col("dst").as("v"))).distinct()
+      .join(sd, Seq("v"), "left")
+    val nodes = if (doMat)
+      nodes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else nodes0
+    val ns = nodes.filter(col("__seed").isNotNull).agg(count(lit(1)).as("k"))
+    val isSeed = col("__seed").isNotNull
+    var ranks = nodes.crossJoin(broadcast(ns))
+      .select(col("v"),
+        when(isSeed, expr(s"${scale}L div k")).otherwise(lit(0L)).as("r"))
+    var i = 0
+    while (i < iterations) {
+      val contrib = edDeg
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(expr("r div deg")).as("s"))
+      ranks = nodes.crossJoin(broadcast(ns))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (when(isSeed, expr(s"${scale * 15L / 100L} div k")).otherwise(lit(0L))
+            + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+      i += 1
+      if (doMat && i % checkpointEvery == 0 && i < iterations)
+        ranks = materialize(ranks)
+    }
+    if (!doMat) return ranks
+    val out = materialize(ranks)
+    edDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Bounded k-core peel (Seidman, "Network structure and minimum degree",
     * Social Networks '83; the Batagelj–Zaveršnik peeling formulation run
     * breadth-synchronously): `rounds` iterations of "drop every node with

@@ -376,6 +376,55 @@ object Multimodal {
         PcmStats(n, sum, peak)
       }
     }
+
+    /** Per-frame peak |sample| over the decoded 16-bit PCM data chunk —
+      * the framing primitive under VAD-style silence detection. Frames
+      * are `samplesPerFrame` consecutive samples; a trailing partial
+      * frame is dropped (a half-frame's energy is undefined — both
+      * engines drop it identically). Same chunk walk and signed-sample
+      * decode as [[pcmStats]]. */
+    def frameAbsMaxes(bytes: Array[Byte], samplesPerFrame: Int): Option[Array[Long]] = {
+      require(samplesPerFrame > 0, "samplesPerFrame must be positive")
+      if (bytes == null || bytes.length < 44 ||
+          tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var pos = 12
+      var bps = -1
+      var data: Option[(Int, Long)] = None
+      while (pos + 8 <= bytes.length && (bps < 0 || data.isEmpty)) {
+        val id = tag(bytes, pos)
+        val size = u32(bytes, pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " if size >= 16 && body + 16 <= bytes.length =>
+            bps = u16(bytes, body + 14)
+          case "data" =>
+            data = Some((body, math.min(size, (bytes.length - body).toLong)))
+          case _ => ()
+        }
+        if (size > bytes.length - body) pos = bytes.length
+        else pos = body + size.toInt + (size.toInt & 1)
+      }
+      if (bps != 16) return None
+      data.map { case (off, len) =>
+        val nFrames = ((len / 2) / samplesPerFrame).toInt
+        val out = Array.ofDim[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var j = 0; var mx = 0L
+          while (j < samplesPerFrame) {
+            val p = off + 2 * (f * samplesPerFrame + j)
+            val raw = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+            val s = if (raw >= 0x8000) raw - 0x10000 else raw
+            val a = math.abs(s).toLong
+            if (a > mx) mx = a
+            j += 1
+          }
+          out(f) = mx
+          f += 1
+        }
+        out
+      }
+    }
   }
 
   /** Decode WAV payloads via `mapPartitions`; appends a `wav` struct
@@ -582,6 +631,43 @@ object Multimodal {
           Row(p.nSamples, p.sumAbs, p.peak)).orNull)
       }
     }(enc)
+  }
+
+  /** VAD-style silence-span detection over decoded PCM — the trim step a
+    * speech pipeline runs before transcription/feature extraction: frame
+    * the 16-bit samples (`samplesPerFrame` each), mark frames whose peak
+    * |sample| is at most `maxAbs` as silent, and merge consecutive silent
+    * frames into spans via the gaps-and-islands identity (frame_idx −
+    * row_number, ONE doc-keyed window — no self-joins). The codec decode
+    * is scan-local `mapPartitions` (payload bytes never shuffle; only the
+    * tiny frame-max array does), the explode is frame-count-bound, and
+    * the output is span-bound. Emits (doc_id, span_start_frame,
+    * span_end_frame, n_frames). */
+  def silenceSpans(df: DataFrame, idColName: String, binColName: String,
+      samplesPerFrame: Int, maxAbs: Long): DataFrame = {
+    require(maxAbs >= 0, "maxAbs must be >= 0")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("__fm", org.apache.spark.sql.types.ArrayType(LongType)))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val framed = df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ WavCodec
+          .frameAbsMaxes(r.getAs[Array[Byte]](binIdx), samplesPerFrame)
+          .map(_.toSeq).orNull)
+      }
+    }(enc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("fi")
+    framed.select(col(idColName).as("doc_id"),
+        posexplode(col("__fm")).as(Seq("fi", "mx")))
+      .filter(col("mx") <= maxAbs)
+      .withColumn("g", col("fi") - row_number().over(w))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("fi")).cast("long").as("span_start_frame"),
+        max(col("fi")).cast("long").as("span_end_frame"),
+        count(lit(1)).as("n_frames"))
+      .select("doc_id", "span_start_frame", "span_end_frame", "n_frames")
   }
 
   /** Deterministic frame sampling: keep every `stride`-th frame index up to

@@ -314,6 +314,32 @@ class MultimodalSpec extends SparkTestBase {
         maxHamming = 7, bands = 8, comboBands = 2))
   }
 
+  test("silenceSpans: framed peak detection through the real codec, " +
+      "islands merge, partial trailing frame dropped") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    // frame = 2 samples = 4 chars; silent iff the two HIGH bytes (in-frame
+    // char positions 1 and 3) are quieted vowels/spaces
+    def wav(id: Long, text: String) = {
+      val quieted = text.getBytes("US-ASCII").map(b =>
+        if ("aeiou ".contains(b.toChar)) 0.toByte else b)
+      (id, Multimodal.buildWav(1, 8000, 16, quieted))
+    }
+    val df = Seq(
+      wav(1L, "xaxa" + "xxxx" + "bobo"),  // silent frames 0 and 2
+      wav(2L, "xaxa" * 3),                // one 3-frame span
+      wav(3L, "xxxx" * 2),                // no silence
+      wav(4L, "xaxaxx"))                  // trailing 2-char partial dropped
+      .toDF("doc_id", "payload")
+    val got = Multimodal.silenceSpans(df, "doc_id", "payload",
+        samplesPerFrame = 2, maxAbs = 4095L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 1L), (1L, 2L, 2L, 1L),
+      (2L, 0L, 2L, 3L),
+      (4L, 0L, 0L, 1L)), s"got $got")
+  }
+
   test("phashNearDup maxBandDf: hot band keys are dropped — pair lost only " +
       "when EVERY agreeing key is hot; others survive via remaining bands") {
     import org.apache.spark.sql.functions._
