@@ -526,6 +526,75 @@ class StreamingSpec extends SparkTestBase {
     assert(dirs.length == 1 && state() == Map("k1" -> "2"))
   }
 
+  test("streaming maintained chunk checksum: mutation images fold the " +
+      "stored table per batch behind a batch-id fence; a forced rewind " +
+      "replays the batch and the fence prevents the xor double-apply") {
+    import graft.operators.Cdc
+    implicit val sq = spark.sqlContext
+    val ckpt = Files.createTempDirectory("ckfence").toString
+    val mem = MemoryStream[Op]
+    val cols = Seq("a")
+    // driver-held stored chunk table + the batch-id fence the operator's
+    // scaladoc demands (xor is NOT redelivery-idempotent)
+    var stored = Cdc.chunkFold(
+      Seq.empty[(String, String)].toDF("row_key", "a"), "row_key", cols, 8)
+      .collect().toSeq // empty
+    val applied = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def storedDf() =
+      if (stored.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("chunk_id", "n", "sig")
+      else stored.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("chunk_id", "n", "sig")
+    def run() = TransactionAssembler.assemble(mem.toDS()).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StampedOp], id: Long) =>
+        // ONE action over the stateful batch (a second evaluation would
+        // re-run the state-store commit for the same batch id)
+        val muts = b.collect()
+        if (id > applied.get()) { // THE FENCE: skip an already-applied batch
+          val added = muts
+            .filter(m => m.kind == "INSERT" || m.kind == "UPDATE")
+            .map(m => (m.rowKey, m.after.getOrElse("a", null))).toSeq
+            .toDF("row_key", "a")
+          val removed = muts
+            .filter(m => m.kind == "UPDATE" || m.kind == "DELETE")
+            .map(m => (m.rowKey, m.before.getOrElse("a", null))).toSeq
+            .toDF("row_key", "a")
+          stored = Cdc.maintainChunkChecksum(storedDf(), added, removed,
+            "row_key", cols, 8).collect().toSeq
+          applied.set(id)
+        }
+        if (muts.nonEmpty && crashOnce.getAndSet(false))
+          sys.error("forced rewind") // applied, fence advanced, commit lost
+      }.start()
+
+    val q1 = run()
+    mem.addData(op("BEGIN", "t1", 1),
+      op("INSERT", "t1", 2, after = Map("a" -> "1")),
+      op("INSERT", "t1", 3, key = "k2", after = Map("a" -> "5")),
+      op("COMMIT", "t1", 4))
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    // restart replays the same batch id — the fence must swallow it,
+    // otherwise the xor would CANCEL the whole batch (sig reverts)
+    val q2 = run()
+    q2.processAllAvailable()
+    mem.addData(op("BEGIN", "t2", 5),
+      op("UPDATE", "t2", 6, before = Map("a" -> "1"), after = Map("a" -> "2")),
+      op("DELETE", "t2", 7, key = "k2", before = Map("a" -> "5")),
+      op("COMMIT", "t2", 8, ts = 1704067209000L))
+    q2.processAllAvailable()
+    q2.stop()
+    // the maintained table equals the from-scratch fold of the final
+    // state (k1 -> "2"; k2 deleted)
+    val want = Cdc.chunkFold(Seq(("k1", "2")).toDF("row_key", "a"),
+        "row_key", cols, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = storedDf().as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"maintained $got != recompute $want")
+  }
+
   test("stream-stream interval join: in-window clicks join, watermark drops stale late input") {
     implicit val sq = spark.sqlContext
     val imp = MemoryStream[(Long, Long)] // (id, epoch sec)
