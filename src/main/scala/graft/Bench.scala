@@ -64,7 +64,7 @@ object Bench {
     "cdc_event_transitions", "q_sessionize", "q_triangles", "q_peak_concurrency", "sim_range_search", "mm_phash_neardup", "q_components", "cdc_join_maintain",
     "dedup_jaccard_join", "pipe_pack_chunks", "q_pivot", "sim_ann_ivf_stored",
     "q_kcore", "dedup_lsh_stored", "cdc_chunk_checksum", "cdc_checksum_maintain",
-    "q_ppr", "mm_silence_spans"
+    "q_ppr", "mm_silence_spans", "cdc_bitemporal_asof"
   )
 
   private def loadavg: Double =

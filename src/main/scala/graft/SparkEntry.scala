@@ -677,6 +677,28 @@ object SparkEntry {
         .select(col("key").as("user_id"), col("status"))
     }),
 
+    "cdc_bitemporal_asof" -> ((s, d) => {
+      // bitemporal point read: latest state for VALID time <= 7/8 of the
+      // timeline as KNOWN at TX time (arrival order = event_id) <= 3/4 of
+      // the id range — late-arriving corrections (valid-time-qualified
+      // rows that arrived after the tx cut) must be invisible. The two
+      // dimensions genuinely disagree on this fixture (event_id order is
+      // not ts order), so the oracle exercises the asymmetry.
+      val ev = t(s, d, "events")
+      val cuts = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"),
+          max(col("event_id")).as("me"))
+        .select(expr("mn + (mx - mn) * 7 div 8").as("__vc"),
+          expr("me * 3 div 4").as("__tc"))
+      val w = ev.crossJoin(broadcast(cuts))
+      Cdc.bitemporalAsOf(w, col("user_id"), unix_millis(col("ts")),
+          col("event_id"), Seq("event_type", "value"),
+          col("__vc"), col("__tc"))
+        .select(col("key").as("user_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+            .as("value_cents"))
+    }),
+
     "cdc_chunk_checksum" -> ((s, d) => {
       // pt-table-checksum analog over the same source/stale-sink fixture
       // as cdc_consistency_check: both sides fold to 64 chunk aggregates
@@ -3771,6 +3793,17 @@ object SparkEntry {
                   OR src.value IS DISTINCT FROM snk.value THEN 'DIFF'
                 ELSE 'MATCH' END AS status
          FROM src FULL OUTER JOIN snk ON src.user_id = snk.user_id""",
+
+    "cdc_bitemporal_asof" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) + (max(epoch_ms(ts)) - min(epoch_ms(ts))) * 7 // 8 AS vc,
+             max(event_id) * 3 // 4 AS tc
+           FROM events)
+         SELECT user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+         FROM events, b
+         WHERE epoch_ms(ts) <= vc AND event_id <= tc
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) = 1""",
 
     "cdc_chunk_checksum" ->
       // hex-digit parse mirrors Spark's conv(substring(md5(x),1,n),16,10):

@@ -118,6 +118,23 @@ object Cdc {
       .select(col("key") +: payload.map(p => col(s"latest.$p").as(p)): _*)
   }
 
+  /** BITEMPORAL as-of read: the state for business (valid) time ≤
+    * `validCut` as the system KNEW it at transaction time ≤ `txCut` — the
+    * two-dimensional point query of a bitemporal store (Snodgrass; SQL:2011
+    * system-versioned + application-time tables). The time machine's cell
+    * versions are transaction time; the event's own timestamp is valid
+    * time. The load-bearing asymmetry: a correction that ARRIVED after
+    * `txCut` (tie/arrival id > txCut) is invisible even when its valid
+    * time qualifies — "what did we believe then", not "what do we believe
+    * now about then". One filter + the same single-exchange `max_by`
+    * latest-state aggregation (no windows, no self-joins). */
+  def bitemporalAsOf(df: DataFrame, keyCol: Column, validTsCol: Column,
+      txIdCol: Column, payload: Seq[String],
+      validCut: Column, txCut: Column): DataFrame =
+    latestStateAgg(
+      df.filter(validTsCol <= validCut && txIdCol <= txCut),
+      keyCol, validTsCol, txIdCol, payload)
+
   /** Source↔sink consistency audit — the batch formulation of the
     * reference's ValidationService (mysql-replicator's validation task
     * compares source rows against the replicated store and reports
