@@ -64,7 +64,8 @@ object Bench {
     "cdc_event_transitions", "q_sessionize", "q_triangles", "q_peak_concurrency", "sim_range_search", "mm_phash_neardup", "q_components", "cdc_join_maintain",
     "dedup_jaccard_join", "pipe_pack_chunks", "q_pivot", "sim_ann_ivf_stored",
     "q_kcore", "dedup_lsh_stored", "cdc_chunk_checksum", "cdc_checksum_maintain",
-    "q_ppr", "mm_silence_spans", "cdc_bitemporal_asof"
+    "q_ppr", "mm_silence_spans", "cdc_bitemporal_asof",
+    "q_bfs_reach", "q_label_prop", "q_link_predict"
   )
 
   private def loadavg: Double =

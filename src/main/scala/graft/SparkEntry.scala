@@ -241,6 +241,79 @@ object SparkEntry {
        SELECT v AS part_id, d AS deg FROM d$KCoreRounds"""
   }
 
+  /** Shared oracle prefix for the thinned hub-capped co-purchase graph
+    * (same contract as the kcore/ppr oracles): `sym` is the SYMMETRIC
+    * distinct neighbor relation the iterative kernels traverse. */
+  private[graft] val coPurchaseSymCte: String =
+    """li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem
+         WHERE l_quantity >= 45),
+       basket AS (SELECT ok,
+           list_sort(list_distinct(list(pk)))[1:32] AS ps
+         FROM li GROUP BY ok),
+       ba AS (SELECT ok, unnest(ps) AS pka, ps FROM basket),
+       bp AS (SELECT pka, unnest(ps) AS pkb FROM ba),
+       sym AS (SELECT DISTINCT pka a, pkb b FROM bp WHERE pka <> pkb)"""
+
+  private[graft] val BfsRounds = 6
+
+  /** Multi-source BFS oracle: depth-bounded recursive reachability with
+    * set-semantics UNION (rows are (node, walk length ≤ bound) — bounded
+    * by n·(rounds+1)), min hop per node, then the census.
+    * [[graft.operators.Graph.bfsDistances]]'s frontier rounds compute the
+    * identical min-hop function, so the histogram is bit-exact. */
+  private[graft] val bfsOracleSql: String =
+    s"""WITH RECURSIVE $coPurchaseSymCte,
+       sv AS (SELECT DISTINCT p_partkey v FROM part WHERE p_size = 50
+         AND p_partkey IN (SELECT a FROM sym)),
+       reach(v, d) AS (
+         SELECT v, CAST(0 AS BIGINT) FROM sv
+         UNION
+         SELECT s.b, CAST(r.d + 1 AS BIGINT) FROM reach r
+           JOIN sym s ON s.a = r.v WHERE r.d < $BfsRounds),
+       md AS (SELECT v, min(d) AS dist FROM reach GROUP BY v)
+       SELECT dist, count(*) AS n_nodes FROM md GROUP BY dist"""
+
+  private[graft] val LpaRounds = 3
+
+  /** Label-propagation oracle: [[graft.operators.Graph.labelPropagation]]'s
+    * synchronous rounds unrolled — per round a neighbor-label count and a
+    * (count desc, label asc) argmax, the same total order as the engine's
+    * `max_by(lab, (c, −lab))`. */
+  private[graft] val lpaOracleSql: String = {
+    def round(i: Int): String = s""",
+       r$i AS (SELECT s.a AS v, l.lab, count(*) AS c FROM sym s
+         JOIN p${i - 1} l ON l.v = s.b GROUP BY 1, 2),
+       p$i AS (SELECT v, lab FROM (SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) rn
+         FROM r$i) WHERE rn = 1)"""
+    s"""WITH $coPurchaseSymCte,
+       p0 AS (SELECT DISTINCT a AS v, a AS lab FROM sym)""" +
+      (1 to LpaRounds).map(round).mkString + s"""
+       SELECT lab AS community_id, count(*) AS n_nodes
+       FROM p$LpaRounds GROUP BY 1"""
+  }
+
+  private[graft] val LinkPredK = 20
+  private[graft] val LinkPredScale = 1000000L
+
+  /** Link-prediction oracle: the resource-allocation sum as integer floor
+    * division at the same scale, common-neighbor wedges enumerated per
+    * center, known edges anti-joined out, and the top-k cut on the strict
+    * (score desc, a, b) total order — identical algebra to
+    * [[graft.operators.Graph.linkPredictRA]]. */
+  private[graft] val linkPredOracleSql: String =
+    s"""WITH $coPurchaseSymCte,
+       deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) dz FROM sym GROUP BY 1),
+       nb AS (SELECT s.a AS z, s.b AS x, d.dz FROM sym s JOIN deg d ON d.z = s.a),
+       w AS (SELECT n1.x AS a, n2.x AS b, n1.dz FROM nb n1
+         JOIN nb n2 ON n1.z = n2.z WHERE n1.x < n2.x),
+       sc AS (SELECT a, b, CAST(sum($LinkPredScale // dz) AS BIGINT) AS ra_score,
+           count(*) AS common_nbrs FROM w GROUP BY 1, 2),
+       ne AS (SELECT sc.* FROM sc LEFT JOIN sym e
+         ON e.a = sc.a AND e.b = sc.b WHERE e.a IS NULL)
+       SELECT a AS part_a, b AS part_b, ra_score, common_nbrs FROM ne
+       ORDER BY ra_score DESC, a, b LIMIT $LinkPredK"""
+
   /** Table loader. The driver's parquet uses TIMESTAMP(NANOS) for `events.ts`
     * (Spark 4 rejects nanos unless read as raw longs) and unadjusted-UTC ms
     * timestamps elsewhere (which would infer as TIMESTAMP_NTZ); normalize both
@@ -615,6 +688,61 @@ object SparkEntry {
       graft.operators.Graph.kCoreMembers(edges, col("src"), col("dst"),
           k = KCoreK, rounds = KCoreRounds)
         .select(col("v").as("part_id"), col("deg"))
+    }),
+
+    "q_bfs_reach" -> ((s, d) => {
+      // multi-source BFS reachability census: hop distance from the
+      // largest-size parts over the thinned hub-capped co-purchase graph
+      // (the "blast radius in k hops" read — recall/contamination spread).
+      // Frontier-synchronous, bounded at 6 hops (the graph lane's
+      // bounded-round contract); the sparse graph has real depth (hops
+      // 0..6 all populated at sf0.01), and the oracle is a depth-bounded
+      // recursive reachability CTE taking min hop per node.
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
+      val seeds = t(s, d, "part").filter(col("p_size") === 50)
+        .select(col("p_partkey"))
+      graft.operators.Graph.bfsDistances(edges, col("src"), col("dst"),
+          seeds, col("p_partkey"), maxRounds = BfsRounds)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    "q_label_prop" -> ((s, d) => {
+      // community census by determinized synchronous label propagation
+      // (3 rounds, most-frequent neighbor label, ties to the smallest) —
+      // the lightweight community-detection member of the graph lane next
+      // to components (pure connectivity) and k-core (density). Each
+      // round is one edge join + two partial-aggregatable hash-aggs; the
+      // argmax is max_by over distinct (count, −label) pairs, so no
+      // window sort and no nondeterminism anywhere.
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
+      graft.operators.Graph.labelPropagation(edges, col("src"), col("dst"),
+          rounds = LpaRounds)
+        .groupBy(col("lab").as("community_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    "q_link_predict" -> ((s, d) => {
+      // link prediction: top-20 missing co-purchase edges by the
+      // resource-allocation index (Σ scale div deg(z) over common
+      // neighbors z — integer-scaled so the ranking is engine-exact).
+      // Wedges enumerate per center (Σdeg², bounded on the hub-capped
+      // graph), scores aggregate at candidate-pair cardinality, known
+      // edges drop behind an anti-join, and the cut is a TakeOrdered on
+      // the strict (score, a, b) total order.
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
+      graft.operators.Graph.linkPredictRA(edges, col("src"), col("dst"),
+          k = LinkPredK, scale = LinkPredScale)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("ra_score"), col("common_nbrs"))
     }),
 
     "cdc_funnel_steps" -> ((s, d) =>
@@ -3000,6 +3128,9 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql,
     "q_kcore" -> kCoreOracleSql,
     "q_ppr" -> pprOracleSql,
+    "q_bfs_reach" -> bfsOracleSql,
+    "q_label_prop" -> lpaOracleSql,
+    "q_link_predict" -> linkPredOracleSql,
     "text_bpe_encode" -> bpeFixedOracleSql,
 
     "pipe_source_mix" ->

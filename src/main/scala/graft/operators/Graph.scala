@@ -288,6 +288,152 @@ object Graph {
     degrees(e)
   }
 
+  /** Canonical undirected simple edges (a < b, distinct, no loops) plus the
+    * symmetric closure both iterative kernels below iterate over. */
+  private def symmetric(edges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val und = edges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    und.union(und.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  /** Bounded multi-source BFS: exact hop distance from a seed set over the
+    * undirected simple graph, frontier-synchronous, at most `maxRounds`
+    * hops (the bounded-round contract shared with [[pageRank]] /
+    * [[kCoreMembers]]: deterministic at any bound, so the oracle replays
+    * the identical algebra — a depth-bounded recursive reachability CTE
+    * taking min hop per node). Returns (v, dist) for every node reached
+    * within the bound; seeds outside the node set are ignored.
+    *
+    * Scale shape: the classic frontier formulation — each round joins the
+    * edge relation against the CURRENT FRONTIER only (node-sized, shrinks
+    * as the ball saturates; AQE broadcasts it once materialized), then
+    * anti-joins the visited set to keep first discoveries. Work per round
+    * is O(edges incident to the frontier), total O(m + n) like the
+    * sequential algorithm — never rounds × m. The visited set is a union
+    * of per-round materialized frontiers, so its lineage is flat and the
+    * anti-join probes a node-sized table. Nothing global, nothing
+    * collects. */
+  def bfsDistances(edges: DataFrame, srcCol: Column, dstCol: Column,
+      seeds: DataFrame, seedCol: Column, maxRounds: Int,
+      checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val doMat = checkpointEvery >= 1
+    val sym0 = symmetric(edges, srcCol, dstCol)
+    val sym = if (doMat)
+      sym0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sym0
+    // symmetric ⇒ every node appears as a source endpoint
+    var dist = sym.select(col("a").as("v")).distinct()
+      .join(seeds.select(seedCol.as("v")).distinct(), Seq("v"), "left_semi")
+      .select(col("v"), lit(0L).as("dist"))
+    dist = if (doMat) materialize(dist) else dist
+    var frontier = dist.select("v")
+    var i = 0
+    while (i < maxRounds) {
+      val nxt0 = sym.join(frontier.withColumnRenamed("v", "a"), "a")
+        .select(col("b").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .select(col("v"), lit(i + 1L).as("dist"))
+      val nxt = if (doMat && (i + 1) % checkpointEvery == 0) materialize(nxt0)
+        else nxt0
+      dist = dist.union(nxt)
+      frontier = nxt.select("v")
+      i += 1
+    }
+    if (doMat) sym.unpersist(blocking = false)
+    dist
+  }
+
+  /** Synchronous label propagation (Raghavan/Albert/Kumara, "Near linear
+    * time algorithm to detect community structures", Phys. Rev. E '07),
+    * determinized: every node starts labeled with its own id; each round
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by SMALLEST label. The fixed round count is
+    * the gated contract (synchronous LPA can oscillate on bipartite
+    * structures, so a bounded, deterministic unroll — not convergence — is
+    * the only oracle-able form; the oracle chains the identical
+    * count/argmax rounds as CTEs). Returns (v, lab) after `rounds`.
+    *
+    * Scale shape: one edge-keyed equi-join (labels onto neighbor
+    * endpoints) + one (v, lab) hash-count + one node-keyed argmax per
+    * round — all partial-aggregatable, nothing global. The argmax is
+    * `max_by` over (count, −label): within a node the (count, −label)
+    * pairs are DISTINCT (one row per label), so the pick is total-order
+    * deterministic with no window sort. Label tables stay node-sized and
+    * materialize on the [[pageRank]] cadence so AQE broadcasts them into
+    * the edge join. */
+  def labelPropagation(edges: DataFrame, srcCol: Column, dstCol: Column,
+      rounds: Int, checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val doMat = checkpointEvery >= 1
+    val sym0 = symmetric(edges, srcCol, dstCol)
+    val sym = if (doMat)
+      sym0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sym0
+    var lab = sym.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    var i = 0
+    while (i < rounds) {
+      val nbr = sym.join(lab.withColumnRenamed("v", "b"), "b")
+        .groupBy(col("a").as("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      lab = nbr.groupBy("v")
+        .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("nl")))
+          .as("lab"))
+      i += 1
+      if (doMat && i % checkpointEvery == 0 && i < rounds)
+        lab = materialize(lab)
+    }
+    if (!doMat) return lab
+    val out = materialize(lab)
+    sym.unpersist(blocking = false)
+    out
+  }
+
+  /** Link prediction by the resource-allocation index (Zhou/Lü/Zhang,
+    * "Predicting missing links via local information", Eur. Phys. J. B
+    * '09): for every non-adjacent pair (a, b), RA(a,b) =
+    * Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z), here integer-scaled as
+    * `Σ (scale div deg(z))` so the ranking is engine-exact (no float —
+    * the [[pageRank]] discipline). Also emits the common-neighbor count.
+    * Returns the top `k` candidate pairs ordered by
+    * (score desc, a asc, b asc) — a strict total order (pairs are unique),
+    * so the cut is deterministic on any engine.
+    *
+    * Scale shape: wedge enumeration at each center z — one self-join of
+    * the symmetric edge relation keyed on the center, each unordered
+    * endpoint pair kept once (x < y). Wedge volume is Σ deg², the honest
+    * cost of common-neighbor scoring; on hub-capped input graphs (the
+    * [[coOccurrenceEdges]] contract) degrees are bounded, which is the
+    * 100 TB lever. Scores aggregate at candidate-pair cardinality, known
+    * edges drop behind an anti-join on the canonical pair, and the top-k
+    * is a TakeOrdered over the aggregated (output-bound) relation — no
+    * global sort of the wedge stream. */
+  def linkPredictRA(edges: DataFrame, srcCol: Column, dstCol: Column,
+      k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sym = symmetric(edges, srcCol, dstCol)
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dz"))
+    val nb = sym.select(col("a").as("z"), col("b").as("x")).join(deg, "z")
+    val wedges = nb
+      .join(nb.select(col("z"), col("x").as("y")), "z")
+      .filter(col("x") < col("y"))
+    val scored = wedges.groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(sum(expr(s"${scale}L div dz")).as("ra_score"),
+        count(lit(1)).as("common_nbrs"))
+    val und = sym.filter(col("a") < col("b"))
+    scored.join(und, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_score").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Co-occurrence (co-purchase) edge list from a (group, item) relation:
     * CANONICAL (src < dst) pairs of distinct items sharing a group — the
     * graph-construction half of the triangle/components queries

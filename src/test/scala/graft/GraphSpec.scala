@@ -148,4 +148,65 @@ class GraphSpec extends SparkTestBase {
     assert(df.schema("r").dataType ==
       org.apache.spark.sql.types.LongType)
   }
+
+  test("bfsDistances: exact hops on a chain + fork; bound truncates; " +
+      "off-graph seeds ignored") {
+    // chain 1-2-3-4-5 with fork 3-6; seeds {1, 99} (99 not in the graph)
+    val e = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(3L,6L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("s")
+    def run(r: Int) = Graph.bfsDistances(e, col("src"), col("dst"),
+        seeds, col("s"), maxRounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(6) == Map(1L->0L, 2L->1L, 3L->2L, 4L->3L, 6L->3L, 5L->4L))
+    // bound 2: nodes at distance > 2 are absent, not misreported
+    assert(run(2) == Map(1L->0L, 2L->1L, 3L->2L))
+    // multi-source: min over seeds, discovered once (no duplicate rows)
+    val ms = Graph.bfsDistances(e, col("src"), col("dst"),
+        Seq(1L, 5L).toDF("s"), col("s"), maxRounds = 6).collect()
+    assert(ms.length == ms.map(_.getLong(0)).distinct.length)
+    assert(ms.map(x => x.getLong(0) -> x.getLong(1)).toMap ==
+      Map(1L->0L, 5L->0L, 2L->1L, 4L->1L, 3L->2L, 6L->3L))
+  }
+
+  test("labelPropagation: majority adoption with smallest-label ties; " +
+      "two cliques keep separate labels") {
+    // two triangles {1,2,3}, {7,8,9} joined by bridge 3-7: after round 1
+    // every node holds the min label among its neighbors (all counts are
+    // 1 → tie rule picks smallest). Hand-check round 1:
+    // 1:{2,3}→2, 2:{1,3}→1, 3:{1,2,7}→1, 7:{8,9,3}→3, 8:{7,9}→7, 9:{7,8}→7
+    val e = Seq((1L,2L),(2L,3L),(1L,3L),(7L,8L),(8L,9L),(7L,9L),(3L,7L))
+      .toDF("src", "dst")
+    val r1 = Graph.labelPropagation(e, col("src"), col("dst"), rounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == Map(1L->2L, 2L->1L, 3L->1L, 7L->3L, 8L->7L, 9L->7L))
+    // majority beats smaller label: 4 connected to {5, 6, 6'}? — model
+    // multiplicity via distinct nodes: 4-5, 4-6, 4-7 after relabeling so
+    // that two neighbors share a label at round 2. Simpler direct check:
+    // star center 10 with leaves 11,12,13 and leaf-leaf edge 12-13.
+    // Round 1: 10:{11,12,13}→11; 11:{10}→10; 12:{10,13}→10; 13:{10,12}→10
+    // Round 2: 10 sees labels {10,10,10}→10 (majority 3 beats nothing)
+    val st = Seq((10L,11L),(10L,12L),(10L,13L),(12L,13L)).toDF("src","dst")
+    val r2 = Graph.labelPropagation(st, col("src"), col("dst"), rounds = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2(10L) == 10L, s"majority must win at the center: $r2")
+  }
+
+  test("linkPredictRA: hand-computed scores on the square + diagonal " +
+      "candidates; known edges excluded; k cuts on the total order") {
+    // square 1-2-3-4-1: non-edges are the diagonals (1,3) and (2,4),
+    // each with two common neighbors of degree 2:
+    // ra = 2 · (1000000 div 2) = 1000000, common_nbrs = 2
+    val e = Seq((1L,2L),(2L,3L),(3L,4L),(4L,1L)).toDF("src", "dst")
+    val r = Graph.linkPredictRA(e, col("src"), col("dst"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSet == Set((1L,3L,1000000L,2L), (2L,4L,1000000L,2L)), s"$r")
+    // k=1 cuts deterministically: tie on score → smallest (a, b)
+    val top = Graph.linkPredictRA(e, col("src"), col("dst"), k = 1).collect()
+    assert(top.length == 1 && top(0).getLong(0) == 1L && top(0).getLong(1) == 3L)
+    // adjacent pairs never appear even with many common neighbors (K4)
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+      .toDF("src", "dst")
+    assert(Graph.linkPredictRA(k4, col("src"), col("dst"), k = 10)
+      .collect().isEmpty)
+  }
 }
