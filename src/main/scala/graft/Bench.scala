@@ -65,7 +65,9 @@ object Bench {
     "dedup_jaccard_join", "pipe_pack_chunks", "q_pivot", "sim_ann_ivf_stored",
     "q_kcore", "dedup_lsh_stored", "cdc_chunk_checksum", "cdc_checksum_maintain",
     "q_ppr", "mm_silence_spans", "cdc_bitemporal_asof",
-    "q_bfs_reach", "q_label_prop", "q_link_predict"
+    "q_bfs_reach", "q_label_prop", "q_link_predict", "q_modularity",
+    "cdc_distinct_maintain", "q_clustering_coeff", "q_hits",
+    "cdc_topk_maintain"
   )
 
   private def loadavg: Double =

@@ -279,18 +279,96 @@ object SparkEntry {
     * synchronous rounds unrolled — per round a neighbor-label count and a
     * (count desc, label asc) argmax, the same total order as the engine's
     * `max_by(lab, (c, −lab))`. */
-  private[graft] val lpaOracleSql: String = {
+  private[graft] val lpaCteChain: String = {
     def round(i: Int): String = s""",
        r$i AS (SELECT s.a AS v, l.lab, count(*) AS c FROM sym s
          JOIN p${i - 1} l ON l.v = s.b GROUP BY 1, 2),
        p$i AS (SELECT v, lab FROM (SELECT v, lab,
            row_number() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) rn
          FROM r$i) WHERE rn = 1)"""
-    s"""WITH $coPurchaseSymCte,
+    s"""$coPurchaseSymCte,
        p0 AS (SELECT DISTINCT a AS v, a AS lab FROM sym)""" +
-      (1 to LpaRounds).map(round).mkString + s"""
+      (1 to LpaRounds).map(round).mkString
+  }
+
+  private[graft] val lpaOracleSql: String =
+    s"""WITH $lpaCteChain
        SELECT lab AS community_id, count(*) AS n_nodes
        FROM p$LpaRounds GROUP BY 1"""
+
+  /** Modularity oracle: Newman's Q over the LPA partition as the single
+    * integer formula `scale·(4m·Σe_c − Σd_c²) div 4m²` — identical
+    * truncating algebra to [[graft.operators.Graph.modularityPpm]]. */
+  private[graft] val modularityOracleSql: String =
+    s"""WITH $lpaCteChain,
+       und AS (SELECT DISTINCT least(a, b) ua, greatest(a, b) ub FROM sym),
+       mm AS (SELECT CAST(count(*) AS BIGINT) m FROM und),
+       lj AS (SELECT la.lab cla, lb.lab clb FROM und
+         JOIN p$LpaRounds la ON la.v = und.ua
+         JOIN p$LpaRounds lb ON lb.v = und.ub),
+       sec AS (SELECT CAST(count(*) AS BIGINT) s FROM lj WHERE cla = clb),
+       degs AS (SELECT v, CAST(count(*) AS BIGINT) d FROM
+         (SELECT ua v FROM und UNION ALL SELECT ub FROM und) GROUP BY v),
+       dc AS (SELECT l.lab, CAST(sum(d) AS BIGINT) dsum FROM degs
+         JOIN p$LpaRounds l ON l.v = degs.v GROUP BY 1),
+       sd AS (SELECT CAST(sum(dsum * dsum) AS BIGINT) s2 FROM dc),
+       nc AS (SELECT CAST(count(DISTINCT lab) AS BIGINT) n
+         FROM p$LpaRounds)
+       SELECT nc.n AS n_communities, mm.m AS m_edges, sec.s AS within_edges,
+         CAST(1000000 * (4 * mm.m * sec.s - sd.s2) // (4 * mm.m * mm.m)
+           AS BIGINT) AS q_ppm
+       FROM nc, mm, sec, sd"""
+
+  /** Local-clustering oracle: the identical thinned co-purchase graph,
+    * triangles enumerated once in canonical a<b<c order and exploded to
+    * their endpoints, LCC as the same ppm floor-div algebra as
+    * [[graft.operators.Graph.localClustering]]. */
+  private[graft] val lccOracleSql: String =
+    s"""WITH $coPurchaseSymCte,
+       und AS (SELECT DISTINCT a ua, b ub FROM sym WHERE a < b),
+       deg AS (SELECT a v, CAST(count(*) AS BIGINT) d FROM sym GROUP BY 1),
+       tris AS (SELECT e1.ua x, e1.ub y, e2.ub z FROM und e1
+         JOIN und e2 ON e2.ua = e1.ub
+         JOIN und e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+       pern AS (SELECT v, CAST(count(*) AS BIGINT) t FROM
+           (SELECT x v FROM tris UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris) GROUP BY v)
+       SELECT deg.v, deg.d AS degree,
+         CAST(coalesce(t, 0) AS BIGINT) AS n_tri,
+         CAST(1000000 * 2 * coalesce(t, 0) // (d * (d - 1)) AS BIGINT)
+           AS lcc_ppm
+       FROM deg LEFT JOIN pern ON pern.v = deg.v WHERE d >= 2"""
+
+  private[graft] val HitsRounds = 2
+  private[graft] val HitsCustOff = 1000000000L
+  private[graft] val HitsK = 20
+
+  /** HITS oracle: the same unnormalized integer rounds unrolled as CTEs
+    * over the offset bipartite purchase graph, top-k legs cut on the
+    * identical (score desc, id asc) total order. */
+  private[graft] val hitsOracleSql: String = {
+    def around(i: Int): String = s""",
+       a$i AS (SELECT n.v, CAST(coalesce(sum(h${i - 1}.h), 0) AS BIGINT) a
+         FROM nodes n LEFT JOIN ed ON ed.t = n.v
+         LEFT JOIN h${i - 1} ON h${i - 1}.v = ed.s GROUP BY n.v),
+       h$i AS (SELECT n.v, CAST(coalesce(sum(a$i.a), 0) AS BIGINT) h
+         FROM nodes n LEFT JOIN ed ON ed.s = n.v
+         LEFT JOIN a$i ON a$i.v = ed.t GROUP BY n.v)"""
+    s"""WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem
+         WHERE l_quantity >= 45),
+       ed AS (SELECT DISTINCT CAST(o_custkey + $HitsCustOff AS BIGINT) s,
+           CAST(pk AS BIGINT) t FROM li JOIN orders ON o_orderkey = ok),
+       nodes AS (SELECT s v FROM ed UNION SELECT t FROM ed),
+       h0 AS (SELECT v, CAST(1 AS BIGINT) h FROM nodes)""" +
+      (1 to HitsRounds).map(around).mkString + s"""
+       SELECT * FROM (
+         SELECT 'authority' AS role, v AS id, a AS score FROM a$HitsRounds
+         WHERE v < $HitsCustOff ORDER BY a DESC, v LIMIT $HitsK)
+       UNION ALL
+       SELECT * FROM (
+         SELECT 'hub' AS role, v - $HitsCustOff AS id, h AS score
+         FROM h$HitsRounds
+         WHERE v >= $HitsCustOff ORDER BY h DESC, v LIMIT $HitsK)"""
   }
 
   private[graft] val LinkPredK = 20
@@ -727,6 +805,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    "q_modularity" -> ((s, d) => {
+      // partition-quality read composing the graph lane: Newman
+      // modularity (integer ppm, truncating div — engine-exact) of the
+      // 3-round LPA communities over the same thinned hub-capped
+      // co-purchase graph. One edge-sized label join + three node-sized
+      // hash-aggs on top of the LPA rounds; labels broadcast (node-sized).
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // materialize the constructed edge relation ONCE: both the LPA
+      // rounds and the modularity overlay re-traverse it, and without
+      // this each consumer lazily replays the window + self-join
+      // construction (SCALE.md principle 7 — measured 4.6 → 2.8 s)
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32).localCheckpoint()
+      val labels = graft.operators.Graph.labelPropagation(
+        edges, col("src"), col("dst"), rounds = LpaRounds)
+      graft.operators.Graph.modularityPpm(edges, col("src"), col("dst"),
+        labels, col("v"), col("lab"))
+    }),
+
+    "q_clustering_coeff" -> ((s, d) => {
+      // per-node clustering coefficient over the thinned hub-capped
+      // co-purchase graph: the triangleStats orientation kernel with the
+      // closed wedges exploded to their endpoints — O(m^1.5) wedge bound
+      // carries over, the attribution adds one node-keyed hash-agg
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
+      graft.operators.Graph.localClustering(
+        edges, col("src"), col("dst"))
+    }),
+
+    "q_hits" -> ((s, d) => {
+      // HITS hubs/authorities on the bipartite customer→part purchase
+      // graph (the classic query-community use): customers offset into
+      // their own id space so the two sides never collide, 2 unnormalized
+      // integer rounds (ranking-equivalent to the normalized iterate),
+      // O(k) output via two TakeOrdered legs on (score desc, id)
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val ed = li.join(
+          t(s, d, "orders").select(col("o_orderkey").as("ok"),
+            col("o_custkey").as("ck")), "ok")
+        .select((col("ck").cast("long") + lit(HitsCustOff)).as("src"),
+          col("pk").cast("long").as("dst"))
+        .distinct()
+      val sc = graft.operators.Graph.hits(
+        ed, col("src"), col("dst"), rounds = HitsRounds)
+      val auth = sc.filter(col("v") < HitsCustOff)
+        .orderBy(col("authority").desc, col("v").asc).limit(HitsK)
+        .select(lit("authority").as("role"), col("v").as("id"),
+          col("authority").as("score"))
+      val hub = sc.filter(col("v") >= HitsCustOff)
+        .orderBy(col("hub").desc, col("v").asc).limit(HitsK)
+        .select(lit("hub").as("role"), (col("v") - HitsCustOff).as("id"),
+          col("hub").as("score"))
+      auth.unionAll(hub)
+    }),
+
     "q_link_predict" -> ((s, d) => {
       // link prediction: top-20 missing co-purchase edges by the
       // resource-allocation index (Σ scale div deg(z) over common
@@ -878,6 +1016,60 @@ object SparkEntry {
         added = neu.join(touched, Seq("key"), "left_semi"),
         removed = old.join(touched, Seq("key"), "left_semi"),
         key = "key", cols = cols, chunks = 64)
+    }),
+
+    "cdc_distinct_maintain" -> ((s, d) => {
+      // IVM of a distinct-count view via stored KMV sketches — the IVM
+      // family's monotone member beside the delta-rule aggregate, the
+      // keyed join view, and the xor checksum: per event type, the
+      // number of distinct users that have EVER emitted it ("reach").
+      // The stored per-group sketch folds the batch's sketch in —
+      // k-smallest-hash union is associative, commutative AND idempotent
+      // (a duplicate hash never changes the k-min set), so unlike the
+      // xor checksum this maintenance needs NO redelivery fence: replay
+      // a batch and the view is unchanged (spec-pinned). O(groups·k)
+      // state forever, no history rescan; estimate is EXACT below k
+      // (150 users ≪ k = 16384), which is the oracle regime.
+      import graft.functions.KmvSetOps._
+      val ev = t(s, d, "events")
+      val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(expr("mn + (mx - mn) * 7 div 8").as("__cut"))
+      val w = ev.crossJoin(broadcast(cut))
+      def sk(df: DataFrame) = df.groupBy("event_type")
+        .agg(kmvSketch(xxhash64(col("user_id")), 16384).as("sk"))
+      val stored = sk(w.filter(unix_millis(col("ts")) <= col("__cut")))
+      val batch = sk(w.filter(unix_millis(col("ts")) > col("__cut")))
+      stored.union(batch).groupBy("event_type")
+        .agg(kmvEstimate(kmvMerge(col("sk"))).as("users_ever"))
+    }),
+
+    "cdc_topk_maintain" -> ((s, d) => {
+      // IVM of a top-k view via stored SpaceSaving sketches — the
+      // counter-merge member of the IVM taxonomy: per event type, the
+      // all-time top-10 users by event count. The stored per-group sketch
+      // folds the batch's sketch in (counter-wise merge — associative and
+      // commutative but NOT idempotent: re-folding a delivered batch
+      // double-counts, so unlike the k-min distinct view this maintenance
+      // REQUIRES the replay fence (K2 sink-tail dedup) in front of it —
+      // spec-pinned in FreqSketchSpec). O(groups·m) state forever, no
+      // history rescan; counts are EXACT below m (150 users ≪ m = 8192),
+      // which is the oracle regime.
+      import graft.functions.HhSketchOps._
+      val ev = t(s, d, "events")
+      val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(expr("mn + (mx - mn) * 7 div 8").as("__cut"))
+      val w = ev.crossJoin(broadcast(cut))
+      def sk(df: DataFrame) = df.groupBy("event_type")
+        .agg(hhSketch(col("user_id"), 8192).as("sk"))
+      val stored = sk(w.filter(unix_millis(col("ts")) <= col("__cut")))
+      val batch = sk(w.filter(unix_millis(col("ts")) > col("__cut")))
+      stored.union(batch).groupBy("event_type")
+        .agg(hhMerge(col("sk")).as("m"))
+        .select(col("event_type"), explode(hhTopK(col("m"), 10)).as("h"))
+        .select(col("event_type"), col("h.value").as("user_id"),
+          col("h.cnt").as("cnt"))
     }),
 
     "cdc_repair_plan" -> ((s, d) => {
@@ -3130,6 +3322,9 @@ object SparkEntry {
     "q_ppr" -> pprOracleSql,
     "q_bfs_reach" -> bfsOracleSql,
     "q_label_prop" -> lpaOracleSql,
+    "q_modularity" -> modularityOracleSql,
+    "q_clustering_coeff" -> lccOracleSql,
+    "q_hits" -> hitsOracleSql,
     "q_link_predict" -> linkPredOracleSql,
     "text_bpe_encode" -> bpeFixedOracleSql,
 
@@ -3977,6 +4172,24 @@ object SparkEntry {
                 WHEN src_rows <> tgt_rows OR ssig IS DISTINCT FROM ksig THEN 'DIFF'
                 ELSE 'MATCH' END AS status
          FROM sa FULL OUTER JOIN ka ON sa.chunk_id = ka.chunk_id""",
+
+    "cdc_distinct_maintain" ->
+      // the RECOMPUTE regime: the maintained KMV union is exact below k
+      // (150 users ≪ 16384), so "stored sketch + batch fold" must equal
+      // the exact distinct count over the full history
+      """SELECT event_type, count(DISTINCT user_id) AS users_ever
+         FROM events GROUP BY event_type""",
+
+    "cdc_topk_maintain" ->
+      // the RECOMPUTE regime: counter-wise SpaceSaving merge is exact
+      // below m (150 users ≪ 8192), so "stored sketch + batch fold"
+      // must equal the exact all-time top-10 per type
+      """SELECT event_type, user_id, cnt FROM (
+           SELECT event_type, user_id, count(*) AS cnt,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id) AS rk
+           FROM events GROUP BY event_type, user_id)
+         WHERE rk <= 10""",
 
     "cdc_checksum_maintain" ->
       // the RECOMPUTE: fold the full post-batch latest state from scratch

@@ -184,6 +184,56 @@ object Graph {
         .as("clustering_ppm"))
   }
 
+  /** Per-node (local) clustering coefficient (Watts & Strogatz, "Collective
+    * dynamics of 'small-world' networks", Nature '98): for every node of
+    * degree ≥ 2, `lcc = 2·tri(v) / (d(v)·(d(v)−1))` in integer
+    * parts-per-million (floor-div, engine-exact). The triangle side reuses
+    * [[triangleStats]]'s degree-ordered orientation verbatim — each
+    * triangle materializes exactly once as a closed wedge (u, v1, v2),
+    * then EXPLODES to its three endpoints for a node-keyed count, so the
+    * per-node attribution costs one map-side stack + one node-keyed
+    * hash-agg on top of the O(m^1.5)-bounded wedge close; zero-triangle
+    * nodes come back via a left join on the degree table (node-sized).
+    * Output per node: (v, degree, n_tri, lcc_ppm) — all BIGINT. */
+  def localClustering(edges: DataFrame, srcCol: Column, dstCol: Column,
+      scale: Long = 1000000L): DataFrame = {
+    val und = edges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val ori = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("w"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+    val e1 = ori.select(col("u"), col("w").as("v1"), col("dw").as("d1"))
+    val e2 = ori.select(col("u"), col("w").as("v2"), col("dw").as("d2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    // same SHUFFLE_HASH discipline as triangleStats: the wedge stream is
+    // the big side and must never sort
+    val closed = wedges.join(
+      ori.select(col("u").as("v1"), col("w").as("v2")).hint("shuffle_hash"),
+      Seq("v1", "v2"))
+    val perNode = closed
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(perNode, Seq("v"), "left")
+      .select(col("v"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        expr(s"$scale * 2 * coalesce(t, 0) div (d * (d - 1))").as("lcc_ppm"))
+  }
+
   /** Personalized PageRank (Jeh & Widom, "Scaling personalized web
     * search", WWW '03; the random surfer teleports back to a SEED set
     * instead of the whole graph): the "items similar to this catalog" /
@@ -432,6 +482,113 @@ object Graph {
     scored.join(und, Seq("a", "b"), "left_anti")
       .orderBy(col("ra_score").desc, col("a"), col("b"))
       .limit(k)
+  }
+
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM '99) as the UNNORMALIZED fixed-round
+    * iterate, all-integer:
+    *
+    *   h₀(v) = 1
+    *   aᵢ(v) = Σ_{(u,v)∈E} hᵢ₋₁(u)     hᵢ(v) = Σ_{(v,w)∈E} aᵢ(w)
+    *
+    * Kleinberg's per-round L2 normalization divides every score by the
+    * same scalar, so for any fixed round count the unnormalized iterate
+    * is RANKING-equivalent to the normalized one — and being pure integer
+    * sums it is bit-exact on any engine (the oracle unrolls the same
+    * rounds as CTEs; no float, no division, no truncation anywhere).
+    * Magnitude bound: scores grow ≤ ×(max-degree)² per round — with the
+    * hub-capped graphs this lane feeds (deg ≤ ~32) three rounds stay
+    * far inside 64 bits; for higher rounds or fat hubs switch to the
+    * normalized DECIMAL form. Per round: two edge-keyed joins + two
+    * node-keyed hash-aggs (the pageRank exchange shape); score tables
+    * stay node-sized (AQE broadcasts them once materialized on the same
+    * cadence policy as [[pageRank]] — `checkpointEvery = 0` keeps the
+    * pure lazy plan for replayability on real clusters). Nodes missing
+    * an in- (out-) edge side carry score 0, not null. Output:
+    * (v, authority, hub) BIGINTs for every node. */
+  def hits(edges: DataFrame, srcCol: Column, dstCol: Column,
+      rounds: Int, checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val doMat = checkpointEvery >= 1
+    val ed0 = edges.select(srcCol.as("src"), dstCol.as("dst"))
+    val ed = if (doMat)
+      ed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ed0
+    val nodes = ed.select(col("src").as("v"))
+      .union(ed.select(col("dst").as("v"))).distinct()
+    // intermediate score tables stay SPARSE (only nodes actually reached):
+    // a missing row is score 0, and 0 contributes nothing to the next
+    // round's sum, so the inner join computes the identical recurrence —
+    // the node-completion left-join happens exactly once, on the output
+    var h = nodes.select(col("v"), lit(1L).as("h"))
+    var a: DataFrame = null
+    for (i <- 1 to rounds) {
+      a = ed.join(h.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a"))
+      h = ed.join(a.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v")).agg(sum(col("a")).as("h"))
+      if (doMat && i % checkpointEvery == 0 && i < rounds) {
+        a = materialize(a); h = materialize(h)
+      }
+    }
+    val out0 = nodes
+      .join(a, Seq("v"), "left").join(h, Seq("v"), "left")
+      .select(col("v"), coalesce(col("a"), lit(0L)).as("authority"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+    if (!doMat) return out0
+    val out = materialize(out0)
+    ed.unpersist(blocking = false)
+    out
+  }
+
+  /** Newman modularity of a node partition in integer parts-per-million
+    * (Newman & Girvan, "Finding and evaluating community structure in
+    * networks", Phys. Rev. E '04):
+    *
+    *   Q = Σ_c e_c/m − Σ_c (d_c/2m)²  =  (4m·Σe_c − Σd_c²) / 4m²
+    *
+    * over the undirected simple graph (m edges, e_c within-community
+    * edges, d_c community degree sum), emitted as one row of BIGINTs:
+    * (n_communities, m_edges, within_edges, q_ppm) with
+    * `q_ppm = scale·(4m·Σe_c − Σd_c²) div 4m²` — truncating integer
+    * division on both engines, Q < 0 allowed (a partition worse than
+    * random). 64-bit bound: the numerator is ≤ 4·scale·m², so the ppm
+    * formula is exact for m ≲ 1.5×10⁶ edges at scale 10⁶; for
+    * billion-edge graphs lift the two products to DECIMAL(38,0) (the
+    * output stays BIGINT) or drop scale — the STRUCTURE (three node/edge-
+    * sized hash-aggs + two label joins) is scale-ready as-is.
+    *
+    * `labels` is any (vertex → label) table, e.g. [[labelPropagation]]'s
+    * output — modularity is the standard quality read over it. Nodes
+    * missing from `labels` would null-drop; callers pass a total
+    * labeling (LPA's output labels every node of the same graph). */
+  def modularityPpm(edges: DataFrame, srcCol: Column, dstCol: Column,
+      labels: DataFrame, vCol: Column, labCol: Column,
+      scale: Long = 1000000L): DataFrame = {
+    val und = edges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val lab = labels.select(vCol.as("v"), labCol.as("lab"))
+    val mm = und.agg(count(lit(1)).as("m"))
+    val lj = und
+      .join(broadcast(lab.select(col("v").as("a"), col("lab").as("la"))), "a")
+      .join(broadcast(lab.select(col("v").as("b"), col("lab").as("lb"))), "b")
+    val sec = lj.filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("sec"))
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val sd = deg.join(broadcast(lab), "v")
+      .groupBy("lab").agg(sum(col("d")).as("dc"))
+      .agg(sum(expr("dc * dc")).as("sd2"))
+    val nc = lab.agg(count_distinct(col("lab")).as("nc"))
+    nc.crossJoin(mm).crossJoin(sec).crossJoin(sd)
+      .select(col("nc").as("n_communities"), col("m").as("m_edges"),
+        col("sec").as("within_edges"),
+        expr(s"$scale * (4 * m * sec - sd2) div (4 * m * m)").as("q_ppm"))
   }
 
   /** Co-occurrence (co-purchase) edge list from a (group, item) relation:

@@ -191,6 +191,67 @@ class GraphSpec extends SparkTestBase {
     assert(r2(10L) == 10L, s"majority must win at the center: $r2")
   }
 
+  test("modularityPpm: hand-computed Q on bridged triangles; perfect " +
+      "single community scores exactly zero; worse-than-random negative") {
+    // two triangles {1,2,3},{7,8,9} + bridge 3-7, labeled by triangle:
+    // m=7, within=6, d_c = 7 and 7, Σd_c² = 98
+    // Q = (4·7·6 − 98)/(4·49) = 70/196 → 357142 ppm (truncating)
+    val e = Seq((1L,2L),(2L,3L),(1L,3L),(7L,8L),(8L,9L),(7L,9L),(3L,7L))
+      .toDF("src", "dst")
+    val lab = Seq((1L,1L),(2L,1L),(3L,1L),(7L,7L),(8L,7L),(9L,7L))
+      .toDF("v", "lab")
+    val r = Graph.modularityPpm(e, col("src"), col("dst"),
+      lab, col("v"), col("lab")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 7L, 6L, 357142L), s"$r")
+    // everything in one community: Σd_c² = (2m)² and within = m → Q = 0
+    val one = lab.select(col("v"), lit(1L).as("lab"))
+    val r1 = Graph.modularityPpm(e, col("src"), col("dst"),
+      one, col("v"), col("lab")).collect()(0)
+    assert(r1.getLong(3) == 0L, s"single community must be exactly 0: $r1")
+    // anti-partition (each triangle node split from its own edges):
+    // within = 1 (only the bridge), Q < 0
+    val anti = Seq((1L,1L),(2L,2L),(3L,3L),(7L,3L),(8L,8L),(9L,9L))
+      .toDF("v", "lab")
+    val r2 = Graph.modularityPpm(e, col("src"), col("dst"),
+      anti, col("v"), col("lab")).collect()(0)
+    assert(r2.getLong(2) == 1L && r2.getLong(3) < 0L, s"$r2")
+  }
+
+  test("localClustering: hand-computed LCC on bridged triangles; " +
+      "bridge endpoints dilute; zero-triangle node included at 0") {
+    // triangles {1,2,3},{7,8,9} + bridge 3-7 + pendant path 9-11-12:
+    // deg: 1,2,8→2 in-triangle (lcc 10⁶); 3,7→3 (1 tri / 3 wedges →
+    // 333333); 9→3 (333333); 11→2 with 0 triangles → 0; 12→deg 1 excluded
+    val e = Seq((1L,2L),(2L,3L),(1L,3L),(7L,8L),(8L,9L),(7L,9L),(3L,7L),
+      (9L,11L),(11L,12L)).toDF("src", "dst")
+    val r = Graph.localClustering(e, col("src"), col("dst"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 1000000L)) && r(2L) == ((2L, 1L, 1000000L))
+      && r(8L) == ((2L, 1L, 1000000L)), s"$r")
+    assert(r(3L) == ((3L, 1L, 333333L)) && r(7L) == ((3L, 1L, 333333L))
+      && r(9L) == ((3L, 1L, 333333L)), s"$r")
+    assert(r(11L) == ((2L, 0L, 0L)), s"zero-triangle node must appear: $r")
+    assert(!r.contains(12L), s"degree-1 node has no defined LCC: $r")
+  }
+
+  test("hits: hand-computed 2-round scores on a bipartite graph; " +
+      "checkpointEvery=0 lazy plan is value-identical") {
+    // custs 101,102 → parts 1,2,3: 101→{1,2}, 102→{2,3}
+    // a1 = indeg = (1,2,1); h1 = (3,3); a2 = (3,6,3); h2 = (9,9)
+    val e = Seq((101L,1L),(101L,2L),(102L,2L),(102L,3L)).toDF("src", "dst")
+    def run(ce: Int) = Graph.hits(e, col("src"), col("dst"),
+        rounds = 2, checkpointEvery = ce)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2)))).toMap
+    val r = run(1)
+    assert(r(1L) == ((3L, 0L)) && r(2L) == ((6L, 0L)) && r(3L) == ((3L, 0L)),
+      s"$r")
+    assert(r(101L) == ((0L, 9L)) && r(102L) == ((0L, 9L)), s"$r")
+    assert(run(0) == r, "lazy (checkpointEvery=0) must match materialized")
+  }
+
   test("linkPredictRA: hand-computed scores on the square + diagonal " +
       "candidates; known edges excluded; k cuts on the total order") {
     // square 1-2-3-4-1: non-edges are the diagonals (1,3) and (2,4),

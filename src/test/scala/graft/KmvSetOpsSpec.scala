@@ -145,6 +145,24 @@ class KmvSetOpsSpec extends SparkTestBase {
     assert(top.head._2 >= 1000L) // count at least the true 1000 (overestimates allowed)
   }
 
+  test("counter merge is NOT idempotent: re-folding a delivered batch " +
+      "double-counts — the cdc_topk_maintain view REQUIRES the replay fence") {
+    // the IVM-taxonomy contrast to KmvSketchSpec's idempotence pin: a
+    // k-min fold tolerates at-least-once delivery, a SpaceSaving fold
+    // does not (counts are additive), so the maintained top-k view must
+    // sit behind K2 sink-tail dedup
+    import graft.functions.{HhWire, SpaceSavingBuf}
+    val stored = new SpaceSavingBuf(64)
+    (0 until 10).foreach(_ => stored.add(1L))
+    val batch = new SpaceSavingBuf(64)
+    (0 until 5).foreach(_ => batch.add(1L))
+    stored.mergeFrom(HhWire.read(HhWire.write(batch)))
+    assert(stored.topK(1).head == ((1L, 15L, 0L)))
+    stored.mergeFrom(HhWire.read(HhWire.write(batch))) // redelivery
+    assert(stored.topK(1).head == ((1L, 20L, 0L)),
+      "counter merge must visibly double-count on replay (hence the fence)")
+  }
+
   test("SQL surface: kmv_sketch / kmv_union / kmv_intersect_est registered") {
     GraftExtensions.install(spark)
     (1 to 300).map(i => (i, i % 2)).toDF("v", "par")

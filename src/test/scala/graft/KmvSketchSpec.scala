@@ -61,6 +61,24 @@ class KmvSketchSpec extends SparkTestBase {
     assert(left.estimate() == whole.estimate())
   }
 
+  test("maintenance idempotence: re-folding a delivered batch leaves the " +
+      "sketch bit-identical (no redelivery fence needed, unlike xor)") {
+    // the cdc_distinct_maintain contract: k-min union is idempotent, so
+    // an at-least-once replay of the same batch is a no-op on the view
+    val k = 64
+    val stored = new KmvBuf(k)
+    (0L until 500L).foreach(i => stored.insert(hash(i)))
+    val batch = new KmvBuf(k)
+    (450L until 600L).foreach(i => batch.insert(hash(i))) // overlaps stored
+    stored.mergeFrom(batch)
+    val once = stored.serialize()
+    val est = stored.estimate()
+    stored.mergeFrom(batch) // redelivery
+    assert(java.util.Arrays.equals(stored.serialize(), once),
+      "replayed batch must not change the sketch state")
+    assert(stored.estimate() == est)
+  }
+
   test("serialization round trip preserves the sketch") {
     val b = new KmvBuf(128)
     (0L until 1000L).foreach(i => b.insert(hash(i)))
