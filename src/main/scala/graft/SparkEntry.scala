@@ -339,6 +339,28 @@ object SparkEntry {
            AS lcc_ppm
        FROM deg LEFT JOIN pern ON pern.v = deg.v WHERE d >= 2"""
 
+  private[graft] val AnfHops = 6
+  private[graft] val AnfK = 2048
+
+  /** Neighborhood-function oracle: bounded all-pairs min-distance via a
+    * set-semantics recursive expansion, then the cumulative pair census
+    * per hop — [[graft.operators.Graph.neighborhoodFunction]]'s KMV
+    * sketches are exact below k (= 2048 > |V| = 1494 at sf0.01), so the
+    * sketch census equals the exact one. */
+  private[graft] val anfOracleSql: String =
+    s"""WITH RECURSIVE $coPurchaseSymCte,
+       reach AS (
+         SELECT a s, a t, 0 hop FROM (SELECT DISTINCT a FROM sym)
+         UNION
+         SELECT r.s, sym.b, r.hop + 1 FROM reach r
+         JOIN sym ON sym.a = r.t WHERE r.hop < $AnfHops),
+       md AS (SELECT s, t, CAST(min(hop) AS BIGINT) d FROM reach
+         GROUP BY s, t)
+       SELECT CAST(h.hop AS BIGINT) AS hop,
+         CAST((SELECT count(*) FROM md WHERE md.d <= h.hop) AS BIGINT)
+           AS reached_pairs
+       FROM range(0, ${AnfHops + 1}) h(hop)"""
+
   private[graft] val HitsRounds = 2
   private[graft] val HitsCustOff = 1000000000L
   private[graft] val HitsK = 20
@@ -836,6 +858,20 @@ object SparkEntry {
         li, col("ok"), col("pk"), maxBasket = 32)
       graft.operators.Graph.localClustering(
         edges, col("src"), col("dst"))
+    }),
+
+    "q_neighborhood_func" -> ((s, d) => {
+      // ANF/HyperANF census over the thinned co-purchase graph: per-node
+      // KMV ball sketches, one edge join + one sketch-merge agg per hop;
+      // k = 2048 > |V| at sf0.01 ⇒ the estimate is the exact pair count
+      // (the oracle regime); at corpus scale k shrinks to register size
+      // and the same plan gives the guaranteed-error estimate
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
+      graft.operators.Graph.neighborhoodFunction(
+        edges, col("src"), col("dst"), maxHops = AnfHops, k = AnfK)
     }),
 
     "q_hits" -> ((s, d) => {
@@ -3324,6 +3360,7 @@ object SparkEntry {
     "q_label_prop" -> lpaOracleSql,
     "q_modularity" -> modularityOracleSql,
     "q_clustering_coeff" -> lccOracleSql,
+    "q_neighborhood_func" -> anfOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_link_predict" -> linkPredOracleSql,
     "text_bpe_encode" -> bpeFixedOracleSql,

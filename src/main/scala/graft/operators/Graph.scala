@@ -484,6 +484,54 @@ object Graph {
       .limit(k)
   }
 
+  /** Neighborhood function N(h) = Σᵥ |ball(v, h)| for h = 0..maxHops via
+    * per-node mergeable distinct sketches — the ANF/HyperANF pattern
+    * (Palmer/Gibbons/Faloutsos KDD '02; Boldi/Rosa/Vigna WWW '11), the
+    * scalable effective-diameter estimator: each round every node unions
+    * its neighbors' ball sketches into its own, so after h rounds the
+    * sketch covers exactly the ≤h-hop ball, and the census row is one
+    * sum over node-sized state. Per round: one edge-keyed join + one
+    * node-keyed sketch-merge agg (the pageRank exchange shape) — never
+    * the quadratic pair relation the naive all-pairs BFS would shuffle.
+    *
+    * KMV sketches here (k-min-values): a sketch physically stores
+    * min(|set|, k) hashes, so per-node state is O(min(ball, k)) and the
+    * estimate is EXACT below k — pick k ≥ |V| (gate scale) for an exact
+    * census, or small k at 100 TB where HyperANF's whole point is
+    * register-sized state and a guaranteed relative error. Edges are
+    * treated undirected (symmetrized); isolated self-loops drop. Output:
+    * (hop, reached_pairs) BIGINTs, hop = 0..maxHops. */
+  def neighborhoodFunction(edges: DataFrame, srcCol: Column, dstCol: Column,
+      maxHops: Int, k: Int = 2048, checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    import graft.functions.KmvSetOps._
+    require(maxHops >= 0, "maxHops must be >= 0")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val doMat = checkpointEvery >= 1
+    val sym0 = symmetric(edges, srcCol, dstCol)
+    val sym = if (doMat)
+      sym0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sym0
+    var sk = sym.select(col("a").as("v")).distinct()
+      .groupBy("v").agg(kmvSketch(xxhash64(col("v")), k).as("sk"))
+    if (doMat) sk = materialize(sk)
+    def census(h: Int, s: DataFrame): DataFrame =
+      s.agg(sum(kmvEstimate(col("sk"))).as("reached_pairs"))
+        .select(lit(h.toLong).as("hop"), col("reached_pairs"))
+    var out = census(0, sk)
+    for (h <- 1 to maxHops) {
+      val nbr = sym.join(sk.withColumnRenamed("v", "b"), "b")
+        .groupBy(col("a").as("v")).agg(kmvMerge(col("sk")).as("nsk"))
+      sk = sk.join(nbr, Seq("v"), "left")
+        .select(col("v"), when(col("nsk").isNull, col("sk"))
+          .otherwise(kmvUnion(col("sk"), col("nsk"))).as("sk"))
+      if (doMat && h % checkpointEvery == 0) sk = materialize(sk)
+      out = out.unionAll(census(h, sk))
+    }
+    if (doMat) sym.unpersist(blocking = false)
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
     * hyperlinked environment", JACM '99) as the UNNORMALIZED fixed-round
     * iterate, all-integer:

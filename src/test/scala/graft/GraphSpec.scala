@@ -236,6 +236,23 @@ class GraphSpec extends SparkTestBase {
     assert(!r.contains(12L), s"degree-1 node has no defined LCC: $r")
   }
 
+  test("neighborhoodFunction: hand-computed ball census on a path + " +
+      "triangle; saturates at component closure; lazy parity") {
+    // path 1-2-3-4 and triangle 7-8-9 (disjoint):
+    // h=0: 7 singletons = 7
+    // h=1: path balls 2,3,3,2 + triangle 3·3 = 10+9 = 19
+    // h=2: path 3,4,4,3 + 9 = 23;  h=3: 4,4,4,4 + 9 = 25 (saturated)
+    val e = Seq((1L,2L),(2L,3L),(3L,4L),(7L,8L),(8L,9L),(7L,9L))
+      .toDF("src", "dst")
+    def run(ce: Int) = Graph.neighborhoodFunction(e, col("src"), col("dst"),
+        maxHops = 4, k = 64, checkpointEvery = ce)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = run(1)
+    assert(r == Map(0L -> 7L, 1L -> 19L, 2L -> 23L, 3L -> 25L, 4L -> 25L),
+      s"$r")
+    assert(run(0) == r, "lazy (checkpointEvery=0) must match materialized")
+  }
+
   test("hits: hand-computed 2-round scores on a bipartite graph; " +
       "checkpointEvery=0 lazy plan is value-identical") {
     // custs 101,102 → parts 1,2,3: 101→{1,2}, 102→{2,3}
