@@ -1429,6 +1429,29 @@ object SparkEntry {
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
 
+    "pipe_leakage_split" -> ((s, d) => {
+      // leakage-safe split: the train/test boundary must not separate
+      // near-duplicates (Lee et al. '22's contamination-by-split hazard),
+      // so the split key is the near-dup CLUSTER representative, not the
+      // doc — canonical resolve over MinHash-LSH pairs, identity for
+      // unclustered docs, then the same deterministic md5-prefix
+      // assignment as pipe_split. Every member of a cluster lands in one
+      // split by construction (spec-pinned); new docs joining an existing
+      // cluster inherit its split, never moving old ones.
+      val docs = t(s, d, "documents")
+      val canon = operators.Dedup.resolveCanonical(
+        operators.Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+          n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))
+        .withColumnRenamed("id", "doc_id")
+      val keyed = docs.select(col("doc_id"))
+        .join(canon, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+      operators.Sampling.hashSplit(keyed, col("canon"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "canon", "split")
+    }),
+
     "pipe_curriculum" -> ((s, d) =>
       // curriculum staging: exact NTILE(4) easiest->hardest by doc length,
       // md5 tie-shuffle — computed with the pinned-RDD rank (shardAssign's
@@ -3379,6 +3402,36 @@ object SparkEntry {
                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents""",
+
+    // the near-dup clustering is dedup_resolve's oracle; unclustered docs
+    // key by themselves; the assignment is pipe_split's md5-prefix rule
+    // over the CLUSTER key
+    "pipe_leakage_split" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
+         edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
+                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs),
+         reach(id, r) AS (
+           SELECT id, peer FROM edges
+           UNION
+           SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r),
+         resolved AS (SELECT id, least(min(r), id) AS canonical_id
+           FROM reach GROUP BY id),
+         keyed AS (SELECT d.doc_id,
+           coalesce(r.canonical_id, d.doc_id) AS canon
+         FROM documents d LEFT JOIN resolved r ON r.id = d.doc_id)
+         SELECT doc_id, canon,
+           CASE WHEN substring(md5(CAST(canon AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train'
+                WHEN substring(md5(CAST(canon AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
+                ELSE 'test' END AS split
+         FROM keyed""",
 
     "pipe_curriculum" ->
       """SELECT doc_id,

@@ -22,6 +22,35 @@ class SamplingSpec extends SparkTestBase {
     assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("leakage split invariant: near-dup cluster members always land in " +
+      "the same split (no pair straddles the train/test boundary)") {
+    // the pipe_leakage_split contract, pinned on a synthetic corpus with
+    // known near-dup pairs: split is a pure function of the CLUSTER key,
+    // so any two docs sharing a cluster share a split by construction
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "completely different text about other things entirely"),
+      (4L, "completely different text about other things still"),  // near-dup of 3
+      (5L, "a lone document with no duplicate partner at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 64, bands = 16, thresholdPpm = 500000L)
+    val canon = Dedup.resolveCanonical(pairs).withColumnRenamed("id", "doc_id")
+    val keyed = docs.select(col("doc_id")).join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+    val split = Sampling.hashSplit(keyed, col("canon"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val m = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.nonEmpty, "fixture must produce at least one near-dup pair")
+    p.foreach { case (x, y) =>
+      assert(m(x) == m(y), s"pair ($x,$y) straddles splits: ${m(x)} / ${m(y)}")
+    }
+  }
+
   test("hash split: exhaustive+exclusive, ratio-proportional, growth-stable, scan-local") {
     val df = (1L to 10000L).toDF("id")
     val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
