@@ -67,7 +67,8 @@ object Bench {
     "q_ppr", "mm_silence_spans", "cdc_bitemporal_asof",
     "q_bfs_reach", "q_label_prop", "q_link_predict", "q_modularity",
     "cdc_distinct_maintain", "q_clustering_coeff", "q_hits",
-    "cdc_topk_maintain", "q_neighborhood_func", "pipe_leakage_split"
+    "cdc_topk_maintain", "q_neighborhood_func", "pipe_leakage_split",
+    "q_sssp"
   )
 
   private def loadavg: Double =

@@ -342,6 +342,26 @@ object SparkEntry {
   private[graft] val AnfHops = 6
   private[graft] val AnfK = 2048
 
+  private[graft] val SsspRounds = 6
+
+  /** SSSP oracle: min cost over walks of ≤ `SsspRounds` edges from the
+    * seed set — Bellman-Ford after h rounds computes exactly this, so
+    * [[graft.operators.Graph.sssp]] is bit-exact against it. Weights are
+    * affinity costs `10⁶ div co-occurrence-count` from the CAPPED basket
+    * relation (bp), identical integral algebra on both engines. */
+  private[graft] val ssspOracleSql: String =
+    s"""WITH RECURSIVE $coPurchaseSymCte,
+       wed AS (SELECT pka a, pkb b, CAST(1000000 // count(*) AS BIGINT) w
+         FROM bp WHERE pka <> pkb GROUP BY pka, pkb),
+       sv AS (SELECT DISTINCT p_partkey v FROM part WHERE p_size = 50
+         AND p_partkey IN (SELECT a FROM wed)),
+       walk(v, c, hop) AS (
+         SELECT v, CAST(0 AS BIGINT) c, 0 hop FROM sv
+         UNION
+         SELECT wed.b, walk.c + wed.w, walk.hop + 1 FROM walk
+         JOIN wed ON wed.a = walk.v WHERE walk.hop < $SsspRounds)
+       SELECT v, min(c) AS dist FROM walk GROUP BY v"""
+
   /** Neighborhood-function oracle: bounded all-pairs min-distance via a
     * set-semantics recursive expansion, then the cumulative pair census
     * per hop — [[graft.operators.Graph.neighborhoodFunction]]'s KMV
@@ -858,6 +878,26 @@ object SparkEntry {
         li, col("ok"), col("pk"), maxBasket = 32)
       graft.operators.Graph.localClustering(
         edges, col("src"), col("dst"))
+    }),
+
+    "q_sssp" -> ((s, d) => {
+      // weighted shortest paths (Bellman-Ford rounds) over the capped
+      // co-purchase graph: edge cost = 10⁶ div co-occurrence count
+      // (stronger affinity = cheaper), multi-source from the p_size=50
+      // seed set, 6 relaxation rounds — dist(v) is exactly the min cost
+      // over ≤6-edge paths, engine-exact integer algebra
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val multi = graft.operators.Graph.coOccurrenceEdges(
+        li, col("ok"), col("pk"), maxBasket = 32)
+      val wed = multi.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .select(col("src"), col("dst"), expr("1000000 div c").as("w"))
+      val sym = wed.unionAll(
+        wed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = t(s, d, "part").filter(col("p_size") === 50)
+        .select(col("p_partkey").as("v"))
+      graft.operators.Graph.sssp(sym, col("src"), col("dst"), col("w"),
+        seeds, col("v"), maxRounds = SsspRounds)
     }),
 
     "q_neighborhood_func" -> ((s, d) => {
@@ -3384,6 +3424,7 @@ object SparkEntry {
     "q_modularity" -> modularityOracleSql,
     "q_clustering_coeff" -> lccOracleSql,
     "q_neighborhood_func" -> anfOracleSql,
+    "q_sssp" -> ssspOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_link_predict" -> linkPredOracleSql,
     "text_bpe_encode" -> bpeFixedOracleSql,

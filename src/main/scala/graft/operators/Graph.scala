@@ -484,6 +484,54 @@ object Graph {
       .limit(k)
   }
 
+  /** Bounded single/multi-source shortest paths over a WEIGHTED directed
+    * edge list — Bellman-Ford rounds as declarative relaxation (the
+    * Pregel SSSP superstep; Malewicz et al. SIGMOD '10): after round h,
+    * `dist(v)` is exactly the minimum cost over paths of ≤ h edges from
+    * the seed set, so a fixed `maxRounds` bound is deterministic on any
+    * engine and the oracle replays the identical recurrence. Integer
+    * weights only (the lane's no-float discipline); negative weights are
+    * legal Bellman-Ford but callers wanting convergence semantics should
+    * ensure non-negative costs and maxRounds ≥ graph diameter.
+    *
+    * Per round: one edge-keyed join against the CURRENT distance table +
+    * one node-keyed min-agg over (previous ∪ relaxed) — edge-sized
+    * exchanges, distance table node-sized (AQE broadcasts it on the
+    * [[pageRank]] materialize cadence; `checkpointEvery = 0` keeps the
+    * lazy replayable plan). Unreached nodes are absent, not ∞ rows.
+    * Output: (v, dist) BIGINTs for every node reached within
+    * `maxRounds` hops. */
+  def sssp(edges: DataFrame, srcCol: Column, dstCol: Column, wCol: Column,
+      seeds: DataFrame, seedCol: Column, maxRounds: Int,
+      checkpointEvery: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val doMat = checkpointEvery >= 1
+    val ed0 = edges.select(srcCol.as("src"), dstCol.as("dst"),
+      wCol.cast("long").as("w"))
+    val ed = if (doMat)
+      ed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ed0
+    val nodes = ed.select(col("src").as("v"))
+      .union(ed.select(col("dst").as("v"))).distinct()
+    var dist = seeds.select(seedCol.as("v")).distinct()
+      .join(nodes, "v") // off-graph seeds are ignored (cannot reach)
+      .select(col("v"), lit(0L).as("dist"))
+    if (doMat) dist = materialize(dist)
+    for (h <- 1 to maxRounds) {
+      val relaxed = ed.join(dist.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("v").agg(min(col("dist")).as("dist"))
+      if (doMat && h % checkpointEvery == 0 && h < maxRounds)
+        dist = materialize(dist)
+    }
+    val out = if (doMat) materialize(dist) else dist
+    if (doMat) ed.unpersist(blocking = false)
+    out
+  }
+
   /** Neighborhood function N(h) = Σᵥ |ball(v, h)| for h = 0..maxHops via
     * per-node mergeable distinct sketches — the ANF/HyperANF pattern
     * (Palmer/Gibbons/Faloutsos KDD '02; Boldi/Rosa/Vigna WWW '11), the

@@ -236,6 +236,24 @@ class GraphSpec extends SparkTestBase {
     assert(!r.contains(12L), s"degree-1 node has no defined LCC: $r")
   }
 
+  test("sssp: cheaper 2-hop path beats direct edge; round bound truncates; " +
+      "multi-source min; off-graph seeds ignored; lazy parity") {
+    // 1→2 (10), 2→3 (10), 1→3 (50): true dist(3) = 20 via two hops
+    val e = Seq((1L,2L,10L),(2L,3L,10L),(1L,3L,50L)).toDF("src","dst","w")
+    val seed1 = Seq(1L).toDF("v")
+    def run(rounds: Int, seeds: org.apache.spark.sql.DataFrame, ce: Int = 1) =
+      Graph.sssp(e, col("src"), col("dst"), col("w"), seeds, col("v"),
+        maxRounds = rounds, checkpointEvery = ce)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2, seed1) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    // one round: only the direct relaxations
+    assert(run(1, seed1) == Map(1L -> 0L, 2L -> 10L, 3L -> 50L))
+    // multi-source takes the min; seed 99 is off-graph and ignored
+    val r = run(2, Seq(2L, 99L).toDF("v"))
+    assert(r == Map(2L -> 0L, 3L -> 10L), s"$r")
+    assert(run(2, seed1, ce = 0) == run(2, seed1), "lazy parity")
+  }
+
   test("neighborhoodFunction: hand-computed ball census on a path + " +
       "triangle; saturates at component closure; lazy parity") {
     // path 1-2-3-4 and triangle 7-8-9 (disjoint):
