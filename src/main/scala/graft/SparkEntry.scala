@@ -1120,6 +1120,16 @@ object SparkEntry {
         .agg(kmvEstimate(kmvMerge(col("sk"))).as("users_ever"))
     }),
 
+    "cdc_seq_gaps" -> ((s, d) =>
+      // sequence-continuity audit over the "received" subset of the
+      // orderkey space (open-status orders as the delivered checkpoints):
+      // every missing integer range, WITHOUT a global ORDER BY window —
+      // arithmetic range buckets + per-bucket lag + an O(buckets)
+      // boundary stitch, so the scan parallelizes at any key volume
+      graft.operators.Cdc.seqGaps(
+        t(s, d, "orders").filter(col("o_orderstatus") === "O"),
+        col("o_orderkey"))),
+
     "cdc_topk_maintain" -> ((s, d) => {
       // IVM of a top-k view via stored SpaceSaving sketches — the
       // counter-merge member of the IVM taxonomy: per event type, the
@@ -4310,6 +4320,17 @@ object SparkEntry {
       // the exact distinct count over the full history
       """SELECT event_type, count(DISTINCT user_id) AS users_ever
          FROM events GROUP BY event_type""",
+
+    // a single global lag window IS the oracle; the engine computes the
+    // same pairs bucketed + stitched
+    "cdc_seq_gaps" ->
+      """WITH ks AS (SELECT DISTINCT o_orderkey k FROM orders
+           WHERE o_orderstatus = 'O'),
+         s AS (SELECT k, lag(k) OVER (ORDER BY k) p FROM ks)
+         SELECT CAST(p + 1 AS BIGINT) AS gap_start,
+           CAST(k - 1 AS BIGINT) AS gap_end,
+           CAST(k - p - 1 AS BIGINT) AS missing
+         FROM s WHERE p IS NOT NULL AND k - p > 1""",
 
     "cdc_topk_maintain" ->
       // the RECOMPUTE regime: counter-wise SpaceSaving merge is exact

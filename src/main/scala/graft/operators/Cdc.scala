@@ -498,6 +498,41 @@ object Cdc {
         max(col("conc")).as("peak_concurrency"))
   }
 
+  /** Sequence-continuity audit: the missing integer ranges in an observed
+    * key sequence — the replicator's "did we lose binlog positions /
+    * checkpoint sequences" report (cf. the reference's GTID-continuity
+    * concern, mysql-replicator checkpoint ordering). Equivalent to
+    * `lag(k) OVER (ORDER BY k)` + a gap filter, but a GLOBAL ORDER BY
+    * window serializes the whole key stream through one task — the
+    * distributed form here range-buckets the key space arithmetically
+    * (bucket = n·(k−min) div span, a scan-local projection off an O(1)
+    * min/max agg), finds within-bucket gaps with per-bucket windows
+    * (parallel, skew-free on near-uniform key spaces), and stitches
+    * bucket boundaries with one O(buckets) window over the per-bucket
+    * min/max table — the skyline/prefix-max pattern. Gaps spanning
+    * entirely-empty buckets are caught by the stitch (lag skips empty
+    * buckets). Output: (gap_start, gap_end, missing) BIGINTs. */
+  def seqGaps(df: DataFrame, keyCol: Column, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val keys = df.select(keyCol.cast("long").as("k")).distinct()
+    val mm = keys.agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    val b = keys.crossJoin(broadcast(mm))
+      .withColumn("bkt", expr(s"($buckets * (k - mn)) div (mx - mn + 1)"))
+    val w = Window.partitionBy("bkt").orderBy("k")
+    val local = b.withColumn("p", lag(col("k"), 1).over(w))
+      .filter(col("p").isNotNull && col("k") - col("p") > 1)
+      .select((col("p") + 1).as("gap_start"), (col("k") - 1).as("gap_end"))
+    val bounds = b.groupBy("bkt")
+      .agg(min(col("k")).as("bmin"), max(col("k")).as("bmax"))
+    // O(buckets) rows — the single-partition window is bounded by design
+    val wb = Window.orderBy("bkt")
+    val cross = bounds.withColumn("pmax", lag(col("bmax"), 1).over(wb))
+      .filter(col("pmax").isNotNull && col("bmin") - col("pmax") > 1)
+      .select((col("pmax") + 1).as("gap_start"), (col("bmin") - 1).as("gap_end"))
+    local.unionAll(cross)
+      .withColumn("missing", col("gap_end") - col("gap_start") + 1)
+  }
+
   def cohortRetention(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
     val week = (unix_millis(tsCol) / lit(86400000L)).cast("long") / lit(7L)
     val act = df.select(keyCol.as("key"), week.cast("long").as("w")).distinct()

@@ -350,6 +350,34 @@ class CdcOpsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("seqGaps: bucketed gap report equals the single-window reference; " +
+      "gaps spanning empty buckets survive the boundary stitch") {
+    import graft.operators.Cdc
+    // golden: {1,2,5,6,10,20} → (3,4,2), (7,9,3), (11,19,9)
+    val g = Cdc.seqGaps(Seq(1L, 2L, 5L, 6L, 10L, 20L).toDF("k"), col("k"),
+        buckets = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(g == Set((3L, 4L, 2L), (7L, 9L, 3L), (11L, 19L, 9L)), s"$g")
+    // a gap covering many entirely-empty buckets: only the stitch sees it
+    val wide = Cdc.seqGaps(Seq(1L, 100L).toDF("k"), col("k"), buckets = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide == Set((2L, 99L, 98L)), s"$wide")
+    // equivalence to the global-window form on a pseudorandom key set
+    val keys = (0L until 500L).map(i => (i * 2654435761L) % 10007L)
+      .distinct.toDF("k")
+    val got = Cdc.seqGaps(keys, col("k"), buckets = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val ref = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      keys.distinct().withColumn("p", lag(col("k"), 1).over(w))
+        .filter(col("p").isNotNull && col("k") - col("p") > 1)
+        .select((col("p") + 1).as("s"), (col("k") - 1).as("e"),
+          (col("k") - col("p") - 1).as("m"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(got == ref && got.nonEmpty, s"got ${got.size} vs ref ${ref.size}")
+  }
+
   test("bloomPrunedJoin drops null and non-member fact keys before the join") {
     val fact = Seq((1L, Option(3)), (2L, Option(999)), (3L, Option.empty[Int]))
       .toDF("fid", "fk")
