@@ -1502,6 +1502,25 @@ object SparkEntry {
         .select("doc_id", "canon", "split")
     }),
 
+    "dedup_cluster_stats" -> ((s, d) => {
+      // the dedup REPORT the pipeline operator reads before committing a
+      // near-dup pass: cluster-size histogram over the canonical resolve
+      // (singletons included via identity), i.e. "how much would this
+      // threshold remove" — n_docs − n_clusters is the removable count.
+      // All node-sized aggs on top of the banded LSH resolve.
+      val docs = t(s, d, "documents")
+      val canon = operators.Dedup.resolveCanonical(
+        operators.Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+          n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id")).join(canon, Seq("doc_id"), "left")
+        .select(coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+        .groupBy("canon").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+    }),
+
     "pipe_curriculum" -> ((s, d) =>
       // curriculum staging: exact NTILE(4) easiest->hardest by doc length,
       // md5 tie-shuffle — computed with the pinned-RDD rank (shardAssign's
@@ -2788,6 +2807,18 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
     }),
 
+    "sim_mrr_eval" -> ((s, d) => {
+      // Matryoshka truncation grading: does ranking by the first 8 dims
+      // still surface the full-dim nearest neighbor? Per query: ground
+      // truth rank in the prefix top-10 + reciprocal rank in ppm — the
+      // eval harness costs one corpus scan (two bounded top-k aggs)
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.prefixMrrEval(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 50), col("vec_id"), col("embedding"),
+        prefixDims = 8, k = 10)
+    }),
+
     "sim_range_search" -> ((s, d) => {
       // radius search (cosine >= 0.2): the recall-complete complement of
       // top-k — scan-local filter, no per-query state, output-bound
@@ -3483,6 +3514,32 @@ object SparkEntry {
                 WHEN substring(md5(CAST(canon AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
                 ELSE 'test' END AS split
          FROM keyed""",
+
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
+         edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
+                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs),
+         reach(id, r) AS (
+           SELECT id, peer FROM edges
+           UNION
+           SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r),
+         resolved AS (SELECT id, least(min(r), id) AS canonical_id
+           FROM reach GROUP BY id),
+         sizes AS (SELECT coalesce(r.canonical_id, d.doc_id) AS canon,
+             CAST(count(*) AS BIGINT) AS cluster_size
+           FROM documents d LEFT JOIN resolved r ON r.id = d.doc_id
+           GROUP BY 1)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         FROM sizes GROUP BY cluster_size""",
 
     "pipe_curriculum" ->
       """SELECT doc_id,
@@ -5501,6 +5558,28 @@ object SparkEntry {
              / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          FROM c, q WHERE vec_id <> query_id
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
+
+    // same rounded-cosine discipline as sim_brute_topk; ground truth =
+    // full-dim top-1, system = first-8-dims ranking, both tie-broken by id
+    "sim_mrr_eval" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+         sc AS (SELECT qid, vec_id AS cid,
+             round(list_dot_product(cv, qv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS fullc,
+             round(list_dot_product(cv[1:8], qv[1:8])
+               / (sqrt(list_dot_product(cv[1:8], cv[1:8])) * sqrt(list_dot_product(qv[1:8], qv[1:8]))), 6) AS pre
+           FROM c, q WHERE vec_id <> qid),
+         gt AS (SELECT qid, cid AS gt_id FROM sc
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY fullc DESC, cid) = 1),
+         pr AS (SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY pre DESC, cid) AS rk
+           FROM sc)
+         SELECT g.qid AS query_id, g.gt_id,
+           CAST(CASE WHEN p.rk <= 10 THEN p.rk ELSE 0 END AS BIGINT) AS prefix_rank,
+           CAST(CASE WHEN p.rk <= 10 THEN 1000000 // p.rk ELSE 0 END AS BIGINT) AS rr_ppm
+         FROM gt g JOIN pr p ON p.qid = g.qid AND p.cid = g.gt_id""",
 
     "sim_range_search" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -58,6 +58,39 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 
+  /** Ranking-quality eval for prefix-dimension (Matryoshka-style,
+    * Kusupati et al. '22) embedding truncation: per query, the full-dim
+    * cosine top-1 (excluding self) is the ground truth, the system under
+    * eval ranks by cosine over the first `prefixDims` dims, and the
+    * output is the ground truth's rank in the prefix top-k plus its
+    * reciprocal rank in integer ppm (`10⁶ div rank`, 0 when outside
+    * top-k) — MRR@k is then a trivial average over the rows. ONE corpus
+    * scan computes both rankings: broadcast query batch, scan-local pair
+    * scores, and two bounded [[topKByScore]] aggregates (O(1) and O(k)
+    * state per query) — no per-query window ever sorts the corpus, so
+    * the eval costs the same as the brute-force search it grades. */
+  def prefixMrrEval(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      prefixDims: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1, "prefixDims must be >= 1")
+    val c = corpus.select(corpusId.as("cid"), asDouble(corpusVec).as("cv"))
+    val q = queries.select(queryId.as("qid"), asDouble(queryVec).as("qv"))
+    val scored = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("full", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("pre", round(cosine(
+        slice(col("cv"), 1, prefixDims), slice(col("qv"), 1, prefixDims)), 6))
+    scored.groupBy("qid")
+      .agg(topKByScore(col("full"), col("cid"), 1).as("gt"),
+        topKByScore(col("pre"), col("cid"), k).as("topk"))
+      .select(col("qid").as("query_id"),
+        col("gt")(0)("id").as("gt_id"),
+        array_position(transform(col("topk"), e => e("id")),
+          col("gt")(0)("id")).as("prefix_rank"))
+      .withColumn("rr_ppm",
+        when(col("prefix_rank") > 0, expr("1000000 div prefix_rank"))
+          .otherwise(lit(0L)))
+  }
+
   /** Radius (range) search: ALL corpus vectors within cosine ≥ minSim of
     * each query — the recall-complete complement of top-k (dedup
     * candidate generation, "find everything this close"). One broadcast

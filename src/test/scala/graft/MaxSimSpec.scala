@@ -58,4 +58,26 @@ class MaxSimSpec extends SparkTestBase {
       .select(col("vec_id")).as[Long].collect().toSeq
     assert(top == Seq(1L, 2L))
   }
+
+  test("prefixMrrEval: prefix misranking demotes the full-dim ground " +
+      "truth to rank 2; outside top-k scores rr 0") {
+    // q=[1,0,0]; c1=[0.8,0.6,0] (full cos 0.8 — the true NN);
+    // c2=[0.9,0.1,2] (full cos 0.41, but 2-dim prefix cos 0.9939 > 0.8)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.prefixMrrEval(emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0L), col("vec_id"), col("embedding"),
+        prefixDims = 2, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 1L, 2L, 500000L)), s"${r.toSeq}")
+    // k = 1 cuts the list above the ground truth: rank and rr report 0
+    val r1 = Similarity.prefixMrrEval(emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0L), col("vec_id"), col("embedding"),
+        prefixDims = 2, k = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r1.toSeq == Seq((0L, 1L, 0L, 0L)), s"${r1.toSeq}")
+  }
 }
