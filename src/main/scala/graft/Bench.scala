@@ -68,7 +68,8 @@ object Bench {
     "q_bfs_reach", "q_label_prop", "q_link_predict", "q_modularity",
     "cdc_distinct_maintain", "q_clustering_coeff", "q_hits",
     "cdc_topk_maintain", "q_neighborhood_func", "pipe_leakage_split",
-    "q_sssp", "cdc_seq_gaps", "dedup_cluster_stats", "sim_mrr_eval"
+    "q_sssp", "cdc_seq_gaps", "dedup_cluster_stats", "sim_mrr_eval",
+    "mm_audio_fingerprint"
   )
 
   private def loadavg: Double =

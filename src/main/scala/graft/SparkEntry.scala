@@ -3209,6 +3209,21 @@ object SparkEntry {
         samplesPerFrame = 2, maxAbs = 4095L)
     }),
 
+    "mm_audio_fingerprint" -> ((s, d) => {
+      // compact audio code: build the WAV deterministically from the doc
+      // text (single channel, 16-bit), frame at 4 samples, pack 63
+      // energy-rise bits into a BIGINT — the audio twin of mm_phash
+      import s.implicits._
+      val withWav = t(s, d, "documents")
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, Multimodal.buildWav(1, 8000, 16, text.getBytes("US-ASCII")))
+        }.toDF("doc_id", "payload")
+      Multimodal.audioFingerprint(withWav, "doc_id", "payload",
+        samplesPerFrame = 4, bits = 63)
+    }),
+
     "mm_payload_dedup" -> ((s, d) =>
       // exact dedup on the OPAQUE BINARY payload (the multimodal analog of
       // text fingerprint dedup): md5 over raw bytes, hash-agg clusters —
@@ -5761,6 +5776,29 @@ object SparkEntry {
                  <> substr(b.ahash, CAST(i AS INT), 1))) AS INT) AS hamming
            FROM h a JOIN h b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, hamming FROM p WHERE hamming <= 6""",
+
+    // samples are 2-byte little-endian ASCII pairs (high byte < 128 ⇒
+    // non-negative, abs = value); frames of 4 samples, energy = frame
+    // max; bit i = frame i+1 rose over frame i, packed little-endian
+    "mm_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) >= 4),
+         s AS (SELECT doc_id, text, (n // 2) // 4 AS nf FROM d
+           WHERE (n // 2) // 4 >= 1),
+         fr AS (SELECT doc_id, text, nf, unnest(range(0, nf)) AS fi FROM s),
+         fv AS (SELECT doc_id, nf, fi,
+           list_max([ascii(substring(text, CAST(2*(4*fi+j) AS INT) + 1, 1))
+             + 256 * ascii(substring(text, CAST(2*(4*fi+j) AS INT) + 2, 1))
+             for j in range(0, 4)]) AS mx
+         FROM fr),
+         lg AS (SELECT doc_id, nf, fi, mx,
+             lag(mx) OVER (PARTITION BY doc_id ORDER BY fi) AS pm
+           FROM fv)
+         SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+           CAST(coalesce(sum(CASE WHEN fi >= 1 AND fi <= 63 AND mx > pm
+             THEN (CAST(1 AS BIGINT) << CAST(fi - 1 AS INT)) ELSE 0 END), 0)
+             AS BIGINT) AS fingerprint
+         FROM lg GROUP BY doc_id""",
 
     "mm_wav_rms" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n,

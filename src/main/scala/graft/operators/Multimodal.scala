@@ -670,6 +670,41 @@ object Multimodal {
       .select("doc_id", "span_start_frame", "span_end_frame", "n_frames")
   }
 
+  /** Energy-delta audio fingerprint (the Haitsma–Kalker '02 family,
+    * reduced to one band): decode the PCM chunk with the REAL codec,
+    * frame it, and pack the frame-to-frame energy-rise bits
+    * (`bit i = 1 ⟺ |frame i+1|ₘₐₓ > |frame i|ₘₐₓ`, first `bits` deltas)
+    * into one BIGINT — the robust-to-gain compact code that feeds exact
+    * or banded-Hamming audio dedup exactly as aHash feeds the image
+    * lane. Decode + packing are scan-local (payload bytes never
+    * shuffle); the bit-pack is a codegen'd HOF fold, no UDF. Docs whose
+    * payload yields zero frames drop (nothing to fingerprint). */
+  def audioFingerprint(df: DataFrame, idColName: String, binColName: String,
+      samplesPerFrame: Int, bits: Int = 63): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("__fm", org.apache.spark.sql.types.ArrayType(LongType)))
+    val binIdx = df.schema.fieldIndex(binColName)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val framed = df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ WavCodec
+          .frameAbsMaxes(r.getAs[Array[Byte]](binIdx), samplesPerFrame)
+          .map(_.toSeq).orNull)
+      }
+    }(enc)
+    framed.filter(col("__fm").isNotNull && size(col("__fm")) >= 1)
+      .select(col(idColName).as("doc_id"),
+        size(col("__fm")).cast("long").as("n_frames"),
+        when(size(col("__fm")) >= 2, expr(
+          s"""aggregate(
+               sequence(0, int(least(size(__fm) - 2, ${bits - 1}))),
+               CAST(0 AS BIGINT),
+               (acc, i) -> acc + IF(element_at(__fm, i + 2) > element_at(__fm, i + 1),
+                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""))
+          .otherwise(lit(0L)).as("fingerprint"))
+  }
+
   /** Deterministic frame sampling: keep every `stride`-th frame index up to
     * `n_frames` — pure column math over the decoded metadata. */
   def sampleFrameIndices(nFrames: Column, stride: Int): Column =

@@ -314,6 +314,29 @@ class MultimodalSpec extends SparkTestBase {
         maxHamming = 7, bands = 8, comboBands = 2))
   }
 
+  test("audioFingerprint: energy-rise bits through the real codec; " +
+      "single frame packs zero; bits cap truncates the code") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    // frame = 2 samples = 4 chars; the frame max is set by the HIGH bytes
+    // (positions 1,3): "xAxA"→16760, "xBxB"→17016, "xCxC"→17272
+    def wav(id: Long, text: String) =
+      (id, Multimodal.buildWav(1, 8000, 16, text.getBytes("US-ASCII")))
+    val df = Seq(
+      wav(1L, "xAxA" + "xBxB" + "xAxA" + "xCxC"), // rises at f1, f3 → bits 0,2
+      wav(2L, "xAxA"),                            // one frame → no deltas
+      wav(3L, "xAxAxB"))                          // partial frame dropped
+      .toDF("doc_id", "payload")
+    def run(bits: Int) = Multimodal.audioFingerprint(
+        df, "doc_id", "payload", samplesPerFrame = 2, bits = bits)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(63) == Set((1L, 4L, 5L), (2L, 1L, 0L), (3L, 1L, 0L)),
+      s"${run(63)}")
+    // cap at 2 bits: the f2→f3 rise (bit 2) falls outside the code
+    assert(run(2) == Set((1L, 4L, 1L), (2L, 1L, 0L), (3L, 1L, 0L)),
+      s"${run(2)}")
+  }
+
   test("silenceSpans: framed peak detection through the real codec, " +
       "islands merge, partial trailing frame dropped") {
     import org.apache.spark.sql.functions._
