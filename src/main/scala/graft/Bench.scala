@@ -69,7 +69,7 @@ object Bench {
     "cdc_distinct_maintain", "q_clustering_coeff", "q_hits",
     "cdc_topk_maintain", "q_neighborhood_func", "pipe_leakage_split",
     "q_sssp", "cdc_seq_gaps", "dedup_cluster_stats", "sim_mrr_eval",
-    "mm_audio_fingerprint"
+    "mm_audio_fingerprint", "text_cooccurrence"
   )
 
   private def loadavg: Double =

@@ -14,6 +14,24 @@ object Text {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Scan-local ±2-window co-occurrence pairs (the GloVe input stage,
+    * Pennington et al. '14): for each position i, the unordered pairs
+    * (wᵢ, wᵢ₊₁) and (wᵢ, wᵢ₊₂) in canonical (least, greatest) order, as
+    * one `array<struct<w1, w2>>` per document — a pure HOF projection
+    * over the words array, so the downstream count shuffles pair rows,
+    * never positions, and no positional self-join exists anywhere. */
+  def coocPairs(textCol: Column): Column = {
+    val ws = split(normalized(textCol), " ")
+    flatten(transform(ws, (w, i) => {
+      def pair(off: Int): Column = {
+        val nb = element_at(ws, i + lit(off + 1))
+        when(i + lit(off) < size(ws),
+          struct(least(w, nb).as("w1"), greatest(w, nb).as("w2")))
+      }
+      filter(array(pair(1), pair(2)), x => x.isNotNull)
+    }))
+  }
+
   /** Whitespace token count — ONE allocation-free native pass
     * ([[graft.functions.WsTokenCountExpr]]), value-identical to
     * `size(split(trim(regexp_replace(text, "\\s+", " ")), " "))` (and to the

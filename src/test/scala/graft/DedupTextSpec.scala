@@ -15,6 +15,21 @@ class DedupTextSpec extends SparkTestBase {
   private def docs = Seq((0L, base), (1L, nearDup), (2L, shuffled), (3L, unrelated))
     .toDF("doc_id", "text")
 
+  test("coocPairs: ±2-window pairs in canonical order; short docs " +
+      "degenerate cleanly; repeated words count per occurrence") {
+    def pairs(s: String): Seq[(String, String)] =
+      Seq(s).toDF("t").select(explode(Text.coocPairs(col("t"))).as("p"))
+        .select("p.w1", "p.w2").as[(String, String)].collect().toSeq
+    // "a b c d": (a,b) (a,c) (b,c) (b,d) (c,d) — j=1 then j=2 per position
+    assert(pairs("a b c d").sorted ==
+      Seq(("a","b"), ("a","c"), ("b","c"), ("b","d"), ("c","d")).sorted)
+    // canonical order: "b a" emits (a, b)
+    assert(pairs("b a") == Seq(("a", "b")))
+    // one word → no pairs; repeated word pairs with itself per occurrence
+    assert(pairs("solo").isEmpty)
+    assert(pairs("x x x").sorted == Seq(("x","x"), ("x","x"), ("x","x")).sorted)
+  }
+
   test("exact clusters: shuffled text shares a word-set fingerprint with base") {
     val out = Dedup.exactClusters(
       docs.withColumn("wfp", Text.wordSetFingerprint(col("text"))), col("doc_id"), col("wfp"))
