@@ -1133,6 +1133,32 @@ object SparkEntry {
         t(s, d, "orders").filter(col("o_orderstatus") === "O"),
         col("o_orderkey"))),
 
+    "cdc_minmax_maintain" -> ((s, d) => {
+      // the extremal member of the IVM taxonomy: per event type, all-time
+      // max/min value maintained by folding the batch's extremes into the
+      // stored ones (greatest/least — O(groups) state, no history
+      // rescan). APPEND-monotone and idempotent like the k-min sketch
+      // (replay is a no-op: max(a, max(a,b)) = max(a,b)), but NOT
+      // retraction-maintainable: deleting the current max forces a
+      // rescan — the textbook non-incrementalizable case, spec-pinned in
+      // CdcOpsSpec. Append-only streams (this one) are the exact regime.
+      val ev = t(s, d, "events")
+      val cut = ev.agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(expr("mn + (mx - mn) * 7 div 8").as("__cut"))
+      val w = ev.crossJoin(broadcast(cut))
+      // value is DOUBLE: floor explicitly (DuckDB's CAST rounds, Spark's
+      // truncates — the decimal-surface lesson applied to doubles); floor
+      // commutes with max/min, so folding floored extremes is exact
+      def ext(df: DataFrame) = df.groupBy("event_type")
+        .agg(floor(max(col("value"))).cast("long").as("mx_v"),
+          floor(min(col("value"))).cast("long").as("mn_v"))
+      val stored = ext(w.filter(unix_millis(col("ts")) <= col("__cut")))
+      val batch = ext(w.filter(unix_millis(col("ts")) > col("__cut")))
+      stored.union(batch).groupBy("event_type")
+        .agg(max(col("mx_v")).as("mx_v"), min(col("mn_v")).as("mn_v"))
+    }),
+
     "cdc_topk_maintain" -> ((s, d) => {
       // IVM of a top-k view via stored SpaceSaving sketches — the
       // counter-merge member of the IVM taxonomy: per event type, the
@@ -3245,6 +3271,26 @@ object SparkEntry {
         samplesPerFrame = 4, bits = 63)
     }),
 
+    "mm_audio_neardup" -> ((s, d) => {
+      // audio NEAR-dup pairs (hamming <= 6 over the energy-delta
+      // fingerprint): the image lane's banded machinery applied verbatim
+      // to the audio code — 8 bands on 2-band combination keys, recall
+      // EXACT by pigeonhole, the quadratic form only in the oracle
+      import s.implicits._
+      val withWav = t(s, d, "documents")
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, Multimodal.buildWav(1, 8000, 16, text.getBytes("US-ASCII")))
+        }.toDF("doc_id", "payload")
+      val fp = Multimodal.audioFingerprint(withWav, "doc_id", "payload",
+        samplesPerFrame = 4, bits = 63)
+      val hashed = fp.select(col("doc_id"),
+        lpad(bin(col("fingerprint")), 64, "0").as("ah"))
+      Multimodal.phashNearDup(hashed, col("doc_id"), col("ah"),
+        maxHamming = 6, bands = 8, comboBands = 2)
+    }),
+
     "mm_payload_dedup" -> ((s, d) =>
       // exact dedup on the OPAQUE BINARY payload (the multimodal analog of
       // text fingerprint dedup): md5 over raw bytes, hash-agg clusters —
@@ -4424,6 +4470,13 @@ object SparkEntry {
            CAST(k - 1 AS BIGINT) AS gap_end,
            CAST(k - p - 1 AS BIGINT) AS missing
          FROM s WHERE p IS NOT NULL AND k - p > 1""",
+
+    "cdc_minmax_maintain" ->
+      // the RECOMPUTE: the maintained extremes must equal the full-history
+      // aggregate (append-only stream = the exact regime)
+      """SELECT event_type, CAST(floor(max(value)) AS BIGINT) AS mx_v,
+           CAST(floor(min(value)) AS BIGINT) AS mn_v
+         FROM events GROUP BY event_type""",
 
     "cdc_topk_maintain" ->
       // the RECOMPUTE regime: counter-wise SpaceSaving merge is exact
@@ -5837,6 +5890,32 @@ object SparkEntry {
              THEN (CAST(1 AS BIGINT) << CAST(fi - 1 AS INT)) ELSE 0 END), 0)
              AS BIGINT) AS fingerprint
          FROM lg GROUP BY doc_id""",
+
+    // the fingerprint CTEs verbatim, then the all-pairs Hamming scan the
+    // banded join provably reproduces
+    "mm_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+           WHERE length(text) >= 4),
+         s AS (SELECT doc_id, text, (n // 2) // 4 AS nf FROM d
+           WHERE (n // 2) // 4 >= 1),
+         fr AS (SELECT doc_id, text, nf, unnest(range(0, nf)) AS fi FROM s),
+         fv AS (SELECT doc_id, nf, fi,
+           list_max([ascii(substring(text, CAST(2*(4*fi+j) AS INT) + 1, 1))
+             + 256 * ascii(substring(text, CAST(2*(4*fi+j) AS INT) + 2, 1))
+             for j in range(0, 4)]) AS mx
+         FROM fr),
+         lg AS (SELECT doc_id, nf, fi, mx,
+             lag(mx) OVER (PARTITION BY doc_id ORDER BY fi) AS pm
+           FROM fv),
+         fp AS (SELECT doc_id,
+           CAST(coalesce(sum(CASE WHEN fi >= 1 AND fi <= 63 AND mx > pm
+             THEN (CAST(1 AS BIGINT) << CAST(fi - 1 AS INT)) ELSE 0 END), 0)
+             AS BIGINT) AS f
+         FROM lg GROUP BY doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 6""",
 
     "mm_wav_rms" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n,

@@ -350,6 +350,29 @@ class CdcOpsSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("minmax maintenance taxonomy: append-fold is idempotent (replay " +
+      "safe), but a retraction of the current max CANNOT be folded") {
+    // (the taxonomy pin for cdc_minmax_maintain)
+    val stored = Seq((1, 10L), (1, 7L)).toDF("g", "v")
+      .groupBy("g").agg(max("v").as("mx"))
+    val batch = Seq((1, 9L)).toDF("g", "v")
+      .groupBy("g").agg(max("v").as("mx"))
+    def fold(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.unionAll(b).groupBy("g").agg(max("mx").as("mx"))
+    val once = fold(stored, batch).as[(Int, Long)].collect().toSet
+    assert(once == Set((1, 10L)))
+    // replaying the batch changes nothing — max is idempotent
+    assert(fold(fold(stored, batch), batch)
+      .as[(Int, Long)].collect().toSet == once)
+    // but retracting the max (delete v=10) is not foldable: the stale
+    // maintained value (10) differs from the recompute (9) — a delete of
+    // the extremum must trigger the group's rescan
+    val afterDelete = Seq((1, 7L), (1, 9L)).toDF("g", "v")
+      .groupBy("g").agg(max("v").as("mx")).as[(Int, Long)].collect().toSet
+    assert(afterDelete == Set((1, 9L)) && afterDelete != once)
+  }
+
   test("seqGaps: bucketed gap report equals the single-window reference; " +
       "gaps spanning empty buckets survive the boundary stitch") {
     import graft.operators.Cdc
