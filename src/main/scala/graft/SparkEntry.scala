@@ -669,6 +669,33 @@ object SparkEntry {
           when(col("first_purchase") >= col("first_view"),
             col("first_purchase") - col("first_view")))),
 
+    "cdc_attribution" -> ((s, d) => {
+      // last-touch attribution: each purchase credits the latest click/
+      // view by the same user at-or-before it, within a 24 h lookback —
+      // the as-of join reused as the marketing-attribution primitive
+      // (same union+window shape as cdc_as_of_state: ONE exchange on the
+      // user key, streams both sides in time order, never a per-purchase
+      // scan of touch history). Touches pre-dedup to one per (user, ts)
+      // with the max event_id so the as-of pick is deterministic even if
+      // two touches share a microsecond.
+      val ev = t(s, d, "events")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id").as("u"), col("ts").as("tts"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("tch"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.TemporalJoins.asOfJoin(
+          purchases, col("user_id"), col("ts"),
+          touches, col("u"), col("tts"),
+          Seq("touch_id" -> col("tch.event_id"),
+            "touch_type" -> col("tch.event_type"),
+            "touch_ms" -> unix_millis(col("tts"))))
+        .withColumn("ms_since_touch",
+          unix_millis(col("ts")) - col("touch_ms"))
+        .filter(col("ms_since_touch") <= lit(86400000L))
+        .select("event_id", "touch_id", "touch_type", "ms_since_touch")
+    }),
+
     "cdc_event_transitions" -> ((s, d) =>
       // first-order Markov transition counts (the "what happens next"
       // product-analytics read): lead() over each user's (ts, event_id)-
@@ -991,6 +1018,62 @@ object SparkEntry {
       graft.operators.Cdc.gapFillDaily(t(s, d, "events"), col("user_id"),
           col("ts"), col("value"))
         .select(col("key").as("user_id"), col("day"), col("value_filled_cents"))),
+
+    "q_trend_slope" -> ((s, d) => {
+      // per-type revenue trend: OLS slope over the daily-total series in
+      // INTEGER arithmetic end to end — slope = (nΣxy − ΣxΣy)/(nΣx² −
+      // (Σx)²) over (x = day − per-type min day, y = daily cents),
+      // emitted as a truncating-div ppm so the hashed surface carries no
+      // floating point. The x re-base is not cosmetic: it bounds every
+      // product by (day-span × Σ|y|) instead of (epoch-day × Σ|y|), which
+      // is what keeps nΣxy inside BIGINT when daily cents grow 10⁶× at
+      // corpus scale. Shape: one events-sized hash-agg to the
+      // #types×#days daily relation, then a window + agg over that tiny
+      // bounded relation — no joins, nothing events-sized crosses twice.
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * lit(100))
+          .cast("long")).as("y"))
+      val rel = daily.withColumn("x",
+        col("day") - min(col("day")).over(Window.partitionBy("event_type")))
+      rel.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"),
+          expr("1000000L * (n * sxy - sx * sy) div (n * sxx - sx * sx)")
+            .as("slope_ppm"),
+          col("n").as("n_days"))
+    }),
+
+    "q_changepoint" -> ((s, d) => {
+      // mean-shift detection (CUSUM argmax): per type, the day t that
+      // maximizes |n·prefix_t − t·total| — the integer-scaled deviation
+      // of the cumulative sum from the overall-mean line (×n clears the
+      // ȳ fraction, so the statistic is exact BIGINT algebra). Same
+      // daily pre-agg as q_trend_slope; the running/total sums are ONE
+      // window pass over the bounded daily relation; argmax ties break
+      // to the earliest day via a struct max, never a sort of the output.
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * lit(100))
+          .cast("long")).as("y"))
+      val wRun = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      daily
+        .withColumn("ti", row_number().over(wRun).cast("long"))
+        .withColumn("prefix", sum(col("y")).over(wRun))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("total", sum(col("y")).over(wAll))
+        .withColumn("dev",
+          abs(col("n") * col("prefix") - col("ti") * col("total")))
+        .groupBy("event_type")
+        .agg(max(struct(col("dev"), (-col("day")).as("negday"))).as("m"))
+        .select(col("event_type"), (-col("m.negday")).as("change_day"),
+          col("m.dev").as("cusum_dev"))
+    }),
 
     "q_cohort_retention" -> ((s, d) =>
       // cohort retention: first-activity week x activity-week offset,
@@ -2854,6 +2937,30 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
     }),
 
+    "sim_knn_graph" -> ((s, d) => {
+      // mutual-kNN graph over the embedding corpus (k=5): the undirected
+      // edge list that kNN-graph clustering / agglomerative curation
+      // consumes — directed top-k via the bounded partial aggregate, then
+      // a semi-join mutuality filter (hub edges don't reciprocate)
+      val emb = t(s, d, "embeddings")
+      Similarity.knnGraph(emb, col("vec_id"), col("embedding"), 5)
+    }),
+
+    "sim_knn_components" -> ((s, d) => {
+      // embedding clusters = connected components of the mutual-kNN graph
+      // (the graph-clustering composition: knnGraph edges feed the same
+      // star-contraction kernel as q_components/dedup_resolve; isolated
+      // vectors — no reciprocated neighbor — stay out by construction).
+      // k=3: tighter mutuality so the census is non-degenerate (10
+      // components at sf0.01 vs one giant component at k=5)
+      val emb = t(s, d, "embeddings")
+      val edges = Similarity.knnGraph(emb, col("vec_id"), col("embedding"), 3)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.Dedup.resolveCanonicalStars(edges)
+        .groupBy(col("canonical_id").as("component_id"))
+        .agg(count(lit(1)).as("n_vectors"))
+    }),
+
     "sim_mrr_eval" -> ((s, d) => {
       // Matryoshka truncation grading: does ranking by the first 8 dims
       // still surface the full-dim nearest neighbor? Per query: ground
@@ -3371,6 +3478,33 @@ object SparkEntry {
         Multimodal.perceptualHash(withPng, "payload"),
         col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
         comboBands = 2)
+    }),
+
+    "mm_phash_clusters" -> ((s, d) => {
+      // image near-dup CLUSTERS: the banded phash pair stream closed
+      // into canonical groups by the star-contraction kernel — the same
+      // pairs→components composition as sim_knn_components, applied to
+      // the multimodal lane (the "keep one per duplicate image group"
+      // step of corpus curation). Cluster id = min member doc_id; only
+      // docs with ≥1 near-dup partner appear (singletons have nothing to
+      // deduplicate). Pair generation is the banded exact-recall path —
+      // the all-pairs form exists only in the oracle.
+      import s.implicits._
+      val withPng = t(s, d, "documents")
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, Multimodal.ImageCodec.buildPng(8, 8,
+            java.util.Arrays.copyOf(text.getBytes("US-ASCII"), 64)))
+        }.toDF("doc_id", "payload")
+      val pairs = Multimodal.phashNearDup(
+          Multimodal.perceptualHash(withPng, "payload"),
+          col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
+          comboBands = 2)
+        .select(col("a_id"), col("b_id"))
+      Dedup.resolveCanonicalStars(pairs)
+        .groupBy(col("canonical_id").as("cluster_id"))
+        .agg(count(lit(1)).as("n_images"))
     }),
 
     "mm_frame_sample" -> ((s, d) => {
@@ -4204,6 +4338,23 @@ object SparkEntry {
              THEN first_purchase - first_view END AS ms_to_convert
          FROM a""",
 
+    // touches dedup to max-event_id per (user, ts) exactly like the
+    // engine, so the DESC rank never ties; lookback postfilter last
+    "cdc_attribution" ->
+      """WITH tch AS (SELECT user_id, ts, max(event_id) AS touch_id,
+             arg_max(event_type, event_id) AS touch_type
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+         j AS (SELECT p.event_id, t.touch_id, t.touch_type,
+             epoch_ms(p.ts) - epoch_ms(t.ts) AS ms_since_touch
+           FROM p JOIN tch t ON t.user_id = p.user_id AND t.ts <= p.ts
+           QUALIFY row_number() OVER (PARTITION BY p.event_id
+             ORDER BY t.ts DESC) = 1)
+         SELECT event_id, touch_id, touch_type, ms_since_touch
+         FROM j WHERE ms_since_touch <= 86400000""",
+
     "cdc_event_transitions" ->
       """WITH t AS (SELECT event_type AS from_type,
              lead(event_type) OVER (PARTITION BY user_id
@@ -4376,6 +4527,44 @@ object SparkEntry {
            last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled_cents
          FROM j""",
+
+    // integer OLS over per-type x-rebased daily cents; DuckDB sums go
+    // HUGEINT so the // happens wide, then casts down to the engine's
+    // BIGINT — values are equal because the engine's products are
+    // bounded by the rebase (see the Scala comment)
+    "q_trend_slope" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+           FROM events GROUP BY 1, 2),
+         rel AS (SELECT event_type,
+             day - min(day) OVER (PARTITION BY event_type) AS x, y
+           FROM daily),
+         a AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM rel GROUP BY 1)
+         SELECT event_type,
+           CAST(1000000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
+             AS BIGINT) AS slope_ppm,
+           CAST(n AS BIGINT) AS n_days
+         FROM a""",
+
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, day,
+             CAST(row_number() OVER w AS BIGINT) AS ti,
+             sum(y) OVER w AS prefix,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS total
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_type, day AS change_day,
+           CAST(abs(n * prefix - ti * total) AS BIGINT) AS cusum_dev
+         FROM c
+         QUALIFY row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(n * prefix - ti * total) DESC, day ASC) = 1""",
 
     "q_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
@@ -5665,6 +5854,42 @@ object SparkEntry {
          FROM c, q WHERE vec_id <> query_id
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 10""",
 
+    // the directed top-k CTE matches sim_brute_topk's discipline (rounded
+    // cosine, id tie-break); mutual = the reverse edge exists in the SAME
+    // top-k relation
+    "sim_knn_graph" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         tk AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+             round(list_dot_product(a.cv, b.cv)
+               / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6) AS cos_sim
+           FROM c a JOIN c b ON a.vec_id <> b.vec_id
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) <= 5)
+         SELECT t.qid AS a_id, t.cid AS b_id, t.cos_sim
+         FROM tk t JOIN tk r ON r.qid = t.cid AND r.cid = t.qid
+         WHERE t.qid < t.cid""",
+
+    // mutual-kNN edges (the sim_knn_graph CTE verbatim) closed into
+    // components by recursive reachability — same recompute shape as
+    // q_components' oracle
+    "sim_knn_components" ->
+      """WITH RECURSIVE c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         tk AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+             round(list_dot_product(a.cv, b.cv)
+               / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6) AS cos_sim
+           FROM c a JOIN c b ON a.vec_id <> b.vec_id
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) <= 3),
+         e0 AS (SELECT t.qid AS a, t.cid AS b FROM tk t
+           JOIN tk r ON r.qid = t.cid AND r.cid = t.qid WHERE t.qid < t.cid),
+         ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT a AS v FROM ed),
+         reach(v, l) AS (
+           SELECT v, v AS l FROM nodes
+           UNION
+           SELECT e.b AS v, reach.l FROM reach JOIN ed e ON e.a = reach.v),
+         comp AS (SELECT v, min(l) AS component_id FROM reach GROUP BY v)
+         SELECT component_id, count(*) AS n_vectors
+         FROM comp GROUP BY component_id""",
+
     // same rounded-cosine discipline as sim_brute_topk; ground truth =
     // full-dim top-1, system = first-8-dims ranking, both tie-broken by id
     "sim_mrr_eval" ->
@@ -5867,6 +6092,34 @@ object SparkEntry {
                  <> substr(b.ahash, CAST(i AS INT), 1))) AS INT) AS hamming
            FROM h a JOIN h b ON a.doc_id < b.doc_id)
          SELECT a_id, b_id, hamming FROM p WHERE hamming <= 6""",
+
+    // the mm_phash_neardup pair CTE verbatim, closed into components by
+    // recursive reachability (min-member cluster id) — the same
+    // recompute shape as q_components' oracle
+    "mm_phash_clusters" ->
+      """WITH RECURSIVE b AS (SELECT doc_id,
+           list_transform(range(1, 65), i -> ascii(substr(text, CAST(i AS INT), 1))) AS px
+         FROM documents WHERE length(text) >= 64),
+         h AS (SELECT doc_id,
+           list_aggregate(list_transform(px,
+             p -> CASE WHEN p * 64 >= list_sum(px) THEN '1' ELSE '0' END),
+             'string_agg', '') AS ahash
+         FROM b),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM h a JOIN h b ON a.doc_id < b.doc_id
+           WHERE length(list_filter(range(1, 65),
+             i -> substr(a.ahash, CAST(i AS INT), 1)
+               <> substr(b.ahash, CAST(i AS INT), 1))) <= 6),
+         ed AS (SELECT a_id AS a, b_id AS b FROM p
+           UNION SELECT b_id, a_id FROM p),
+         nodes AS (SELECT DISTINCT a AS v FROM ed),
+         reach(v, l) AS (
+           SELECT v, v AS l FROM nodes
+           UNION
+           SELECT e.b AS v, reach.l FROM reach JOIN ed e ON e.a = reach.v),
+         comp AS (SELECT v, min(l) AS cluster_id FROM reach GROUP BY v)
+         SELECT cluster_id, count(*) AS n_images
+         FROM comp GROUP BY cluster_id""",
 
     // samples are 2-byte little-endian ASCII pairs (high byte < 128 ⇒
     // non-negative, abs = value); frames of 4 samples, energy = frame

@@ -58,6 +58,38 @@ object Similarity {
       .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
   }
 
+  /** MUTUAL k-nearest-neighbor graph over an embedding corpus: undirected
+    * edge (a, b) exists iff b is in a's cosine top-k AND a is in b's —
+    * the standard symmetrization that strips hub-dominated one-way edges
+    * (a hub lands in everyone's top-k; mutuality keeps only pairs that
+    * reciprocate), and the building block for kNN-graph clustering /
+    * agglomerative curation of embedding corpora.
+    *
+    * Shape: the directed top-k lists come from the same scan + bounded
+    * [[topKByScore]] aggregate as [[bruteForceTopK]] (k rows per node per
+    * partition cross the exchange, never the full pair stream), and the
+    * mutual filter is a LEFT SEMI self-join of the a<b half against the
+    * reversed edge list — edge-sized, k·n rows. The pair SCORING here is
+    * the exact all-pairs form (the gate's oracle-able ground truth); at
+    * corpus scale the scorer's input swaps for a candidate generator
+    * ([[lshCosineCandidates]] bands or [[ivfProbes]] cells — both
+    * present) and the top-k/mutual machinery is unchanged, because the
+    * bounded aggregate never cares where candidate pairs came from. */
+  def knnGraph(corpus: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame = {
+    val c = corpus.select(idCol.as("vec_id"), asDouble(vecCol).as("cv"))
+    val q = c.select(col("vec_id").as("query_id"), col("cv").as("qv"))
+    val tk = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos_sim"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("vec_id"), col("__e.score").as("cos_sim"))
+    val rev = tk.select(col("vec_id").as("query_id"), col("query_id").as("vec_id"))
+    tk.filter(col("query_id") < col("vec_id"))
+      .join(rev, Seq("query_id", "vec_id"), "left_semi")
+      .select(col("query_id").as("a_id"), col("vec_id").as("b_id"), col("cos_sim"))
+  }
+
   /** Ranking-quality eval for prefix-dimension (Matryoshka-style,
     * Kusupati et al. '22) embedding truncation: per query, the full-dim
     * cosine top-1 (excluding self) is the ground truth, the system under

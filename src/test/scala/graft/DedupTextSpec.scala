@@ -980,6 +980,27 @@ class DedupTextSpec extends SparkTestBase {
       !want.contains((6L, 7L)))
   }
 
+  test("knnGraph keeps only MUTUAL top-k edges (hub one-way edges drop)") {
+    // k=1 fixture engineered so every directed-edge fate appears:
+    //   hub(0)→b(2) and b→hub reciprocate → the ONLY mutual edge;
+    //   a(1)→b is one-way (b prefers the hub); c(3)→a is one-way (a
+    //   prefers b). A symmetrization that unions instead of intersecting
+    //   would emit 3 edges here — the spec pins exactly one.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), // hub
+      (1L, Array(0.9f, 0.1f)), // a: top-1 = b (cos .9984 beats hub .9939)
+      (2L, Array(0.95f, 0.05f)), // b: top-1 = hub (.9986 beats a .9984)
+      (3L, Array(0.0f, 1.0f))) // c: top-1 = a (.1104) — unreciprocated
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnGraph(vecs, col("vec_id"), col("embedding"), 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L)))
+    // k large enough to make every pair mutual → full undirected graph
+    val all = Similarity.knnGraph(vecs, col("vec_id"), col("embedding"), 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(all == (for { i <- 0L to 3L; j <- i + 1 to 3L } yield (i, j)).toSet)
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

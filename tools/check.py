@@ -45,11 +45,23 @@ def main():
     args = [a for a in sys.argv[1:] if a != "--strict"]
     STRICT = "--strict" in sys.argv[1:]
     sf_dir, out_dir = args[0], args[1]
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    # fresh connection per query batch: one connection across 200+ oracles
+    # (several with recursive CTEs / large sorts) accumulates allocator
+    # state until DuckDB fails tiny allocations ("block of 16384 bytes")
+    # on queries that pass in isolation — a spurious-red hazard for the
+    # gate. Recycling every RECYCLE_EVERY queries resets the allocator;
+    # a failed oracle additionally gets ONE retry on a brand-new
+    # connection before being reported.
+    RECYCLE_EVERY = 20
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+    con = fresh_con()
+    since_recycle = 0
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
@@ -60,6 +72,11 @@ def main():
         if not files:
             results[name] = "NO_OUTPUT"
             continue
+        since_recycle += 1
+        if since_recycle >= RECYCLE_EVERY:
+            con.close()
+            con = fresh_con()
+            since_recycle = 0
         got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
         if name not in oracle:
             results[name] = f"ROWS_ONLY({len(got)})" + ("" if len(got) > 0 else " !!EMPTY")
@@ -67,8 +84,14 @@ def main():
         try:
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            results[name] = f"ORACLE_SQL_ERROR: {e}"
-            continue
+            try:
+                con.close()
+                con = fresh_con()
+                since_recycle = 0
+                exp = con.execute(oracle[name]).fetchdf()
+            except Exception:
+                results[name] = f"ORACLE_SQL_ERROR: {e}"
+                continue
         g_cols, e_cols = sorted(got.columns), sorted(exp.columns)
         if g_cols != e_cols:
             results[name] = f"SCHEMA_MISMATCH got={g_cols} exp={e_cols}"
