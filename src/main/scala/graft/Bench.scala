@@ -69,7 +69,11 @@ object Bench {
     "cdc_distinct_maintain", "q_clustering_coeff", "q_hits",
     "cdc_topk_maintain", "q_neighborhood_func", "pipe_leakage_split",
     "q_sssp", "cdc_seq_gaps", "dedup_cluster_stats", "sim_mrr_eval",
-    "mm_audio_fingerprint", "text_cooccurrence"
+    "mm_audio_fingerprint", "text_cooccurrence",
+    "cdc_minmax_maintain", "mm_audio_neardup", "sim_knn_graph",
+    "sim_knn_components", "cdc_attribution", "q_trend_slope",
+    "q_changepoint", "mm_phash_clusters", "cdc_conversion_paths",
+    "sim_knn_graph_ivf"
   )
 
   private def loadavg: Double =

@@ -709,6 +709,38 @@ object SparkEntry {
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("cnt"))),
 
+    "cdc_conversion_paths" -> ((s, d) =>
+      // top converting paths — the sequence-mining complement of the
+      // first-order transition matrix: per converting user, the LAST
+      // THREE event types strictly before their first purchase, joined
+      // ">"-chronologically, counted across users. ONE user-keyed
+      // exchange (the same collect_list shape as funnelSteps, state
+      // bounded per key by the user's event count); cutoff, ordering,
+      // slice, and path join are all scan-local array ops after the agg.
+      // Strict-before uses the (ms, event_id) pair so a touch sharing
+      // the purchase's microsecond still orders deterministically.
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"), col("event_id"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "purchase",
+            struct(col("ms"), col("event_id")))).as("fp"),
+          collect_list(struct(col("ms"), col("event_id"),
+            col("event_type"))).as("evs"))
+        .filter(col("fp").isNotNull)
+        .select(expr(
+          "array_sort(filter(evs, e -> struct(e.ms, e.event_id) < fp))")
+          .as("pre"))
+        .filter(size(col("pre")) >= 1)
+        // start clamped to -size: slice(-3) on a shorter-than-3 array is
+        // out-of-range in Spark and silently yields [], which would drop
+        // every 1-2-event path
+        .select(expr("slice(pre, -least(size(pre), 3), 3)").as("last3"))
+        .select(expr("array_join(transform(last3, e -> e.event_type), '>')")
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))),
+
     "q_mad_outliers" -> ((s, d) => {
       // robust outlier flags via Median Absolute Deviation (the
       // Hampel/robust-statistics standard — unlike z-scores, the
@@ -2961,6 +2993,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vectors"))
     }),
 
+    "sim_knn_graph_ivf" -> ((s, d) => {
+      // the SCALE path of sim_knn_graph: mutual top-k restricted to IVF
+      // cells (equi-join on the nearest-centroid id — Σ cell² scoring,
+      // no corpus broadcast), same fixed 8-centroid codebook as
+      // sim_ann_ivf so the approximation is deterministic and the oracle
+      // replays it exactly
+      val emb = t(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          Similarity.asDouble(col("embedding")).as("cvec"))
+      Similarity.knnGraphIvf(emb, col("vec_id"), col("embedding"),
+        centroids, 5)
+    }),
+
     "sim_mrr_eval" -> ((s, d) => {
       // Matryoshka truncation grading: does ranking by the first 8 dims
       // still surface the full-dim nearest neighbor? Per query: ground
@@ -3382,7 +3428,15 @@ object SparkEntry {
       // audio NEAR-dup pairs (hamming <= 6 over the energy-delta
       // fingerprint): the image lane's banded machinery applied verbatim
       // to the audio code — 8 bands on 2-band combination keys, recall
-      // EXACT by pigeonhole, the quadratic form only in the oracle
+      // EXACT by pigeonhole, the quadratic form only in the oracle.
+      // MINIMUM-DURATION gate (n_frames >= 32): a fingerprint over a
+      // handful of frames is mostly unset bits and cannot discriminate —
+      // without the floor 2.4% of ALL doc pairs qualify at sf0.1 (295k
+      // pairs; ~30M at ×10, with the all-zero band value as a
+      // single-task skew cliff through the banded join); with it the
+      // pair set is 217 true near-dups. Short clips belong to the exact
+      // path (mm_payload_dedup), matching how production audio dedup
+      // gates fingerprint matching on clip length.
       import s.implicits._
       val withWav = t(s, d, "documents")
         .filter(length(col("text")) >= 4)
@@ -3392,7 +3446,7 @@ object SparkEntry {
         }.toDF("doc_id", "payload")
       val fp = Multimodal.audioFingerprint(withWav, "doc_id", "payload",
         samplesPerFrame = 4, bits = 63)
-      val hashed = fp.select(col("doc_id"),
+      val hashed = fp.filter(col("n_frames") >= 32).select(col("doc_id"),
         lpad(bin(col("fingerprint")), 64, "0").as("ah"))
       Multimodal.phashNearDup(hashed, col("doc_id"), col("ah"),
         maxHamming = 6, bands = 8, comboBands = 2)
@@ -4354,6 +4408,26 @@ object SparkEntry {
              ORDER BY t.ts DESC) = 1)
          SELECT event_id, touch_id, touch_type, ms_since_touch
          FROM j WHERE ms_since_touch <= 86400000""",
+
+    // last-3-before-first-purchase paths; string_agg ORDER BY rn DESC
+    // renders chronological order (rn counts back from the purchase)
+    "cdc_conversion_paths" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS pms, event_id AS peid
+           FROM events WHERE event_type = 'purchase'
+           QUALIFY row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) = 1),
+         pre AS (SELECT e.user_id, e.event_type,
+             epoch_ms(e.ts) AS ms, e.event_id
+           FROM events e JOIN p ON p.user_id = e.user_id
+           WHERE (epoch_ms(e.ts), e.event_id) < (p.pms, p.peid)),
+         r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ms DESC, event_id DESC) AS rn
+           FROM pre),
+         paths AS (SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn DESC) AS path
+           FROM r WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM paths GROUP BY path""",
 
     "cdc_event_transitions" ->
       """WITH t AS (SELECT event_type AS from_type,
@@ -5890,6 +5964,27 @@ object SparkEntry {
          SELECT component_id, count(*) AS n_vectors
          FROM comp GROUP BY component_id""",
 
+    // sim_ann_ivf's assignment CTE feeding sim_knn_graph's top-k/mutual
+    // CTEs, with the candidate join restricted to same-cell pairs
+    "sim_knn_graph_ivf" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 8),
+         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+         asg AS (SELECT vec_id, centroid_id, vv FROM v, c
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+             round(list_dot_product(vv, cv)
+               / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+             centroid_id) = 1),
+         tk AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+             round(list_dot_product(a.vv, b.vv)
+               / (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6) AS cos_sim
+           FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+             AND a.vec_id <> b.vec_id
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) <= 5)
+         SELECT t.qid AS a_id, t.cid AS b_id, t.cos_sim
+         FROM tk t JOIN tk r ON r.qid = t.cid AND r.cid = t.qid
+         WHERE t.qid < t.cid""",
+
     // same rounded-cosine discipline as sim_brute_topk; ground truth =
     // full-dim top-1, system = first-8-dims ranking, both tie-broken by id
     "sim_mrr_eval" ->
@@ -6150,7 +6245,7 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
            WHERE length(text) >= 4),
          s AS (SELECT doc_id, text, (n // 2) // 4 AS nf FROM d
-           WHERE (n // 2) // 4 >= 1),
+           WHERE (n // 2) // 4 >= 32),
          fr AS (SELECT doc_id, text, nf, unnest(range(0, nf)) AS fi FROM s),
          fv AS (SELECT doc_id, nf, fi,
            list_max([ascii(substring(text, CAST(2*(4*fi+j) AS INT) + 1, 1))

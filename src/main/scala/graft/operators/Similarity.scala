@@ -76,10 +76,34 @@ object Similarity {
     * present) and the top-k/mutual machinery is unchanged, because the
     * bounded aggregate never cares where candidate pairs came from. */
   def knnGraph(corpus: DataFrame, idCol: Column, vecCol: Column, k: Int): DataFrame = {
+    // repartition BEFORE the broadcast scoring join: the n² pair stream is
+    // generated at the parallelism of the corpus-side SCAN, and a small
+    // parquet corpus arrives in 1-2 splits — n·|corpus| cosines would run
+    // on one task (the text_cooccurrence lesson: repartition the n input
+    // rows, which is cheap, not the n² derived stream, which never
+    // materializes)
+    // norms precomputed per ROW, not per pair: the n² scorer then runs one
+    // dot per pair instead of three — the division tree a/(b·c) is
+    // unchanged, so the rounded value is bit-identical to cosine()
     val c = corpus.select(idCol.as("vec_id"), asDouble(vecCol).as("cv"))
-    val q = c.select(col("vec_id").as("query_id"), col("cv").as("qv"))
-    val tk = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
+      .repartition(col("vec_id"))
+      .withColumn("nrm", sqrt(dot(col("cv"), col("cv"))))
+    val q = c.select(col("vec_id").as("query_id"), col("cv").as("qv"),
+      col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("cv"), col("qv")) / (col("nrm") * col("qn")), 6))
+    mutualTopK(scored, k)
+  }
+
+  /** Shared tail of the kNN-graph family: bounded per-query top-k over a
+    * scored (query_id, vec_id, cos_sim) candidate stream, then the
+    * mutuality filter (a<b half LEFT SEMI-joined against the reversed
+    * directed edges). Candidate-generator-agnostic — exact all-pairs
+    * ([[knnGraph]]) and IVF-cell-restricted ([[knnGraphIvf]]) streams
+    * flow through identically. */
+  private def mutualTopK(scored: DataFrame, k: Int): DataFrame = {
+    val tk = scored
       .groupBy("query_id")
       .agg(topKByScore(col("cos_sim"), col("vec_id"), k).as("__tk"))
       .select(col("query_id"), explode(col("__tk")).as("__e"))
@@ -88,6 +112,29 @@ object Similarity {
     tk.filter(col("query_id") < col("vec_id"))
       .join(rev, Seq("query_id", "vec_id"), "left_semi")
       .select(col("query_id").as("a_id"), col("vec_id").as("b_id"), col("cos_sim"))
+  }
+
+  /** Mutual-kNN graph restricted to IVF cells — the SCALE path of
+    * [[knnGraph]]: vectors score only against members of their own
+    * nearest-centroid cell (one equi-join on the cell id — scoring volume
+    * Σ cell² instead of n², and no broadcast of the corpus), then the
+    * same bounded top-k + mutuality tail. Approximate exactly where IVF
+    * search is: a neighbor in a different cell is invisible, which is the
+    * standard IVF trade — centroid count scales ~√n so cells stay
+    * bounded, and multi-probe widens recall on the same plan. Assignment
+    * is the scan-local plan-literal argmax of [[ivfAssign]]; everything
+    * downstream of scoring is byte-identical to the exact form. */
+  def knnGraphIvf(corpus: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, k: Int): DataFrame = {
+    val a = ivfAssign(corpus, idCol, vecCol, centroids)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val b = a.select(col("centroid_id").as("__qc"),
+      col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = a.join(b,
+        col("centroid_id") === col("__qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    mutualTopK(scored, k)
   }
 
   /** Ranking-quality eval for prefix-dimension (Matryoshka-style,

@@ -1001,6 +1001,28 @@ class DedupTextSpec extends SparkTestBase {
     assert(all == (for { i <- 0L to 3L; j <- i + 1 to 3L } yield (i, j)).toSet)
   }
 
+  test("knnGraphIvf links within cells only; cross-cell near pair invisible") {
+    // two clean clusters around the axes; v4=(0.8,0.6) falls in cell 0,
+    // v5=(0.6,0.8) in cell 1, yet they are each other's GLOBAL nearest
+    // neighbor (cos .96) — the exact graph links them, the IVF-restricted
+    // graph cannot (the standard IVF trade, pinned here), while the
+    // within-cell mutual pairs come out identically in both forms
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (4L, Array(0.8f, 0.6f)),
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)),
+      (5L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "cvec")
+    val exact = Similarity.knnGraph(vecs, col("vec_id"), col("embedding"), 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 2L), (1L, 3L), (4L, 5L)))
+    val ivf = Similarity.knnGraphIvf(vecs, col("vec_id"), col("embedding"),
+        cents, 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ivf == Set((0L, 2L), (1L, 3L)))
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
