@@ -1107,6 +1107,46 @@ object SparkEntry {
           col("m.dev").as("cusum_dev"))
     }),
 
+    "q_rfm_segments" -> ((s, d) => {
+      // RFM segmentation — the classic customer-value census: per user
+      // Recency (days since last event), Frequency (events), Monetary
+      // (cents), each scored 1-4 against corpus QUARTILE boundaries, the
+      // 3-digit segment counted across users. Boundaries come from the
+      // KLL quantile aggregate (O(k) reducer state at any user count,
+      // exact order statistics below capacity — the ccnet_buckets
+      // pattern) and land as driver scalars; scoring is then a pure
+      // scan-local projection — no global rank window ever sorts the
+      // user relation, which is what an ntile() formulation would do
+      // through one task. Ties score by strict > against the boundary
+      // value: deterministic under any row order.
+      val ev = t(s, d, "events")
+      val maxTs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+      val rfm = ev.groupBy(col("user_id"))
+        .agg(max(unix_millis(col("ts"))).as("lastms"),
+          count(lit(1)).as("freq"),
+          sum((col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+            .as("mon"))
+        .withColumn("rec_days", expr(s"(${maxTs}L - lastms) div 86400000"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qrow = rfm.agg(
+        graft.functions.KllQuantileAgg.kllQuantiles(
+          col("rec_days").cast("double"), 8192, Seq(0.25, 0.5, 0.75)).as("qr"),
+        graft.functions.KllQuantileAgg.kllQuantiles(
+          col("freq").cast("double"), 8192, Seq(0.25, 0.5, 0.75)).as("qf"),
+        graft.functions.KllQuantileAgg.kllQuantiles(
+          col("mon").cast("double"), 8192, Seq(0.25, 0.5, 0.75)).as("qm"))
+        .head()
+      def score(c: Column, qs: Seq[Double]): Column =
+        lit(1) + qs.map(b => when(c > lit(b), 1).otherwise(0)).reduce(_ + _)
+      // persist stays until the harness's clearCache (the ccnet pattern):
+      // the quantile agg materializes it, the scoring projection re-reads
+      rfm.select(concat_ws("-",
+          score(col("rec_days"), qrow.getSeq[Double](0)),
+          score(col("freq"), qrow.getSeq[Double](1)),
+          score(col("mon"), qrow.getSeq[Double](2))).as("segment"))
+        .groupBy("segment").agg(count(lit(1)).as("n_users"))
+    }),
+
     "q_cohort_retention" -> ((s, d) =>
       // cohort retention: first-activity week x activity-week offset,
       // integer epoch-week arithmetic (engine-portable); two hash aggs +
@@ -1644,6 +1684,30 @@ object SparkEntry {
       operators.Sampling.hashSplit(keyed, col("canon"),
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select("doc_id", "canon", "split")
+    }),
+
+    "pipe_softdedup_weights" -> ((s, d) => {
+      // SOFT deduplication: rather than dropping near-dup cluster
+      // members, weight each doc 10⁶ div cluster_size ppm so every
+      // CLUSTER contributes one unit of training mass — the
+      // down-weighting alternative a pipeline takes when duplicates
+      // carry distributional signal (near-dup frequency ∝ importance).
+      // Same banded MinHash-LSH resolve as pipe_leakage_split (never
+      // all-pairs; singletons weight 10⁶ by identity); the sizing is one
+      // cluster-keyed count + a cluster-keyed join, both node-sized.
+      val docs = t(s, d, "documents")
+      val canon = operators.Dedup.resolveCanonical(
+        operators.Dedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+          n = 3, numHashes = 64, bands = 16, thresholdPpm = 800000L))
+        .withColumnRenamed("id", "doc_id")
+      val keyed = docs.select(col("doc_id"))
+        .join(canon, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+      val sizes = keyed.groupBy(col("canon")).agg(count(lit(1)).as("csz"))
+      keyed.join(sizes, "canon")
+        .select(col("doc_id"), col("canon"),
+          expr("1000000L div csz").as("weight_ppm"))
     }),
 
     "dedup_cluster_stats" -> ((s, d) => {
@@ -3785,6 +3849,34 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM keyed""",
 
+    // pipe_leakage_split's resolve CTEs verbatim, with the cluster-size
+    // weight instead of the split assignment
+    "pipe_softdedup_weights" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000),
+         edges AS (SELECT a_id AS id, b_id AS peer FROM pairs
+                   UNION ALL SELECT b_id AS id, a_id AS peer FROM pairs),
+         reach(id, r) AS (
+           SELECT id, peer FROM edges
+           UNION
+           SELECT reach.id, e.peer FROM reach JOIN edges e ON e.id = reach.r),
+         resolved AS (SELECT id, least(min(r), id) AS canonical_id
+           FROM reach GROUP BY id),
+         keyed AS (SELECT d.doc_id,
+           coalesce(r.canonical_id, d.doc_id) AS canon
+         FROM documents d LEFT JOIN resolved r ON r.id = d.doc_id),
+         sizes AS (SELECT canon, count(*) AS csz FROM keyed GROUP BY canon)
+         SELECT k.doc_id, k.canon,
+           CAST(1000000 // s.csz AS BIGINT) AS weight_ppm
+         FROM keyed k JOIN sizes s USING (canon)""",
+
     "dedup_cluster_stats" ->
       """WITH RECURSIVE docs AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
@@ -4639,6 +4731,48 @@ object SparkEntry {
          FROM c
          QUALIFY row_number() OVER (PARTITION BY event_type
            ORDER BY abs(n * prefix - ti * total) DESC, day ASC) = 1""",
+
+    // quartile boundaries use the KLL exact-regime rank convention
+    // (value at rank max(1, ceil(n*q)) — the ccnet_buckets discipline);
+    // scores compare strictly > against boundary VALUES, so ties are
+    // deterministic under any order
+    "q_rfm_segments" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts)) AS m FROM events),
+         rfm AS (SELECT user_id,
+             (mx.m - max(epoch_ms(ts))) // 86400000 AS rec_days,
+             count(*) AS freq,
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mon
+           FROM events CROSS JOIN mx GROUP BY user_id, mx.m),
+         qr AS (SELECT
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.25) AS BIGINT)) THEN v END) AS t1,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.50) AS BIGINT)) THEN v END) AS t2,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.75) AS BIGINT)) THEN v END) AS t3
+           FROM (SELECT CAST(rec_days AS DOUBLE) AS v,
+               row_number() OVER (ORDER BY rec_days) AS rn,
+               count(*) OVER () AS nn FROM rfm)),
+         qf AS (SELECT
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.25) AS BIGINT)) THEN v END) AS t1,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.50) AS BIGINT)) THEN v END) AS t2,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.75) AS BIGINT)) THEN v END) AS t3
+           FROM (SELECT CAST(freq AS DOUBLE) AS v,
+               row_number() OVER (ORDER BY freq) AS rn,
+               count(*) OVER () AS nn FROM rfm)),
+         qm AS (SELECT
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.25) AS BIGINT)) THEN v END) AS t1,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.50) AS BIGINT)) THEN v END) AS t2,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nn * 0.75) AS BIGINT)) THEN v END) AS t3
+           FROM (SELECT CAST(mon AS DOUBLE) AS v,
+               row_number() OVER (ORDER BY mon) AS rn,
+               count(*) OVER () AS nn FROM rfm)),
+         seg AS (SELECT
+             concat(
+               1 + CAST(rec_days > qr.t1 AS INT) + CAST(rec_days > qr.t2 AS INT) + CAST(rec_days > qr.t3 AS INT),
+               '-',
+               1 + CAST(freq > qf.t1 AS INT) + CAST(freq > qf.t2 AS INT) + CAST(freq > qf.t3 AS INT),
+               '-',
+               1 + CAST(mon > qm.t1 AS INT) + CAST(mon > qm.t2 AS INT) + CAST(mon > qm.t3 AS INT)) AS segment
+           FROM rfm CROSS JOIN qr CROSS JOIN qf CROSS JOIN qm)
+         SELECT segment, count(*) AS n_users FROM seg GROUP BY segment""",
 
     "q_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
