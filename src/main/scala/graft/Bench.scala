@@ -73,7 +73,8 @@ object Bench {
     "cdc_minmax_maintain", "mm_audio_neardup", "sim_knn_graph",
     "sim_knn_components", "cdc_attribution", "q_trend_slope",
     "q_changepoint", "mm_phash_clusters", "cdc_conversion_paths",
-    "sim_knn_graph_ivf", "q_rfm_segments", "pipe_softdedup_weights"
+    "sim_knn_graph_ivf", "q_rfm_segments", "pipe_softdedup_weights",
+    "q_overlap_join", "q_period_over_period"
   )
 
   private def loadavg: Double =

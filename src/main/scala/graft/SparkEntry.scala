@@ -2488,6 +2488,61 @@ object SparkEntry {
         .groupBy("o_orderkey").agg(sum(col("w")).as("n_shipped_in_window"))
     }),
 
+    "q_overlap_join" -> ((s, d) => {
+      // interval × interval OVERLAP join (the session-concurrency pair
+      // read: which users were active simultaneously, for ≥ 10 min):
+      // 1 h-gap sessions become closed intervals, then the binned
+      // overlap join — both sides explode into bins, pairs meet on the
+      // bin equi-key, and each pair is kept only in the bin holding
+      // greatest(s₁, s₂), so NO distinct and no cross product. The bin
+      // width is NOT a constant: it is the MEDIAN session duration (KLL
+      // driver scalar, floor 10 min) — the "binWidth ≈ median interval
+      // length" rule made adaptive, because interval length here is a
+      // function of event density (at ×10 density 1 h-gap sessions merge
+      // into month-long intervals; a fixed 6 h bin then makes every pair
+      // meet in ~120 bins — measured 240× candidate-over-output waste —
+      // while the median-tracking bin keeps candidates ≈ output at any
+      // density). Cross-user only (user_a < user_b), canonical order.
+      val ses = Cdc.sessionize(t(s, d, "events"), col("user_id"),
+          col("ts"), col("event_id"), col("value"), idleMs = 3600000L)
+        .select(col("user_id"), col("session_idx"),
+          col("session_start_ms").as("s"),
+          (col("session_start_ms") + col("duration_ms")).as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val medDur = ses.agg(graft.functions.KllQuantileAgg.kllQuantiles(
+          (col("e") - col("s")).cast("double"), 8192, Seq(0.5)).as("q"))
+        .head().getSeq[Double](0).head
+      val a = ses.select(col("user_id").as("user_a"),
+        col("session_idx").as("session_a"), col("s").as("s1"), col("e").as("e1"))
+      val b = ses.select(col("user_id").as("user_b"),
+        col("session_idx").as("session_b"), col("s").as("s2"), col("e").as("e2"))
+      graft.operators.TemporalJoins.intervalOverlapJoin(
+          a, "s1", "e1", b, "s2", "e2",
+          binWidth = math.max(medDur.toLong, 600000L))
+        .filter(col("user_a") < col("user_b"))
+        .withColumn("overlap_ms",
+          least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+        .filter(col("overlap_ms") >= lit(600000L))
+        .select("user_a", "session_a", "user_b", "session_b", "overlap_ms")
+    }),
+
+    "q_period_over_period" -> ((s, d) =>
+      // week-over-week revenue deltas per type — the standard trend
+      // report: one events-sized hash-agg to the (type, week) relation,
+      // then lag + integer-ppm change over that tiny bounded relation
+      // (first week carries NULLs); truncating div, cents end to end
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 604800000").as("week"))
+        .agg(sum((col("value").cast("decimal(18,2)") * lit(100))
+          .cast("long")).as("rev_cents"))
+        .withColumn("prev_cents", lag(col("rev_cents"), 1).over(
+          Window.partitionBy("event_type").orderBy("week")))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .withColumn("wow_ppm",
+          when(col("prev_cents") =!= 0,
+            expr("1000000L * (rev_cents - prev_cents) div prev_cents")))),
+
     "q_min_cost" -> ((s, d) => {
       // scalar-subquery shape: parts priced at their brand's minimum
       val part = t(s, d, "part")
@@ -5364,6 +5419,45 @@ object SparkEntry {
            ON epoch_ms(l_shipdate) >= epoch_ms(o_orderdate)
           AND epoch_ms(l_shipdate) < epoch_ms(o_orderdate + INTERVAL 7 DAY)
          GROUP BY o_orderkey""",
+
+    // the oracle affords the direct quadratic interval join; the engine
+    // is the binned form — identical session construction ((t, event_id)
+    // tie order throughout) and closed-interval overlap predicate
+    "q_overlap_join" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+         m AS (SELECT user_id, t, event_id,
+             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 3600000
+               THEN 1 ELSE 0 END AS o
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sx AS (SELECT user_id, t,
+             sum(o) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS si
+           FROM m),
+         ses AS (SELECT user_id, CAST(si AS BIGINT) AS si,
+             min(t) AS s, max(t) AS e
+           FROM sx GROUP BY user_id, si)
+         SELECT a.user_id AS user_a, a.si AS session_a,
+           b.user_id AS user_b, b.si AS session_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_ms
+         FROM ses a JOIN ses b ON a.user_id < b.user_id
+           AND a.s <= b.e AND b.s <= a.e
+         WHERE least(a.e, b.e) - greatest(a.s, b.s) >= 600000""",
+
+    "q_period_over_period" ->
+      """WITH wk AS (SELECT event_type, epoch_ms(ts) // 604800000 AS week,
+             sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_cents
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, week, rev_cents,
+             lag(rev_cents) OVER (PARTITION BY event_type ORDER BY week) AS prev
+           FROM wk)
+         SELECT event_type, week,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(prev AS BIGINT) AS prev_cents,
+           CAST(rev_cents - prev AS BIGINT) AS delta_cents,
+           CASE WHEN prev <> 0
+             THEN CAST(1000000 * (rev_cents - prev) // prev AS BIGINT)
+           END AS wow_ppm
+         FROM l""",
 
     "q_min_cost" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part

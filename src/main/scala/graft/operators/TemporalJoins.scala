@@ -104,4 +104,34 @@ object TemporalJoins {
       .filter(ptCol.cast("long") >= col("__s") && ptCol.cast("long") < col("__e"))
       .drop("__bin", "__s", "__e")
   }
+
+  /** Interval-OVERLAP join (interval × interval, closed intervals): pair
+    * every left interval with every right interval it overlaps, WITHOUT a
+    * cross product — the same fixed-width binning trade as
+    * [[rangeJoinPointInInterval]], with both sides exploding into the
+    * bins they span. Each qualifying pair is emitted EXACTLY ONCE with no
+    * distinct: the overlap region of two overlapping intervals starts at
+    * greatest(s₁, s₂), which lies in exactly one bin, and the pair is
+    * kept only in that bin. Join volume is Σ span/binWidth per side
+    * through bin keys instead of |L|×|R|; `binWidth` ≈ the median
+    * interval length is the usual setting.
+    *
+    * Inputs arrive pre-projected with the interval bounds as epoch-long
+    * columns named by `lS`/`lE` and `rS`/`rE` (plus any payload columns —
+    * names must not collide across sides); returns the joined rows. */
+  def intervalOverlapJoin(left: DataFrame, lS: String, lE: String,
+                          right: DataFrame, rS: String, rE: String,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // integral div (house rule: never floor(double /) across an integer
+    // boundary); bounds are epoch-nonnegative so div == floor
+    val l = left.withColumn("__bl",
+      explode(sequence(expr(s"$lS div ${binWidth}L"), expr(s"$lE div ${binWidth}L"))))
+    val r = right.withColumn("__br",
+      explode(sequence(expr(s"$rS div ${binWidth}L"), expr(s"$rE div ${binWidth}L"))))
+    l.join(r, col("__bl") === col("__br") &&
+        col(lS) <= col(rE) && col(rS) <= col(lE) &&
+        col("__bl") === expr(s"greatest($lS, $rS) div ${binWidth}L"))
+      .drop("__bl", "__br")
+  }
 }

@@ -77,4 +77,33 @@ class TemporalJoinsSpec extends SparkTestBase {
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(binned == naive && naive.nonEmpty)
   }
+
+  test("overlap join: one row per pair across multi-bin overlaps; closed touch") {
+    // a1 spans bins 0..9 and b1 spans 2..11 with width 10 — they co-occur
+    // in 8 bins; without the keep-only-the-overlap-start-bin rule the pair
+    // would emit 8 rows. b2 touches a1 at exactly one instant (closed
+    // intervals: overlap length 0, still a pair); b3 is disjoint.
+    val a = Seq((1L, 0L, 99L)).toDF("aid", "s1", "e1")
+    val b = Seq((1L, 20L, 119L), (2L, 99L, 150L), (3L, 200L, 300L))
+      .toDF("bid", "s2", "e2")
+    val out = TemporalJoins.intervalOverlapJoin(a, "s1", "e1", b, "s2", "e2", 10L)
+      .select("aid", "bid").as[(Long, Long)].collect().toList.sorted
+    assert(out == List((1L, 1L), (1L, 2L))) // exactly once each, no (1,3)
+  }
+
+  test("overlap join matches the naive inequality join on random intervals") {
+    val rnd = new scala.util.Random(7)
+    val a = (1L to 60L).map { i =>
+      val s = rnd.nextInt(900).toLong; (i, s, s + rnd.nextInt(150).toLong)
+    }.toDF("aid", "s1", "e1")
+    val b = (1L to 60L).map { i =>
+      val s = rnd.nextInt(900).toLong; (i, s, s + rnd.nextInt(150).toLong)
+    }.toDF("bid", "s2", "e2")
+    val binned = TemporalJoins.intervalOverlapJoin(a, "s1", "e1", b, "s2", "e2", 40L)
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    val naive = a.join(b, col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    assert(binned.sorted == naive.sorted && naive.nonEmpty)
+    assert(binned.distinct.size == binned.size) // exactly-once, not set-equal luck
+  }
 }
