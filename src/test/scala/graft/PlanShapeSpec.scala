@@ -398,4 +398,49 @@ class PlanShapeSpec extends SparkTestBase {
       case n if n.nodeName.contains("Aggregate") => n }.isEmpty,
       s"no aggregate in the bucketing read (thresholds are plan literals):\n$exec")
   }
+
+  test("cdc_attribution: the as-of path is join-FREE (union + one window)") {
+    // the attribution join is the tagged-union + last(ignoreNulls) window
+    // — a per-purchase scan of touch history would plan a key join with
+    // per-key row explosion; zero physical join nodes is the contract
+    val exec = SparkEntry.queries("cdc_attribution")(spark, dir)
+      .queryExecution.executedPlan
+    assert(exec.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"attribution must be union+window, not a join:\n$exec")
+    assert("Window".r.findAllIn(exec.toString).nonEmpty)
+  }
+
+  test("cdc_conversion_paths: no window, no join — one collect_list agg") {
+    val p = plan("cdc_conversion_paths")
+    assert(!p.contains("Window"), s"paths must fold scan-local, not window:\n$p")
+    assert(!p.contains("Join"), s"paths must not join:\n$p")
+  }
+
+  test("trend slope / changepoint: join-free; windows only post-aggregation") {
+    Seq("q_trend_slope", "q_changepoint").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
+  test("overlap join plans an equi-join on the bin key, never a cross product") {
+    val p = plan("q_overlap_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join degenerated to a cross product:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("knnGraphIvf joins equi on the cell id — only the EXACT form may BNLJ") {
+    val p = plan("sim_knn_graph_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IVF-restricted kNN must equi-join on the cell:\n$p")
+  }
+
+  test("rfm segmentation: quartile boundaries are literals — no window, no ntile") {
+    val p = plan("q_rfm_segments")
+    assert(!p.contains("Window") && !p.toLowerCase.contains("ntile"),
+      s"rfm scoring must be scan-local against literal boundaries:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
