@@ -74,7 +74,7 @@ object Bench {
     "sim_knn_components", "cdc_attribution", "q_trend_slope",
     "q_changepoint", "mm_phash_clusters", "cdc_conversion_paths",
     "sim_knn_graph_ivf", "q_rfm_segments", "pipe_softdedup_weights",
-    "q_overlap_join", "q_period_over_period"
+    "q_overlap_join", "q_period_over_period", "text_langid_eval"
   )
 
   private def loadavg: Double =

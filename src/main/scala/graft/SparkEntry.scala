@@ -2624,6 +2624,28 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))),
 
+    "text_langid_eval" -> ((s, d) => {
+      // language-ID grading against the labeled `lang` column — the eval
+      // pattern (sim_recall_eval / sim_mrr_eval) applied to the text
+      // lane: full confusion matrix (label × prediction counts) plus
+      // per-label recall in integer ppm, one scan + two bounded
+      // hash-aggs (output ≤ labels × predicted classes). zh has no
+      // stopword class in the n-gram heuristic, so its row is the
+      // honest failure surface (predicted 'und'/latin classes), not a
+      // hidden accuracy inflation.
+      val scored = t(s, d, "documents").select(col("lang"),
+        Text.langId(col("text")).as("pred_lang"))
+      val cells = scored.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val wLab = Window.partitionBy("lang")
+      cells
+        .withColumn("label_total", sum(col("n")).over(wLab))
+        .withColumn("recall_ppm",
+          when(col("lang") === col("pred_lang"),
+            expr("1000000L * n div label_total")))
+        .select("lang", "pred_lang", "n", "label_total", "recall_ppm")
+    }),
+
     "text_cooccurrence" -> ((s, d) =>
       // GloVe-prep window co-occurrence (Pennington et al. '14 input
       // stage): unordered word pairs within a ±2 window, counted over the
@@ -5546,6 +5568,35 @@ object SparkEntry {
                 WHEN fr > 0 THEN 'fr'
                 ELSE 'und' END AS pred_lang
          FROM sc""",
+
+    // the text_langid scorer CTE joined back to the label column;
+    // confusion cells + diagonal recall ppm
+    "text_langid_eval" ->
+      """WITH w AS (SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         sc AS (SELECT doc_id, lang,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','in','is'))) AS en,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS de,
+           len(list_filter(toks, x -> x IN ('el','la','de','y','es','un'))) AS es,
+           len(list_filter(toks, x -> x IN ('le','la','de','et','est','un'))) AS fr
+         FROM w),
+         pred AS (SELECT doc_id, lang,
+           CASE WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+                WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+                WHEN es >= fr AND es > 0 THEN 'es'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+         FROM sc),
+         cells AS (SELECT lang, pred_lang, count(*) AS n
+           FROM pred GROUP BY 1, 2),
+         tot AS (SELECT lang, pred_lang, n,
+             sum(n) OVER (PARTITION BY lang) AS label_total
+           FROM cells)
+         SELECT lang, pred_lang, n, CAST(label_total AS BIGINT) AS label_total,
+           CASE WHEN lang = pred_lang
+             THEN CAST(1000000 * n // label_total AS BIGINT) END AS recall_ppm
+         FROM tot""",
 
     // the same ±2-window pairs via two concatenated comprehensions (j=1,
     // j=2), canonical (least, greatest) order, binary string collation on
