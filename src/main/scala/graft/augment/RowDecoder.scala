@@ -74,6 +74,29 @@ object RowDecoder {
       array(schema.columns.map(c => decodeColumn(element_at(imageMap, c.name), c)): _*))
   }
 
+  /** VERSIONED decode — the schema-evolution read path (reference:
+    * SchemaAtPositionCache / ActiveSchemaManager.java:47-53: every row
+    * image decodes against the schema THAT WAS ACTIVE at its binlog
+    * position, not the current one): given a table's full version history
+    * (ascending validFromMs, from [[SchemaCatalog.versionsOf]]), pick per
+    * row the latest version with validFromMs <= the row's position and
+    * decode the raw image against it. Compiled ONCE into a nested
+    * when-chain over the (driver-tiny) version list — newest checked
+    * first — so a stream spanning N schema versions decodes in a single
+    * narrow scan-local projection, zero shuffles, and a row written before
+    * an ADD COLUMN simply lacks that key in its decoded map (NULL on
+    * extract), while the same wire value re-types across a MODIFY
+    * boundary (e.g. signed passthrough -> unsigned mask). */
+  def decodeVersionedImage(image: Column, posCol: Column,
+                           versions: Seq[TableSchemaV]): Column = {
+    require(versions.nonEmpty, "decodeVersionedImage requires >= 1 schema version")
+    import org.apache.spark.sql.types.{MapType, StringType}
+    versions.foldLeft(lit(null).cast(MapType(StringType, StringType))) { (acc, v) =>
+      when(posCol >= v.validFromMs && image.isNotNull, decodeImage(image, v))
+        .otherwise(acc)
+    }
+  }
+
   /** Convenience: decode both images of a stamped-op DataFrame for `table`'s
     * current schema version. */
   def decodeStamped(df: org.apache.spark.sql.DataFrame, schema: TableSchemaV): org.apache.spark.sql.DataFrame =

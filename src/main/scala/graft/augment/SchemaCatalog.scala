@@ -31,6 +31,12 @@ final class SchemaCatalog(val ownSchema: String) {
   def at(table: String, tsMs: Long): Option[TableSchemaV] =
     versions.get(table.toLowerCase).flatMap(_.find(_.validFromMs <= tsMs))
 
+  /** ALL versions of a table in ascending validFromMs order — the input the
+    * versioned stream decoder ([[RowDecoder.decodeVersionedImage]]) compiles
+    * into its per-row version dispatch. O(versions), driver-tiny. */
+  def versionsOf(table: String): Seq[TableSchemaV] =
+    versions.getOrElse(norm(table), Nil).reverse
+
   def transitions: Seq[SchemaTransition] = history.toSeq
 
   def tables: Seq[String] = versions.keys.toSeq.sorted

@@ -372,6 +372,46 @@ case class NearestCentroidExpr(first: Expression, second: Expression, third: Exp
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Scan-local IVF MULTIPROBE assignment — wraps [[VecAlgos.topCentroids]]:
+  * the `p` nearest centroids per row (p = 1 degenerates to
+  * [[NearestCentroidExpr]]'s pick), same plan-literal centroid matrix, same
+  * rounded-cosine/smaller-id total order, returned in selection order.
+  * Probing widens IVF recall (a query scores against its p nearest cells,
+  * recovering neighbors the top-1 cell boundary hides) while assignment
+  * stays a pure codegen'd projection: zero shuffles at any corpus scale. */
+case class TopCentroidsExpr(first: Expression, second: Expression, third: Expression,
+                            k: Int, p: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(k > 0, "k must be positive")
+  require(p > 0, "p must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_centroids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), ArrayType(LongType, _)) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>, array<bigint>), got " +
+        s"${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any, flat: Any, ids: Any): Any =
+    VecAlgos.topCentroids(v.asInstanceOf[ArrayData], flat.asInstanceOf[ArrayData],
+      ids.asInstanceOf[ArrayData], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, flat, ids) =>
+      s"${ev.value} = graft.functions.VecAlgos.topCentroids($v, $flat, $ids, $k, $p);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopCentroidsExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** MySQL binary-JSON → JSON string — wraps [[JsonBinaryAlgos.parseAsString]]
   * (reference: MysqlTypeDeserializer.java:99-109 JSON cell decode). */
 case class MysqlJsonBinaryExpr(child: Expression) extends UnaryExpression {

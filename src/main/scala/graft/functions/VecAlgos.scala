@@ -218,6 +218,69 @@ object VecAlgos {
     bestId
   }
 
+  /** Top-`p` nearest centroids by rounded cosine — the MULTIPROBE
+    * generalization of [[nearestCentroid]] (p = 1 selects the identical
+    * centroid). Same plan-literal centroid matrix, same total order
+    * (higher round(cos, 6) first, ties to the smaller id; NaN sims sort
+    * after every real sim, NaN ties to the smaller id), returned in
+    * selection order. O(k·p) selection per row — both driver-tiny — so
+    * probing stays a pure scan-local projection. */
+  def topCentroids(v: ArrayData, ctsFlat: ArrayData, ids: ArrayData, k: Int, p: Int): ArrayData = {
+    val dim = ctsFlat.numElements() / k
+    val n = v.numElements()
+    var nv = 0.0d
+    var j = 0
+    while (j < n) { val x = v.getDouble(j); nv += x * x; j += 1 }
+    val normV = math.sqrt(nv)
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      sims(c) =
+        if (n != dim) Double.NaN
+        else {
+          val off = c * dim
+          var dot = 0.0d
+          var cc = 0.0d
+          j = 0
+          while (j < dim) {
+            val w = ctsFlat.getDouble(off + j)
+            dot += v.getDouble(j) * w
+            cc += w * w
+            j += 1
+          }
+          round6(dot / (normV * math.sqrt(cc)))
+        }
+      c += 1
+    }
+    val m = math.min(p, k)
+    val out = new Array[Long](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      c = 0
+      while (c < k) {
+        if (!taken(c)) {
+          if (best < 0) best = c
+          else {
+            val bs = sims(best); val cs = sims(c)
+            val better =
+              if (java.lang.Double.isNaN(bs))
+                !java.lang.Double.isNaN(cs) || ids.getLong(c) < ids.getLong(best)
+              else !java.lang.Double.isNaN(cs) &&
+                (cs > bs || (cs == bs && ids.getLong(c) < ids.getLong(best)))
+            if (better) best = c
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out(r) = ids.getLong(best)
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Random-hyperplane sign signature over `planes` pseudo-random planes.
     * Plane component (i, j) = (hash64(i + offset, j) % 1000) / 1000.0 via
     * XXH64.hashLong chains (seed 42) — deterministic, driver-state-free,

@@ -244,7 +244,14 @@ object Cdc {
       .unionByName(a).unionByName(r)
       .groupBy("chunk_id")
       .agg(sum(col("n")).as("n"), expr("bit_xor(sig)").as("sig"))
-      .filter(col("n") > 0)
+      // drop a chunk only when it is CONSISTENTLY empty (n = 0 AND sig = 0,
+      // matching the recompute, where an empty chunk never appears). A zero
+      // or negative count with a nonzero residual signature means the caller
+      // fed wrong before-images — exactly the corruption a validation IVM
+      // exists to surface — so the inconsistent chunk stays in the table and
+      // shows up as a DIFF at the next chunkChecksum compare instead of
+      // silently vanishing.
+      .filter(col("n") =!= 0 || col("sig") =!= 0)
   }
 
   /** Repair plan from a consistency audit — the write-back half of
@@ -516,8 +523,15 @@ object Cdc {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val keys = df.select(keyCol.cast("long").as("k")).distinct()
     val mm = keys.agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    // divide-FIRST bucketing: bucket width w = span div buckets + 1, then
+    // bkt = (k - mn) div w — the multiply-first form `buckets*(k-mn) div
+    // span` overflows BIGINT once the key span exceeds Long.MaxValue/buckets
+    // (~2^58 at 32 buckets), plausible for GTID/LSN-style sequences, and a
+    // wrapped product silently mis-buckets keys (missed/phantom gaps).
+    // Buckets remain contiguous monotone ranges (≤ buckets+1 of them), which
+    // is all the local-window + boundary-stitch decomposition requires.
     val b = keys.crossJoin(broadcast(mm))
-      .withColumn("bkt", expr(s"($buckets * (k - mn)) div (mx - mn + 1)"))
+      .withColumn("bkt", expr(s"(k - mn) div ((mx - mn) div $buckets + 1)"))
     val w = Window.partitionBy("bkt").orderBy("k")
     val local = b.withColumn("p", lag(col("k"), 1).over(w))
       .filter(col("p").isNotNull && col("k") - col("p") > 1)

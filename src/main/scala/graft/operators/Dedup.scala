@@ -331,6 +331,27 @@ object Dedup {
       storedBands.unionByName(newBands), allSets)
   }
 
+  /** Fold CDC DELETEs into a stored LSH index: anti-join BOTH stored
+    * relations on the deleted ids, producing the next generation — the
+    * reference's versioned-mutation philosophy applied to the index tables
+    * (a row's deletion must be visible to every read after it, here "read"
+    * = a near-dup probe). Both relations are keyed rows per doc, so
+    * removing a doc's rows removes exactly its band postings and its
+    * verify set: probing the new generation is IDENTICAL to probing an
+    * index rebuilt from the surviving corpus (oracle-gated as
+    * `dedup_lsh_cdc`) — no residue, no recall effect on surviving pairs.
+    * Cost: the delete-id set broadcasts (batch-sized) against one
+    * column-pruned pass over each stored relation; the standing corpus is
+    * never re-signed. IDEMPOTENT under redelivery — re-deleting an absent
+    * id is a no-op — so this member of the maintenance family needs no
+    * fence (k-min/minmax class, not the xor/SpaceSaving class). */
+  def lshApplyDeletes(storedBands: DataFrame, storedSets: DataFrame,
+      deletedIds: DataFrame, idCol: Column): (DataFrame, DataFrame) = {
+    val del = broadcast(deletedIds.select(idCol.as("__del")).distinct())
+    (storedBands.join(del, storedBands("doc_id") === del("__del"), "left_anti"),
+      storedSets.join(del, storedSets("id") === del("__del"), "left_anti"))
+  }
+
   /** SimHash: 64-bit signature where bit i is the sign of the weighted sum
     * of token-hash bits — near-dups differ in few bits. Native expression
     * ([[graft.functions.SimHash64Expr]]): one codegen'd pass over the token

@@ -670,14 +670,19 @@ object Graph {
       .distinct()
     val lab = labels.select(vCol.as("v"), labCol.as("lab"))
     val mm = und.agg(count(lit(1)).as("m"))
+    // NO broadcast hint on the labels table: it is NODE-sized, and a forced
+    // broadcast caps the operator at the driver/executor broadcast limit
+    // (billion-node graphs would fail the job outright). AQE broadcasts it
+    // when it measures small and falls back to a shuffled hash join when it
+    // doesn't — the same adaptive contract the label-propagation kernel uses.
     val lj = und
-      .join(broadcast(lab.select(col("v").as("a"), col("lab").as("la"))), "a")
-      .join(broadcast(lab.select(col("v").as("b"), col("lab").as("lb"))), "b")
+      .join(lab.select(col("v").as("a"), col("lab").as("la")), "a")
+      .join(lab.select(col("v").as("b"), col("lab").as("lb")), "b")
     val sec = lj.filter(col("la") === col("lb"))
       .agg(count(lit(1)).as("sec"))
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val sd = deg.join(broadcast(lab), "v")
+    val sd = deg.join(lab, "v")
       .groupBy("lab").agg(sum(col("d")).as("dc"))
       .agg(sum(expr("dc * dc")).as("sd2"))
     val nc = lab.agg(count_distinct(col("lab")).as("nc"))

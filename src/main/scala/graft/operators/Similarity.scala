@@ -137,6 +137,43 @@ object Similarity {
     mutualTopK(scored, k)
   }
 
+  /** Mutual-kNN graph over IVF cells with MULTIPROBE — the production
+    * configuration of [[knnGraphIvf]]: every vector keeps ONE stored cell
+    * (its nearest centroid — the corpus side never duplicates), and as a
+    * QUERY it probes its `probes` nearest cells, recovering the cross-cell
+    * edges the single-cell form loses at cell boundaries. A candidate pair
+    * (q, v) materializes at most once (v's stored cell is unique), so no
+    * dedup step rides the join; the tail (bounded top-k + mutuality) is
+    * byte-identical to the exact form.
+    *
+    * Scale accounting: with c ≈ √n centroids the expected cell holds √n
+    * members, so scoring volume is p·n·√n — n^1.5, not n² (the fixed-c
+    * configuration has Σ cell² = n²/c and still tracks n²). Centroid count
+    * is the caller's lever precisely because it arrives as a plan-literal
+    * codebook: derive c from a corpus count (one O(1) driver scalar) and
+    * the same plan covers any n. Recall is the IVF trade, widened by p,
+    * and it is CONDITIONAL on cluster structure — spec-pinned both ways in
+    * DedupTextSpec: ≥95% of exact mutual-kNN edges at p = 3, c = √n on a
+    * clustered corpus (the regime IVF exists for); pool-bound (<50%) on
+    * the isotropic gate corpus whose top-k sits at the cosine noise floor,
+    * with monotone recovery in p and EDGE-FOR-EDGE exactness at p = c
+    * (structural, distribution-independent). The gated CORRECTNESS row
+    * replays the (√n, p = 3) configuration exactly in SQL. */
+  def knnGraphIvfMultiprobe(corpus: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, k: Int, probes: Int): DataFrame = {
+    val a = ivfAssign(corpus, idCol, vecCol, centroids)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = ivfAssignProbes(corpus, idCol, vecCol, centroids, probes)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(col("probe_ids")).as("__qc"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val scored = a.join(q,
+        col("centroid_id") === col("__qc") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    mutualTopK(scored, k)
+  }
+
   /** Ranking-quality eval for prefix-dimension (Matryoshka-style,
     * Kusupati et al. '22) embedding truncation: per query, the full-dim
     * cosine top-1 (excluding self) is the ground truth, the system under
@@ -385,8 +422,23 @@ object Similarity {
     // scan-local projection: ZERO shuffles, where the groupBy form shipped
     // every (vec_id, vector) pair through a corpus-scale exchange just to
     // collapse the k broadcast-join copies it had itself produced.
+    val (flatLit, idsLit, k) = centroidLiterals(centroids)
+    import org.apache.spark.sql.GraftBridge
+    val assign = GraftBridge.toCol(graft.functions.NearestCentroidExpr(
+      GraftBridge.toExpr(col("v")), flatLit, idsLit, k))
+    v.select(col("vec_id"), assign.as("centroid_id"), col("v"))
+  }
+
+  /** Localize a (centroid_id, cvec) table into the plan-literal pair the
+    * scan-local assignment kernels take: the flat centroid-major matrix +
+    * the id list, plus the centroid count. The centroid table is k·dim —
+    * driver-tiny at ANY corpus scale — which is what licenses the
+    * collect. */
+  private def centroidLiterals(centroids: DataFrame):
+      (org.apache.spark.sql.catalyst.expressions.Literal,
+       org.apache.spark.sql.catalyst.expressions.Literal, Int) = {
     val local = centroids.select(col("centroid_id"), col("cvec")).collect()
-    require(local.nonEmpty, "ivfAssign requires at least one centroid")
+    require(local.nonEmpty, "centroid set must be non-empty")
     val dims = local.map(_.getSeq[Double](1).length).distinct
     require(dims.length == 1, s"centroid vectors must share one dim, got $dims")
     val k = local.length
@@ -403,14 +455,25 @@ object Similarity {
       var j = 0
       while (j < dims.head) { flat(c * dims.head + j) = cw(j); j += 1 }
     }
-    import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
-    val assign = GraftBridge.toCol(graft.functions.NearestCentroidExpr(
-      GraftBridge.toExpr(col("v")),
-      Literal.create(flat, ArrayType(DoubleType, containsNull = false)),
-      Literal.create(ids, ArrayType(LongType, containsNull = false)), k))
-    v.select(col("vec_id"), assign.as("centroid_id"), col("v"))
+    (Literal.create(flat, ArrayType(DoubleType, containsNull = false)),
+      Literal.create(ids, ArrayType(LongType, containsNull = false)), k)
+  }
+
+  /** MULTIPROBE cell assignment: each row's `p` nearest centroids (rounded
+    * cosine, ties to the smaller id — the [[ivfAssign]] order), as an
+    * ARRAY column. Scan-local projection like the top-1 form: the probe
+    * kernel ([[graft.functions.TopCentroidsExpr]]) runs per row against
+    * the plan-literal centroid matrix, zero shuffles. */
+  def ivfAssignProbes(df: DataFrame, idCol: Column, vecCol: Column,
+                      centroids: DataFrame, p: Int): DataFrame = {
+    val v = df.select(idCol.as("vec_id"), asDouble(vecCol).as("v"))
+    val (flatLit, idsLit, k) = centroidLiterals(centroids)
+    import org.apache.spark.sql.GraftBridge
+    val probes = GraftBridge.toCol(graft.functions.TopCentroidsExpr(
+      GraftBridge.toExpr(col("v")), flatLit, idsLit, k, p))
+    v.select(col("vec_id"), probes.as("probe_ids"), col("v"))
   }
 
   /** IVF inverted-list index: members assigned to their nearest centroid
@@ -521,11 +584,27 @@ object Similarity {
     * is exact for any assignment, the appended index answers queries
     * IDENTICALLY to a full rebuild over base ∪ batch — centroid drift
     * only affects speed (clusters loosen over many appends; re-train on a
-    * cadence, like compaction). Returns the new (assigned, clusters). */
+    * cadence, like compaction). Returns the new (assigned, clusters).
+    *
+    * IDEMPOTENT under redelivery (unlike the xor checksum, like the k-min
+    * union): batch vec_ids already present in the stored index are dropped
+    * before the union, so a replayed batch leaves the index — and every
+    * downstream [[ivfSearch]] — unchanged. The guard costs one
+    * column-pruned pass over the stored ids (the batch id set broadcasts;
+    * vectors never ship), the price of not requiring the no-redelivery
+    * fence cdc_topk_maintain documents. */
   def ivfAppend(assigned: DataFrame, clusters: DataFrame,
                 batch: DataFrame, idCol: Column, vecCol: Column): (DataFrame, DataFrame) = {
     val cts = clusters.select(col("centroid_id"), col("cvec"), col("cn"))
-    val newAssigned = ivfAssign(batch, idCol, vecCol, cts)
+    // replay guard: ids the stored relation already holds. Shaped so the
+    // BATCH side broadcasts (inner join stored.ids ⋈ broadcast(batch ids) →
+    // tiny `known`, then batch LEFT ANTI broadcast(known)) — a direct
+    // batch-anti-stored join could not broadcast its corpus-sized build side.
+    val b0 = batch.select(idCol.as("vec_id"), asDouble(vecCol).as("bv"))
+    val known = assigned.select("vec_id")
+      .join(broadcast(b0.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+    val fresh = b0.join(broadcast(known), Seq("vec_id"), "left_anti")
+    val newAssigned = ivfAssign(fresh, col("vec_id"), col("bv"), cts)
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
     val batchTheta = newAssigned.join(broadcast(cts), "centroid_id")
       .withColumn("theta",
@@ -538,6 +617,25 @@ object Similarity {
       .drop("batch_theta")
     (assigned.unionByName(newAssigned.select("vec_id", "centroid_id", "v", "n")),
       newClusters)
+  }
+
+  /** Fold CDC DELETEs into a stored IVF index: anti-join the member
+    * relation on the deleted ids (delete-id set broadcasts, one
+    * column-pruned pass, vectors never reshuffle); the cluster table —
+    * centroids and pruning radii — is left UNTOUCHED, deliberately:
+    * [[ivfSearch]] is exact for ANY assignment and its bound only prunes
+    * provably match-free cells, so a stale-but-covering radius can at
+    * worst probe a cell that no longer holds a match (harmless extra
+    * verify work, shrinking on the retrain cadence like append drift).
+    * Post-delete searches are therefore IDENTICAL to a from-scratch
+    * rebuild over the surviving corpus (oracle-gated as
+    * `sim_ann_ivf_cdc`). IDEMPOTENT under redelivery (re-deleting an
+    * absent id is a no-op) — no fence needed, same class as
+    * [[ivfAppend]]'s guarded append. */
+  def ivfApplyDeletes(assigned: DataFrame, clusters: DataFrame,
+      deletedIds: DataFrame, idCol: Column): (DataFrame, DataFrame) = {
+    val del = broadcast(deletedIds.select(idCol.as("__del")).distinct())
+    (assigned.join(del, assigned("vec_id") === del("__del"), "left_anti"), clusters)
   }
 
   /** Distributed Lloyd's iterations for the IVF coarse quantizer (spherical

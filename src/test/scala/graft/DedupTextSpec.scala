@@ -408,6 +408,71 @@ class DedupTextSpec extends SparkTestBase {
     assert(sc2.count() == sc1.count())
   }
 
+  test("stored-index CDC maintenance: deletes are rebuild-equal and replays are no-ops") {
+    import graft.operators.{Dedup, Similarity}
+    // --- IVF side: delete fold + redelivery contracts ---
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 96).map { i =>
+      val c = base(i % 8)
+      (i.toLong, c.map(x => x + 0.02f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val cts = Similarity.kmeansCentroids(vecs, col("vec_id"), col("embedding"), 8, 3)
+    val (a1, c1) = Similarity.ivfClusterIndex(vecs, col("vec_id"), col("embedding"), cts)
+    val deleted = vecs.filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+    val (a2, c2) = Similarity.ivfApplyDeletes(a1, c1, deleted, col("vec_id"))
+    def hits(a: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearch(a, c, queries, col("vec_id"), col("embedding"), 0.9)
+        .as[(Long, Long, Double)].collect().toSet
+    // rebuild-equality: post-delete search == index built from survivors
+    // (same centroids — radii deliberately stay stale-but-covering)
+    val (ra, rc) = Similarity.ivfClusterIndex(
+      vecs.filter(col("vec_id") % 5 =!= 0), col("vec_id"), col("embedding"), cts)
+    val afterDelete = hits(a2, c2)
+    assert(afterDelete == hits(ra, rc) && afterDelete.nonEmpty)
+    assert(!afterDelete.exists { case (_, v, _) => v % 5 == 0 })
+    // delete redelivery: re-applying the same delete batch is a no-op
+    val (a3, c3) = Similarity.ivfApplyDeletes(a2, c2, deleted, col("vec_id"))
+    assert(hits(a3, c3) == afterDelete)
+    // append redelivery (the guarded ivfAppend): re-appending an already-
+    // indexed batch leaves the index unchanged — no duplicate hits, no
+    // fence required
+    val replay = vecs.filter(col("vec_id") % 5 =!= 0 && col("vec_id") < 30)
+    val (a4, c4) = Similarity.ivfAppend(a2, c2, replay, col("vec_id"), col("embedding"))
+    assert(a4.count() == a2.count(), "replayed batch must not re-enter the index")
+    assert(hits(a4, c4) == afterDelete)
+
+    // --- LSH side: delete fold + redelivery ---
+    val docs = (0 until 40).map { i =>
+      val words = if (i % 4 == 0) "alpha beta gamma delta epsilon zeta eta theta"
+        else s"unique$i words$i for$i doc$i number$i in$i corpus$i tail$i"
+      (i.toLong, words)
+    }.toDF("doc_id", "text")
+    val (b1, s1) = Dedup.lshIndexBuild(docs, col("doc_id"), col("text"), 3, 64, 16)
+    val delDocs = docs.filter(col("doc_id") === 8).select(col("doc_id"))
+    val (b2, s2) = Dedup.lshApplyDeletes(b1, s1, delDocs, col("doc_id"))
+    // the deleted replica vanishes from both stored relations…
+    assert(b2.filter(col("doc_id") === 8).count() == 0)
+    assert(s2.filter(col("id") === 8).count() == 0)
+    // …and a probe against the maintained index equals one against a
+    // rebuild from the surviving corpus
+    val batch = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val (pairs, _, _) = Dedup.lshProbeAppend(b2, s2, batch,
+      col("doc_id"), col("text"), 3, 64, 16, 800000L)
+    val (rb, rs) = Dedup.lshIndexBuild(docs.filter(col("doc_id") =!= 8),
+      col("doc_id"), col("text"), 3, 64, 16)
+    val (rpairs, _, _) = Dedup.lshProbeAppend(rb, rs, batch,
+      col("doc_id"), col("text"), 3, 64, 16, 800000L)
+    val got = pairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == rpairs.select("a_id", "b_id").as[(Long, Long)].collect().toSet)
+    assert(!got.exists { case (a, b) => a == 8 || b == 8 } && got.nonEmpty)
+    // delete redelivery: no-op
+    val (b3, s3) = Dedup.lshApplyDeletes(b2, s2, delDocs, col("doc_id"))
+    assert(b3.count() == b2.count() && s3.count() == s2.count())
+  }
+
   test("ivfadc: probed compressed scan + exact re-rank equals brute force on clustered data") {
     import graft.operators.{Pq, Similarity}
     val rnd = new scala.util.Random(23)
@@ -1021,6 +1086,86 @@ class DedupTextSpec extends SparkTestBase {
         cents, 1)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(ivf == Set((0L, 2L), (1L, 3L)))
+    // MULTIPROBE recovers the boundary edge the single-cell form lost:
+    // with p = 2 each vector also queries its second-nearest cell, so
+    // (4, 5) re-materializes while within-cell edges are unchanged
+    val mp = Similarity.knnGraphIvfMultiprobe(vecs, col("vec_id"),
+        col("embedding"), cents, 1, probes = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(mp == exact)
+  }
+
+  test("knnGraphIvfMultiprobe recall >= 95% at c=sqrt(n), p=3 in the CLUSTERED regime") {
+    // the scale-claim gate for the production configuration: IVF's recall
+    // contract is conditional on cluster structure (that IS the trade), so
+    // the >= 95% pin runs on a corpus that HAS it — 20 tight clusters of 20
+    // (within-cluster cos ~0.98, cross-cluster at the noise floor), where
+    // every exact mutual-top-5 edge is within-cluster. The sqrt(n)-derived
+    // strided codebook (n = 400 -> c = 20, stride = 20, one seed per
+    // cluster with cluster-major ids) + probes = 3 must retain >= 95% of
+    // exact edges. The gate corpus's own regime (noise-floor top-k) is
+    // pinned separately below.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      cl <- 0 until 20
+      m <- 0 until 20
+    } yield {
+      val noise = Array.fill(dim)(rnd.nextGaussian() * 0.05)
+      val v = centers(cl).zip(noise).map { case (a, b) => (a + b).toFloat }
+      ((cl * 20 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val n = 400L
+    val c = math.floor(math.sqrt(n.toDouble)).toLong // 20
+    val stride = n / c // 20: vec_id % 20 == 0 -> the first member of each cluster
+    val cents = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val exact = Similarity.knnGraph(emb, col("vec_id"), col("embedding"), 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val mp = Similarity.knnGraphIvfMultiprobe(emb, col("vec_id"),
+        col("embedding"), cents, 5, probes = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = mp.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${mp.intersect(exact).size}/${exact.size})")
+  }
+
+  test("knnGraphIvfMultiprobe at the noise floor: pool-bound recall, p=c exact") {
+    // the honest other half of the recall contract, on the REAL gate
+    // corpus: its exact mutual-top-5 edges sit at cos 0.26-0.44 with label
+    // agreement at chance (10.7%, 10 labels) — isotropic noise at top-k
+    // rank, where NO space partition co-locates neighbors (the standing
+    // "no quantizer is rank-selective at the cosine noise floor" finding,
+    // same as hyperplane LSH at t=0.4 and PQ/ADC). Pinned: (1) the
+    // selective configuration (c = sqrt(n), p = 3) stays BELOW 50% recall
+    // — anyone re-tuning the gate row toward a recall claim on this corpus
+    // trips this; (2) probing is monotone (p = 8 beats p = 3); (3) probing
+    // ALL cells reproduces the exact graph EDGE-FOR-EDGE — structural
+    // exactness of the decomposition, independent of data distribution.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val c = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val stride = math.max(1L, n / c) // 22 -> 23 strided centroids at n=500
+    val cents = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"),
+        Similarity.asDouble(col("embedding")).as("cvec"))
+    val nCents = cents.count().toInt
+    val exact = Similarity.knnGraph(emb, col("vec_id"), col("embedding"), 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    def mpEdges(p: Int) = Similarity.knnGraphIvfMultiprobe(emb, col("vec_id"),
+        col("embedding"), cents, 5, probes = p)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    val r3 = recall(mpEdges(3))
+    val r8 = recall(mpEdges(8))
+    assert(r3 < 0.5, s"noise-floor recall unexpectedly high: $r3 — corpus regime changed?")
+    assert(r8 > r3, s"probing not monotone: p=8 $r8 <= p=3 $r3")
+    assert(mpEdges(nCents) == exact, "probing all cells must reproduce the exact graph")
   }
 
   private def levenshteinDist(a: String, b: String): Int = {

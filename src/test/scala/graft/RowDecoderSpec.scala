@@ -79,6 +79,36 @@ class RowDecoderSpec extends SparkTestBase {
     assert(cols("row_status") == "I")
   }
 
+  test("versioned decode: each row decodes against the schema active at its position") {
+    // the A10 unit pin under the gated cdc_schema_evolution row: version
+    // boundaries are INCLUSIVE of validFromMs (a row at exactly the DDL's
+    // position sees the post-DDL schema, matching binlog ordering where
+    // the DDL commits before any row event at a later position), absent
+    // columns decode to NULL, and the SAME wire value re-types across a
+    // MODIFY boundary
+    val cat = new SchemaCatalog("test")
+    cat.applyDdl("CREATE TABLE acct (id INT NOT NULL PRIMARY KEY, val INT)", 0L)
+    cat.applyDdl("ALTER TABLE acct ADD COLUMN score SMALLINT UNSIGNED", 400L)
+    cat.applyDdl("ALTER TABLE acct MODIFY COLUMN val TINYINT UNSIGNED", 800L)
+    val versions = cat.versionsOf("acct")
+    assert(versions.map(_.version) == Seq(0, 1, 2))
+    val rows = Seq(
+      (399L, Map("id" -> "1", "val" -> "-37")),
+      (400L, Map("id" -> "2", "val" -> "-37", "score" -> "-1")),
+      (799L, Map("id" -> "3", "val" -> "-37", "score" -> "7")),
+      (800L, Map("id" -> "4", "val" -> "-37", "score" -> "7")))
+      .toDF("pos", "after")
+    val dec = rows.select(col("pos"),
+        RowDecoder.decodeVersionedImage(col("after"), col("pos"), versions).as("d"))
+      .select(col("pos"), element_at(col("d"), "val").as("val"),
+        element_at(col("d"), "score").as("score"))
+      .as[(Long, String, String)].collect().map { case (p, v, s) => p -> ((v, s)) }.toMap
+    assert(dec(399L) == (("-37", null)))   // v0: signed passthrough, no score key
+    assert(dec(400L) == (("-37", "65535"))) // v1 from its own position, inclusive
+    assert(dec(799L) == (("-37", "7")))
+    assert(dec(800L) == (("219", "7")))    // v2: same wire value, unsigned mask
+  }
+
   test("collation-aware charset decode: latin1 vs utf8 hex transport") {
     import graft.model.{ColumnSpec, TableSchemaV}
     val schema = TableSchemaV("test", "t", 0, Seq(
