@@ -74,8 +74,35 @@ object Bench {
     "sim_knn_components", "cdc_attribution", "q_trend_slope",
     "q_changepoint", "mm_phash_clusters", "cdc_conversion_paths",
     "sim_knn_graph_ivf", "q_rfm_segments", "pipe_softdedup_weights",
-    "q_overlap_join", "q_period_over_period", "text_langid_eval"
+    "q_overlap_join", "q_period_over_period", "text_langid_eval",
+    "sim_knn_graph_ivf_mp", "cdc_schema_evolution", "dedup_lsh_cdc",
+    "sim_ann_ivf_cdc"
   )
+
+  /** The ×10 scale-regression subset (SPARK_GRAFT_BENCH_X10_DIR mode):
+    * a bounded representative slice of the rows SCALE.md tracks — one or
+    * two per lane (CDC write path, dedup/LSH lifecycles, ANN/kNN-graph,
+    * text kernels, sketches, graph iteratives, temporal joins, multimodal,
+    * sampling) — benched against a ScaleUp ×10 fixture and committed as
+    * BENCH_x10.json, so ×10 ratios regress mechanically per round instead
+    * of by hand-curated table. Deliberately EXCLUDES the adjudicated-exact
+    * quadratic oracle forms (sim_knn_graph, sim_knn_components,
+    * dedup_embedding_lsh): their ×10 cost is a documented design constant,
+    * not a regression signal. */
+  private val x10Set = Seq(
+    "q1_pricing_summary", "q3_shipping_topk", "q_window_rank", "q_asof_join",
+    "cdc_time_machine", "cdc_as_of_state", "cdc_agg_maintain", "cdc_chunk_checksum",
+    "cdc_seq_gaps", "cdc_attribution",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_semantic", "dedup_incremental_lsh",
+    "dedup_lsh_stored", "dedup_lsh_cdc", "dedup_fuzzy_join",
+    "sim_brute_topk", "sim_ann_ivf_exact", "sim_ann_ivf_stored", "sim_ann_ivf_cdc",
+    "sim_knn_graph_ivf", "sim_knn_graph_ivf_mp",
+    "text_quality", "text_tfidf", "text_lm_score", "text_fingerprint",
+    "sketch_distinct_kmv", "sketch_rollup", "sketch_sliding_distinct",
+    "q_pagerank", "q_triangles", "q_components", "q_neighborhood_func",
+    "q_overlap_join", "q_sessionize",
+    "mm_phash_neardup", "mm_audio_neardup",
+    "pipe_clean_corpus", "pipe_shard_assign", "sample_mixture")
 
   private def loadavg: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
@@ -94,7 +121,11 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // ×10 scale-regression mode: bench the bounded x10Set against a ScaleUp
+    // fixture dir and write BENCH_x10.json (same quiet-box divert gate)
+    val x10Dir = sys.env.get("SPARK_GRAFT_BENCH_X10_DIR")
+    val sfDir = x10Dir.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -132,7 +163,8 @@ object Bench {
     // optional comma-separated headline filter — local iteration only (the
     // driver sets neither, so its runs stay full)
     val only: Set[String] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet).getOrElse(Set.empty)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+        .orElse(x10Dir.map(_ => x10Set.toSet)).getOrElse(Set.empty)
     val cdcSelected =
       only.isEmpty || only.contains("cdc_time_machine") || only.contains("cdc_raw_adapter") ||
         only.contains("cdc_as_of_state") || only.contains("cdc_snapshot_apply") ||
@@ -391,7 +423,7 @@ object Bench {
     // an absolute path here silently disabled the regression gate on any
     // other checkout location
     val ref = sys.env.get("SPARK_GRAFT_BENCH_REF")
-      .orElse(Option("BENCH_local_full.json")
+      .orElse(Option(if (x10Dir.isDefined) "BENCH_x10.json" else "BENCH_local_full.json")
         .filter(p => new java.io.File(p).exists()))
       .map(loadRef).getOrElse(Map.empty)
     val rerun = selected.filter { case (name, _) =>
@@ -424,26 +456,33 @@ object Bench {
     // gate) — they land in BENCH_local_full.loaded.json instead.
     val maxCommitLoad =
       sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD").map(_.toDouble).getOrElse(3.0)
+    val committedName = if (x10Dir.isDefined) "BENCH_x10.json" else "BENCH_local_full.json"
     val fullPath =
-      if (only.nonEmpty) "BENCH_solo.json"
+      if (only.nonEmpty && x10Dir.isEmpty) "BENCH_solo.json"
       else if (loadStart > maxCommitLoad) {
         System.err.println(f"[bench] loadavg_start $loadStart%.2f > $maxCommitLoad%.2f — " +
-          "NOT overwriting BENCH_local_full.json; writing BENCH_local_full.loaded.json")
-        "BENCH_local_full.loaded.json"
-      } else "BENCH_local_full.json"
+          s"NOT overwriting $committedName; writing ${committedName.stripSuffix(".json")}.loaded.json")
+        committedName.stripSuffix(".json") + ".loaded.json"
+      } else committedName
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full artifact write failed: $e") }
     System.err.println(fullJson)
     // Compact stdout line, hard-capped at BudgetChars so the whole line plus
-    // sbt's trailing "[success] ..." fits the driver's 2000-char tail window:
-    // per-query entries at 2 decimals, added in headline (priority) order
-    // until the budget is hit; anything dropped is counted in "omitted" and
-    // fully present in the file + stderr artifact above.
+    // sbt's trailing "[success] ..." fits the driver's 2000-char tail window.
+    // EVERY benched query is covered: "qv" is the full per-query seconds
+    // ARRAY in run order (~5 chars/query — names would blow the window; the
+    // order and names are mirrored 1:1 by the "queries" dict of the file
+    // named in "artifact", written by this same run, plus the stderr echo
+    // above). "artifact" also says which committed file these numbers
+    // mirror (quiet run) or whether they were diverted (.loaded). A named
+    // "queries" dict with whatever fits the remaining budget keeps the
+    // line human-readable.
     // 2000-char window − ~75 for sbt's trailing "[success] ..." − margin
     val BudgetChars = 1860
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfShort","runs":$passes,"nq":${results.size},"full":"$fullPath","queries":{"""
+    val qvArr = results.map { case (_, (sec, _)) => f"$sec%.2f" }.mkString("[", ",", "]")
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfShort","runs":$passes,"nq":${results.size},"artifact":"$fullPath","loadavg_start":$loadStart%.2f,"qv":$qvArr,"queries":{"""
     val entries = results.map { case (k, (sec, _)) => "\"" + k + f"\":$sec%.2f" }
     val sb = new StringBuilder(prefix)
     var kept = 0
@@ -454,7 +493,7 @@ object Bench {
         if (kept > 0) sb.append(','); sb.append(e); kept += 1
       }
     }
-    sb.append("},\"omitted\":").append(results.size - kept).append('}')
+    sb.append("},\"named_omitted\":").append(results.size - kept).append('}')
     println(sb.toString)
     try {
       import scala.reflect.io.Directory

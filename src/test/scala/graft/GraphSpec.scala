@@ -86,6 +86,55 @@ class GraphSpec extends SparkTestBase {
     assert(calls == 3, s"2 in-loop ticks + 1 final, got $calls")
   }
 
+  test("RELIABLE checkpoint() drives the iterative kernels: identical output, " +
+      "lineage actually cut to checkpoint files") {
+    // the cluster-safety contract, exercised for real instead of asserted
+    // from the lazy-plan option: pageRank and bfsDistances run with
+    // `materialize = _.checkpoint()` against a configured checkpoint dir —
+    // the recoverable, executor-churn-safe strategy a 1000-executor job
+    // uses (localCheckpoint is non-replayable). Asserted: (1) outputs are
+    // bit-identical to the default strategy; (2) checkpoint FILES exist
+    // (the lineage was genuinely written to reliable storage, not just
+    // cached); (3) the checkpointed plan no longer references the
+    // iteration's shuffle lineage (its RDD debug string roots in a
+    // ReliableCheckpointRDD scan).
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val hadCk = Option(spark.sparkContext.getCheckpointDir.orNull)
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+        .toDF("src", "dst")
+      val prDefault = Graph.pageRank(edges, col("src"), col("dst"),
+          iterations = 4, scale = 1000000L)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val prReliable = Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 4, scale = 1000000L, checkpointEvery = 2,
+        materialize = df => { val d = df.checkpoint(); d })
+      assert(prReliable.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        == prDefault)
+      assert(prReliable.rdd.toDebugString.contains("ReliableCheckpointRDD"),
+        "reliable-checkpointed plan must root in checkpoint files")
+      val seeds = Seq(1L).toDF("v")
+      val bfsDefault = Graph.bfsDistances(edges, col("src"), col("dst"),
+          seeds, col("v"), maxRounds = 4)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val bfsReliable = Graph.bfsDistances(edges, col("src"), col("dst"),
+        seeds, col("v"), maxRounds = 4, checkpointEvery = 1,
+        materialize = _.checkpoint())
+      assert(bfsReliable.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        == bfsDefault)
+      val written = new java.io.File(ckDir).listFiles()
+      assert(written != null && written.nonEmpty,
+        "checkpoint dir must hold written RDD state")
+    } finally {
+      hadCk.foreach(spark.sparkContext.setCheckpointDir)
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(ckDir)).deleteRecursively(); ()
+      } catch { case _: Throwable => () }
+    }
+  }
+
   test("kCoreMembers: hand-computed peel — pendant chain strips round by " +
       "round, the triangle survives as the 2-core; bounded rounds expose " +
       "the unconverged frontier") {
