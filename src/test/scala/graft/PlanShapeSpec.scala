@@ -437,6 +437,16 @@ class PlanShapeSpec extends SparkTestBase {
       s"IVF-restricted kNN must equi-join on the cell:\n$p")
   }
 
+  test("knnGraphIvfMultiprobe: still an equi-join on the cell key, probe " +
+      "assignment scan-local (top_centroids), no window over the corpus") {
+    val p = plan("sim_knn_graph_ivf_mp")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"multiprobe kNN must equi-join on the cell:\n$p")
+    assert(p.contains("top_centroids"),
+      s"probe assignment must be the scan-local plan-literal kernel:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("rfm segmentation: quartile boundaries are literals — no window, no ntile") {
     val p = plan("q_rfm_segments")
     assert(!p.contains("Window") && !p.toLowerCase.contains("ntile"),
