@@ -76,7 +76,7 @@ object Bench {
     "sim_knn_graph_ivf", "q_rfm_segments", "pipe_softdedup_weights",
     "q_overlap_join", "q_period_over_period", "text_langid_eval",
     "sim_knn_graph_ivf_mp", "cdc_schema_evolution", "dedup_lsh_cdc",
-    "sim_ann_ivf_cdc"
+    "sim_ann_ivf_cdc", "q_components_maintain", "dedup_lsh_update"
   )
 
   /** The ×10 scale-regression subset (SPARK_GRAFT_BENCH_X10_DIR mode):
@@ -99,7 +99,8 @@ object Bench {
     "sim_knn_graph_ivf", "sim_knn_graph_ivf_mp",
     "text_quality", "text_tfidf", "text_lm_score", "text_fingerprint",
     "sketch_distinct_kmv", "sketch_rollup", "sketch_sliding_distinct",
-    "q_pagerank", "q_triangles", "q_components", "q_neighborhood_func",
+    "q_pagerank", "q_triangles", "q_components", "q_components_maintain",
+    "q_neighborhood_func", "dedup_lsh_update",
     "q_overlap_join", "q_sessionize",
     "mm_phash_neardup", "mm_audio_neardup",
     "pipe_clean_corpus", "pipe_shard_assign", "sample_mixture")

@@ -837,6 +837,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    "q_components_maintain" -> ((s, d) => {
+      // incremental connected components — the graph lane's IVM member
+      // (edge ADDITIONS are the monotone direction; deletion needs a
+      // rescan, like cdc_minmax_maintain's retraction hazard): the stored
+      // min-label table (components of the orders NOT in the batch) folds
+      // in the batch orders' edges at O(batch + touched-label rewrite) —
+      // batch endpoints canonicalize against stored labels, already-merged
+      // edges vanish, the batch-sized residue star-contracts, and the
+      // merge map updates the stored table by one broadcast join (labels
+      // never shuffle). Gate: maintained census ≡ full recompute (the
+      // q_components oracle over ALL qualifying orders).
+      val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      def starEdges(df: DataFrame) = df.groupBy("ok")
+        .agg(min(col("pk")).as("m"), collect_set(col("pk")).as("nbrs"))
+        .select(col("m").as("a_id"), explode(col("nbrs")).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+      val stored = graft.operators.Dedup.resolveCanonicalStars(
+        starEdges(li.filter(col("ok") % 8 =!= 0)))
+      graft.operators.Graph.maintainComponents(
+          stored, col("id"), col("canonical_id"),
+          starEdges(li.filter(col("ok") % 8 === 0)), col("a_id"), col("b_id"))
+        .groupBy(col("canonical_id").as("component_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
     "q_peak_concurrency" -> ((s, d) => {
       // capacity-planning read: daily peak simultaneous sessions. Sweep
       // line PARTITIONED BY DAY (intervals clip to day segments, ±1
@@ -3080,6 +3106,31 @@ object SparkEntry {
       pairs
     }),
 
+    "dedup_lsh_update" -> ((s, d) => {
+      // CDC UPDATEs into the stored LSH index = delete-fold of the old
+      // versions + probe/append of the re-signed NEW versions (the
+      // before-image/after-image pair every CDC update carries, applied to
+      // the index tables) — completing the mutation triad on the stored
+      // index: INSERT = lshProbeAppend, DELETE = lshApplyDeletes, UPDATE =
+      // both. Only the updated docs re-sign (batch-sized work); the gate:
+      // the emitted update-touching pairs ≡ all-pairs Jaccard over the
+      // corpus WITH the updates applied.
+      val docs = t(s, d, "documents")
+      val updated = docs.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+        .withColumn("text", concat(col("text"), lit(" graft update marker")))
+      val dir = scratchDir("lshupd")
+      val (b1, s1) = Dedup.lshIndexBuild(docs,
+        col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16)
+      Dedup.writeLshIndex(b1, s1, dir, version = 1L)
+      val (rb1, rs1) = Dedup.readLshIndex(s, dir, version = 1L)
+      val (b2, s2) = Dedup.lshApplyDeletes(rb1, rs1,
+        updated.select(col("doc_id")), col("doc_id"))
+      val (pairs, _, _) = Dedup.lshProbeAppend(b2, s2, updated,
+        col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
+        thresholdPpm = 800000L)
+      pairs
+    }),
+
     "dedup_paragraph" -> ((s, d) =>
       // sub-document exact dedup (MassiveText "repeated passage" rule):
       // 10-token chunks, corpus-wide keep-first, reassemble in doc order
@@ -4827,6 +4878,24 @@ object SparkEntry {
          SELECT component_id, count(*) AS n_nodes
          FROM comp GROUP BY component_id""",
 
+    // the RECOMPUTE: the maintained label table must census identically to
+    // components over the FULL qualifying edge set (stored ∪ batch orders)
+    // — same closure as q_components
+    "q_components_maintain" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey ok, l_partkey pk
+           FROM lineitem WHERE l_quantity >= 45),
+         e0 AS (SELECT DISTINCT a.pk a, b.pk b FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         ed AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT a AS v FROM ed),
+         reach(v, l) AS (
+           SELECT v, v AS l FROM nodes
+           UNION
+           SELECT e.b AS v, reach.l FROM reach JOIN ed e ON e.a = reach.v),
+         comp AS (SELECT v, min(l) AS component_id FROM reach GROUP BY v)
+         SELECT component_id, count(*) AS n_nodes
+         FROM comp GROUP BY component_id""",
+
     "q_peak_concurrency" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id AS eid
            FROM events),
@@ -6253,6 +6322,24 @@ object SparkEntry {
            CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE (a.doc_id >= 375 OR b.doc_id >= 375)
+           AND CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
+
+    // the corpus WITH the updates applied (before-images replaced by
+    // after-images for doc_id in [100, 150)); pairs touching an updated doc
+    "dedup_lsh_update" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(
+             CASE WHEN doc_id >= 100 AND doc_id < 250
+               THEN text || ' graft update marker' ELSE text END),
+             '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+           [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS s
+         FROM docs)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_ppm
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE ((a.doc_id >= 100 AND a.doc_id < 250) OR (b.doc_id >= 100 AND b.doc_id < 250))
            AND CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
 
     "dedup_containment" ->

@@ -734,4 +734,66 @@ object Graph {
       .filter(col("src") < col("dst"))
       .select("src", "dst")
   }
+
+  /** Incremental connected components — the GRAPH lane's IVM member, the
+    * reference's versioned-mutation philosophy applied to a derived graph
+    * structure (like the stored LSH/IVF indexes, which gained append and
+    * delete folds): a stored min-label table absorbs a batch of NEW EDGES
+    * at O(batch + touched-label rewrite) cost instead of recomputing
+    * components over the full edge history.
+    *
+    * How: batch endpoints CANONICALIZE against the stored labels (the
+    * stored table is scanned once, column-pruned, semi-joined to the
+    * broadcast batch id set — the ivfAppend guard shape; labels never
+    * shuffle), edges whose endpoints already share a canonical drop out,
+    * and the surviving BATCH-SIZED canonical edge set runs the same
+    * star-contraction kernel as the full computation
+    * ([[Dedup.resolveCanonicalStars]] — min-label convention). The
+    * resulting merge map (old canonical → new min) is batch-sized, so the
+    * stored table updates by one broadcast-hash join: a scan-local
+    * projection, no exchange of the node-sized table. New nodes enter
+    * with their contracted labels.
+    *
+    * Correctness: stored labels are min-of-component by induction (the
+    * kernel's convention), canonicals are always MEMBERS of their stored
+    * component, and a new node's id can therefore never collide with a
+    * stored canonical — so coalesce(merge, old) is the global min of the
+    * merged component and the maintained table EQUALS the recompute over
+    * edges ∪ batch (oracle-gated as `q_components_maintain`).
+    *
+    * Redelivery contract: IDEMPOTENT — replayed edges canonicalize to
+    * equal endpoints and vanish before the contraction (spec-pinned), so
+    * no fence is needed: edge ADDITION is the monotone direction of this
+    * view, the k-min/minmax class. Edge DELETION is the textbook
+    * non-incrementalizable direction (removing a bridge splits a
+    * component only a rescan can re-derive — same standing as
+    * cdc_minmax_maintain's retraction hazard). */
+  def maintainComponents(labels: DataFrame, vCol: Column, labCol: Column,
+      newEdges: DataFrame, srcCol: Column, dstCol: Column): DataFrame = {
+    val lab = labels.select(vCol.as("v"), labCol.as("canonical_id"))
+    val e = newEdges.select(srcCol.as("a"), dstCol.as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val ids = e.select(col("a").as("v")).union(e.select(col("b").as("v"))).distinct()
+    // stored labels restricted to batch endpoints: one column-pruned pass
+    // over the node-sized table against the broadcast id set → batch-sized
+    val touched = lab.join(broadcast(ids), Seq("v"), "left_semi")
+    val ta = touched.select(col("v").as("a"), col("canonical_id").as("ca"))
+    val tb = touched.select(col("v").as("b"), col("canonical_id").as("cb"))
+    val ce = e.join(broadcast(ta), Seq("a"), "left")
+      .join(broadcast(tb), Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a_id"),
+        coalesce(col("cb"), col("b")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    // contract the batch-sized canonical edge set; (id → new canonical)
+    // covers exactly the old canonicals and new nodes the batch touches
+    val merged = graft.operators.Dedup.resolveCanonicalStars(ce)
+    val m = merged.select(col("id").as("canonical_id"), col("canonical_id").as("__nc"))
+    val updated = lab.join(broadcast(m), Seq("canonical_id"), "left")
+      .select(col("v"), coalesce(col("__nc"), col("canonical_id")).as("canonical_id"))
+    // labels for nodes the stored table has never seen
+    val newNodes = ids.join(broadcast(touched.select("v")), Seq("v"), "left_anti")
+    val newLabels = merged.select(col("id").as("v"), col("canonical_id"))
+      .join(broadcast(newNodes), Seq("v"), "left_semi")
+    updated.unionByName(newLabels)
+  }
 }

@@ -86,6 +86,43 @@ class GraphSpec extends SparkTestBase {
     assert(calls == 3, s"2 in-loop ticks + 1 final, got $calls")
   }
 
+  test("maintainComponents: merges, attachments, new components — equals " +
+      "recompute; replay is a no-op (the monotone IVM contract)") {
+    import graft.operators.Dedup
+    // stored graph: component {1,2,3} (canonical 1) and {10,11} (canonical
+    // 10), plus isolated-in-label node 50 (its own component)
+    val storedEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L))
+      .toDF("a_id", "b_id")
+    val stored = Dedup.resolveCanonicalStars(storedEdges)
+    // batch: a BRIDGE merging the two components (3-10), a new node
+    // attaching to a stored component (11-30), a brand-new pair (20,21),
+    // an already-merged edge (1-2, must vanish at canonicalization), and
+    // a self-loop (7,7, dropped)
+    val batch = Seq((3L, 10L), (11L, 30L), (20L, 21L), (1L, 2L), (7L, 7L))
+      .toDF("src", "dst")
+    val got = Graph.maintainComponents(stored, col("id"), col("canonical_id"),
+        batch, col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    // recompute over stored ∪ batch (self-loop-free)
+    val want = Dedup.resolveCanonicalStars(
+        storedEdges.unionByName(batch.filter(col("src") =!= col("dst"))
+          .select(col("src").as("a_id"), col("dst").as("b_id"))))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+    // the merged component took the GLOBAL min label
+    assert(got(11L) == 1L && got(30L) == 1L && got(3L) == 1L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got(50L) == 50L && got(51L) == 50L)
+    // replay: same batch against the maintained table — every edge
+    // canonicalizes to equal endpoints and vanishes; labels unchanged
+    val gotDf = Graph.maintainComponents(stored, col("id"), col("canonical_id"),
+      batch, col("src"), col("dst"))
+    val replay = Graph.maintainComponents(gotDf, col("v"), col("canonical_id"),
+        batch, col("src"), col("dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(replay == want, "replayed batch must be a no-op")
+  }
+
   test("RELIABLE checkpoint() drives the iterative kernels: identical output, " +
       "lineage actually cut to checkpoint files") {
     // the cluster-safety contract, exercised for real instead of asserted
