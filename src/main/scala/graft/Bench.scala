@@ -76,7 +76,8 @@ object Bench {
     "sim_knn_graph_ivf", "q_rfm_segments", "pipe_softdedup_weights",
     "q_overlap_join", "q_period_over_period", "text_langid_eval",
     "sim_knn_graph_ivf_mp", "cdc_schema_evolution", "dedup_lsh_cdc",
-    "sim_ann_ivf_cdc", "q_components_maintain", "dedup_lsh_update"
+    "sim_ann_ivf_cdc", "q_components_maintain", "dedup_lsh_update",
+    "sim_hard_negatives"
   )
 
   /** The ×10 scale-regression subset (SPARK_GRAFT_BENCH_X10_DIR mode):

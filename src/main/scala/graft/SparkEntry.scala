@@ -3336,6 +3336,19 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 0.2)
     }),
 
+    "sim_hard_negatives" -> ((s, d) => {
+      // contrastive-training data prep: per anchor the 10 most-similar
+      // DIFFERENT-label vectors — the boundary-hugging negatives DPR/ANCE
+      // mine; the label inequality rides the JOIN (search space partitions
+      // by "not my class" — no under-filled k when one class dominates),
+      // selection through the bounded top-k aggregate
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(
+        emb, col("vec_id"), col("embedding"), col("label"),
+        emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        col("label"), k = 10)
+    }),
+
     "sim_filtered_topk" -> ((s, d) => {
       // filtered ANN: the metadata predicate (same label) is part of the
       // JOIN KEY, so the search space partitions by the attribute instead
@@ -6588,6 +6601,18 @@ object SparkEntry {
                AS cos_sim
            FROM c, q WHERE vec_id <> query_id)
          SELECT query_id, vec_id, cos_sim FROM sc WHERE cos_sim >= 0.2""",
+
+    // the complement predicate of sim_filtered_topk: label DISAGREES
+    "sim_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         q AS (SELECT vec_id AS anchor_id, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20)
+         SELECT anchor_id, vec_id AS negative_id,
+           round(list_dot_product(cv, qv)
+             / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         FROM c, q WHERE vec_id <> anchor_id AND label <> qlabel
+         QUALIFY row_number() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) <= 10""",
 
     "sim_filtered_topk" ->
       """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -255,6 +255,37 @@ object Similarity {
         col("__e.score").as("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive training (the data-prep step of
+    * dual-encoder / embedding-model training — Karpukhin et al. '20 DPR,
+    * Xiong et al. '21 ANCE): per anchor, the k most-SIMILAR vectors whose
+    * label DISAGREES — the negatives that sit closest to the decision
+    * boundary and carry the gradient signal random negatives don't. The
+    * complement of [[filteredTopK]]: the attribute predicate is an
+    * INEQUALITY on the join, so the search space partitions by "not my
+    * class" instead of post-filtering a global shortlist (which
+    * under-fills k when a class dominates the corpus — the same failure
+    * mode filtered ANN has). Same bounded [[topKByScore]] tail: k rows
+    * per anchor per partition cross the exchange, never the pair stream.
+    * At corpus scale the scorer's input swaps for LSH/IVF candidates
+    * exactly as in the kNN-graph family. */
+  def hardNegatives(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    corpusLabel: Column,
+                    anchors: DataFrame, anchorId: Column, anchorVec: Column,
+                    anchorLabel: Column, k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), asDouble(corpusVec).as("cv"),
+      corpusLabel.as("__lab"))
+    val q = anchors.select(anchorId.as("anchor_id"), asDouble(anchorVec).as("qv"),
+      anchorLabel.as("__qlab"))
+    c.join(broadcast(q),
+        col("__lab") =!= col("__qlab") && col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos_sim", round(cosine(col("cv"), col("qv")), 6))
+      .groupBy("anchor_id")
+      .agg(topKByScore(col("cos_sim"), col("vec_id"), k).as("__tk"))
+      .select(col("anchor_id"), explode(col("__tk")).as("__e"))
+      .select(col("anchor_id"), col("__e.id").as("negative_id"),
+        col("__e.score").as("cos_sim"))
+  }
+
   /** MMR diversified re-rank (Carbonell & Goldstein, SIGIR '98) of a
     * per-query candidate shortlist: greedily select k items maximizing
     * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). The shortlist (from any
