@@ -459,8 +459,12 @@ object Bench {
     val maxCommitLoad =
       sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD").map(_.toDouble).getOrElse(3.0)
     val committedName = if (x10Dir.isDefined) "BENCH_x10.json" else "BENCH_local_full.json"
+    // an EXPLICIT query filter is a debug run in EITHER mode — it must
+    // never clobber a committed reference (x10 mode sets `only` itself
+    // from x10Set, which is the full committed subset, so the x10 gate
+    // keys on the env var, not on only.nonEmpty)
     val fullPath =
-      if (only.nonEmpty && x10Dir.isEmpty) "BENCH_solo.json"
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_solo.json"
       else if (loadStart > maxCommitLoad) {
         System.err.println(f"[bench] loadavg_start $loadStart%.2f > $maxCommitLoad%.2f — " +
           s"NOT overwriting $committedName; writing ${committedName.stripSuffix(".json")}.loaded.json")
@@ -483,8 +487,23 @@ object Bench {
     // 2000-char window − ~75 for sbt's trailing "[success] ..." − margin
     val BudgetChars = 1860
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val qvArr = results.map { case (_, (sec, _)) => f"$sec%.2f" }.mkString("[", ",", "]")
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfShort","runs":$passes,"nq":${results.size},"artifact":"$fullPath","loadavg_start":$loadStart%.2f,"qv":$qvArr,"queries":{"""
+    // qv itself is bounded by the SAME budget (the per-name loop below only
+    // guards its own entries): keep the leading entries that fit half the
+    // window and count the rest in qv_omitted — at today's nq everything
+    // fits; past ~330 queries the line degrades gracefully instead of
+    // outgrowing the driver's 2000-char tail (the r6 'parsed: null' mode)
+    val qvAll = results.map { case (_, (sec, _)) => f"$sec%.2f" }
+    val qvBudget = BudgetChars / 2
+    val qvKept = {
+      var len = 2; val b = Seq.newBuilder[String]; var n = 0
+      qvAll.foreach { e =>
+        if (len + e.length + 1 <= qvBudget) { b += e; len += e.length + 1; n += 1 }
+      }
+      (b.result(), n)
+    }
+    val qvArr = qvKept._1.mkString("[", ",", "]")
+    val qvOmitted = results.size - qvKept._2
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfShort","runs":$passes,"nq":${results.size},"artifact":"$fullPath","loadavg_start":$loadStart%.2f,"qv":$qvArr,"qv_omitted":$qvOmitted,"queries":{"""
     val entries = results.map { case (k, (sec, _)) => "\"" + k + f"\":$sec%.2f" }
     val sb = new StringBuilder(prefix)
     var kept = 0

@@ -6338,7 +6338,7 @@ object SparkEntry {
            AND CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800000""",
 
     // the corpus WITH the updates applied (before-images replaced by
-    // after-images for doc_id in [100, 150)); pairs touching an updated doc
+    // after-images for doc_id in [100, 250)); pairs touching an updated doc
     "dedup_lsh_update" ->
       """WITH docs AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(

@@ -232,8 +232,12 @@ object Cdc {
     * re-folding the post-batch state from scratch, at O(stored chunks +
     * touched rows) per batch — the standing 100 TB replica is never
     * rescanned; the full-scan [[chunkChecksum]] becomes the occasional
-    * audit, not the steady state. Chunks whose count reaches 0 drop out
-    * (matching the recompute, where an empty chunk never appears). */
+    * audit, not the steady state. Chunks that empty CONSISTENTLY
+    * (n = 0 AND sig = 0) drop out, matching the recompute, where an empty
+    * chunk never appears; a zero or negative count with a NONZERO residual
+    * signature means the caller fed wrong before-images, and that chunk is
+    * deliberately RETAINED so the corruption surfaces as a DIFF at the
+    * next [[chunkChecksum]] compare instead of silently vanishing. */
   def maintainChunkChecksum(stored: DataFrame, added: DataFrame,
       removed: DataFrame, key: String, cols: Seq[String],
       chunks: Int): DataFrame = {
