@@ -103,6 +103,27 @@ object RowDecoder {
     df.withColumn("before", when(col("before").isNotNull, decodeImage(col("before"), schema)))
       .withColumn("after", when(col("after").isNotNull, decodeImage(col("after"), schema)))
 
+  /** Multi-table VERSIONED decode: the [[decodeAllTables]] dispatch crossed
+    * with [[decodeVersionedImage]]'s position resolution — every row of a
+    * mixed-table stream decodes against the schema version of ITS table
+    * that was active at ITS position (the reference's full
+    * DataAugmenter × SchemaAtPositionCache behavior). Still ONE scan-local
+    * when-chain compiled from the (driver-tiny) catalog snapshot: tables ×
+    * versions nested whens, zero shuffles. Unknown tables pass through
+    * undecoded. */
+  def decodeAllTablesVersioned(df: org.apache.spark.sql.DataFrame, posCol: Column,
+      catalog: SchemaCatalog): org.apache.spark.sql.DataFrame = {
+    def dispatch(image: Column): Column =
+      catalog.tables.foldLeft(image) { (acc, tbl) =>
+        val vs = catalog.versionsOf(tbl)
+        if (vs.isEmpty) acc
+        else when(col("table") === tbl && image.isNotNull,
+          decodeVersionedImage(image, posCol, vs)).otherwise(acc)
+      }
+    df.withColumn("before", dispatch(col("before")))
+      .withColumn("after", dispatch(col("after")))
+  }
+
   /** Multi-table decode: dispatch on the `table` column across every current
     * schema in the catalog — a when-chain built once from the (small,
     * broadcastable) catalog snapshot, so a mixed-table stream decodes in a

@@ -44,7 +44,16 @@ final case class PipelineConfig(
       * timeout). Off by default: per-txn state is already bounded by the
       * oversize-chunk guard, and timeout triggers interact badly with
       * test-style processAllAvailable draining. */
-    abandonedTxnTimeout: Boolean = false
+    abandonedTxnTimeout: Boolean = false,
+    /** Decode row images through the versioned catalog BEFORE the sink —
+      * the reference's DataAugmenter order (cells land decoded, each row
+      * against the schema version active at its position:
+      * [[graft.augment.RowDecoder.decodeAllTablesVersioned]]). Requires
+      * `schemaCatalog`. Off by default: the raw-cell sink is the
+      * time-machine's storage contract and decode stays available on the
+      * read side; turn on when downstream consumers read the sink
+      * directly. */
+    decodeWithCatalog: Boolean = false
 )
 
 final case class TableFilterConfig(include: Seq[String] = Nil, excludePattern: Option[String] = None)
@@ -124,7 +133,17 @@ object ReplicatorPipeline {
         }
       }
     }
-    val routed = route(batch.filter(_.kind != "DDL").toDF(), cfg)
+    val routed0 = route(batch.filter(_.kind != "DDL").toDF(), cfg)
+    // versioned decode AFTER the catalog absorbed this batch's DDL (rows
+    // that precede an in-batch barrier still resolve to the older version
+    // by position — the when-chain keys on commitTsMs, not batch order)
+    val routed =
+      if (cfg.decodeWithCatalog) cfg.schemaCatalog match {
+        case Some(cat) =>
+          graft.augment.RowDecoder.decodeAllTablesVersioned(routed0, col("commitTsMs"), cat)
+        case None => throw new IllegalArgumentException(
+          "decodeWithCatalog requires a schemaCatalog")
+      } else routed0
     val df = cfg.payloadTable match {
       case Some(p) => routed.withColumn("rowKey",
         when(col("table") === p, col("txnUuid")).otherwise(col("rowKey")))

@@ -305,6 +305,37 @@ class StreamingSpec extends SparkTestBase {
     assert(TimeMachineSink.latestRows(spark, sink).count() == 1)
   }
 
+  test("decodeWithCatalog: cells land DECODED, each row against the schema " +
+      "version active at its position (DataAugmenter order)") {
+    val sink = Files.createTempDirectory("sinkdec").toString
+    val cat = new graft.augment.SchemaCatalog("mydb")
+    val cfg = PipelineConfig(sink, "/tmp/unused-ckpt", partitions = 2,
+      schemaCatalog = Some(cat), decodeWithCatalog = true)
+    val ops = Seq(
+      Op("DDL", "ddl1", 0, 1, 500L, "organisms", "",
+        Map.empty, Map("ddl" -> "CREATE TABLE organisms (id INT PRIMARY KEY, lifespan INT)")),
+      // t1 commits at ts 1000 — BEFORE the MODIFY barrier: lifespan is a
+      // signed INT, the wire string passes through
+      op("BEGIN", "t1", 2, table = "organisms", ts = 1000L),
+      op("INSERT", "t1", 3, table = "organisms", key = "1",
+        after = Map("id" -> "1", "lifespan" -> "-13"), ts = 1000L),
+      op("COMMIT", "t1", 4, table = "organisms", ts = 1000L),
+      Op("DDL", "ddl2", 0, 5, 2500L, "organisms", "",
+        Map.empty, Map("ddl" -> "ALTER TABLE organisms MODIFY lifespan SMALLINT UNSIGNED NOT NULL")),
+      // t2 commits at ts 3000 — AFTER the barrier: the SAME wire string
+      // now decodes through the unsigned-smallint mask
+      op("BEGIN", "t2", 6, table = "organisms", ts = 3000L),
+      op("INSERT", "t2", 7, table = "organisms", key = "2",
+        after = Map("id" -> "2", "lifespan" -> "-13"), ts = 3000L),
+      op("COMMIT", "t2", 8, table = "organisms", ts = 3000L)).toDS()
+    ReplicatorPipeline.runBatch(ops, cfg)
+    val lifespans = spark.read.parquet(sink)
+      .filter(col("column") === "lifespan")
+      .select(col("row_key"), col("value")).as[(String, String)].collect().toMap
+    assert(lifespans("1") == "-13", s"pre-barrier row must decode as signed INT: $lifespans")
+    assert(lifespans("2") == "65523", s"post-barrier row must decode unsigned: $lifespans")
+  }
+
   test("validation loop: source-vs-target compare finds drift and missing rows") {
     val sink = Files.createTempDirectory("sink3").toString
     val ops = Seq(
