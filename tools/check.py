@@ -104,8 +104,19 @@ def main():
             def types_of(sql):
                 rows = con.execute(f"DESCRIBE {sql}").fetchall()
                 return {r[0]: r[1] for r in rows}
-            tg = types_of(f"SELECT * FROM '{d}/*.parquet'")
-            te = types_of(f"({oracle[name]})")
+            # the DESCRIBE pair runs the oracle's planner again and is just
+            # as exposed to the long-session allocator exhaustion as the
+            # fetch — give it the same one-retry-on-fresh-connection cure
+            # (r9 saw the fetch path fail this way; r10 saw DESCRIBE)
+            try:
+                tg = types_of(f"SELECT * FROM '{d}/*.parquet'")
+                te = types_of(f"({oracle[name]})")
+            except Exception:
+                con.close()
+                con = fresh_con()
+                since_recycle = 0
+                tg = types_of(f"SELECT * FROM '{d}/*.parquet'")
+                te = types_of(f"({oracle[name]})")
             tmis = [(c, tg.get(c), te.get(c)) for c in g_cols
                     if tg.get(c) != te.get(c)]
             if tmis:
