@@ -77,7 +77,7 @@ object Bench {
     "q_overlap_join", "q_period_over_period", "text_langid_eval",
     "sim_knn_graph_ivf_mp", "cdc_schema_evolution", "dedup_lsh_cdc",
     "sim_ann_ivf_cdc", "q_components_maintain", "dedup_lsh_update",
-    "sim_hard_negatives"
+    "sim_hard_negatives", "text_boilerplate_strip", "cdc_table_filter"
   )
 
   /** The ×10 scale-regression subset (SPARK_GRAFT_BENCH_X10_DIR mode):
@@ -99,6 +99,7 @@ object Bench {
     "sim_brute_topk", "sim_ann_ivf_exact", "sim_ann_ivf_stored", "sim_ann_ivf_cdc",
     "sim_knn_graph_ivf", "sim_knn_graph_ivf_mp",
     "text_quality", "text_tfidf", "text_lm_score", "text_fingerprint",
+    "text_boilerplate_strip",
     "sketch_distinct_kmv", "sketch_rollup", "sketch_sliding_distinct",
     "q_pagerank", "q_triangles", "q_components", "q_components_maintain",
     "q_neighborhood_func", "dedup_lsh_update",

@@ -3131,6 +3131,32 @@ object SparkEntry {
       pairs
     }),
 
+    "text_boilerplate_strip" -> ((s, d) =>
+      // C4/CCNet boilerplate rule at chunk granularity: a 10-token chunk
+      // in MORE than 3 distinct docs is boilerplate and is cut from EVERY
+      // doc (incl. first occurrence — the contrast with dedup_paragraph's
+      // keep-first); hot set is a broadcast sliver, corpus shuffles by
+      // chunk exactly once for the df count
+      Dedup.stripCommonChunks(t(s, d, "documents"), col("doc_id"), col("text"),
+        chunkTokens = 10, maxDf = 3)),
+
+    "cdc_table_filter" -> ((s, d) => {
+      // A3's include/exclude gate, hash-gated on BOTH rule shapes
+      // (reference AugmenterContext.java:711-730: pass iff NOT excluded
+      // AND (include empty OR included) — exclusion beats inclusion):
+      // cfg 1 = blacklist only, cfg 2 = whitelist ∧ blacklist where one
+      // whitelisted name (src12) is also excluded and must NOT survive
+      val docs = t(s, d, "documents")
+      val a = Cdc.tableFilter(docs, col("source"), Nil, Some("^src1[0-9]$"))
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cfg", lit("exclude_only"))
+      val b = Cdc.tableFilter(docs, col("source"),
+          Seq("src1", "src2", "src12"), Some("^src1[0-9]$"))
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cfg", lit("include_and_exclude"))
+      a.unionByName(b)
+    }),
+
     "dedup_paragraph" -> ((s, d) =>
       // sub-document exact dedup (MassiveText "repeated passage" rule):
       // 10-token chunks, corpus-wide keep-first, reassemble in doc order
@@ -6910,6 +6936,37 @@ object SparkEntry {
          SELECT n.doc_id, n.fp FROM f n
          WHERE n.doc_id >= 250
            AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id < 250 AND c.fp = n.fp)""",
+
+    // document frequency per chunk via a grouped count (not a window —
+    // same skew argument as the engine), hot = df > 3, survivors
+    // reassembled in ord order; EVERY occurrence of a hot chunk drops
+    "text_boilerplate_strip" ->
+      """WITH docs AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         ch AS (SELECT doc_id,
+           unnest([{'ord': i-1, 'chunk': array_to_string(w[(i-1)*10+1:(i-1)*10+10], ' ')}
+             for i in range(1, CAST(ceil(len(w)/10.0) AS BIGINT) + 1)], recursive := true)
+         FROM docs),
+         cnt AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY chunk),
+         j AS (SELECT ch.*, cnt.df FROM ch JOIN cnt USING (chunk))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE df > 3) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(chunk, ' ' ORDER BY ord) FILTER (WHERE df <= 3), '') AS clean_text
+         FROM j GROUP BY doc_id""",
+
+    // both rule shapes of the reference's !excluded && included gate;
+    // anchored regex so rlike (search) and regexp_matches (search) agree
+    "cdc_table_filter" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS cnt, 'exclude_only' AS cfg
+         FROM documents WHERE NOT regexp_matches(source, '^src1[0-9]$')
+         GROUP BY source
+         UNION ALL
+         SELECT source, CAST(count(*) AS BIGINT) AS cnt, 'include_and_exclude' AS cfg
+         FROM documents
+         WHERE source IN ('src1', 'src2', 'src12')
+           AND NOT regexp_matches(source, '^src1[0-9]$')
+         GROUP BY source""",
 
     "dedup_paragraph" ->
       """WITH docs AS (SELECT doc_id,

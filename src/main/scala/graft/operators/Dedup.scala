@@ -510,6 +510,48 @@ object Dedup {
           c => c.getField("chunk")), " ").as("deduped_text"))
   }
 
+  /** Corpus-frequency boilerplate stripping (the C4/CCNet "line repeated
+    * across many pages" rule, applied at chunk granularity): a fixed-width
+    * token chunk occurring in MORE than `maxDf` distinct documents is
+    * boilerplate (navigation, legal footers, cookie banners) and is
+    * removed from EVERY document — including its first occurrence, which
+    * is what distinguishes this from [[chunkDedup]]'s keep-first rule
+    * (dedup keeps one copy of genuine content; boilerplate deserves
+    * none). Returns per-doc (n_chunks, n_dropped, clean_text) with
+    * survivors reassembled in document order.
+    *
+    * Scale shape: the document-frequency count is a hash-aggregate over
+    * the chunk key (map-side partial combine bounds per-task input under
+    * the Zipf skew boilerplate by definition has — a window count would
+    * land every occurrence of a hot chunk on one task), and the HOT set —
+    * df > maxDf, a sliver of distinct chunks by construction — broadcasts
+    * into a scan-local anti-join. The corpus never reshuffles by chunk a
+    * second time. */
+  def stripCommonChunks(df: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int, maxDf: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val toks = col("__toks")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunkArr = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("ord"),
+        array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ").as("chunk")))
+    val exploded = tokenized(df, idCol, textCol)
+      .select(col("id").as("doc_id"), explode(chunkArr).as("c"))
+      .select(col("doc_id"), col("c.ord").as("ord"), col("c.chunk").as("chunk"))
+    val hot = exploded.groupBy(col("chunk"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("chunk"), lit(1L).as("__hot"))
+    exploded.join(broadcast(hot), Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull, struct(col("ord"), col("chunk"))))),
+          c => c.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** Duplicated-span statistics (the detection half of exact substring
     * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
     * Models Better"): every POSITIONAL token n-gram of every document (a
