@@ -508,10 +508,11 @@ object Bench {
     val entries = results.map { case (k, (sec, _)) => "\"" + k + f"\":$sec%.2f" }
     val sb = new StringBuilder(prefix)
     var kept = 0
+    // reserve the true worst-case closing suffix: "},\"named_omitted\":NNN}"
+    val suffixReserve = "},\"named_omitted\":".length + 4
     entries.foreach { e =>
       val sep = if (kept == 0) 0 else 1
-      // reserve room for the close + a worst-case ",\"omitted\":NN}" suffix
-      if (sb.length + sep + e.length + 20 <= BudgetChars) {
+      if (sb.length + sep + e.length + suffixReserve <= BudgetChars) {
         if (kept > 0) sb.append(','); sb.append(e); kept += 1
       }
     }

@@ -86,12 +86,18 @@ object RowDecoder {
     * narrow scan-local projection, zero shuffles, and a row written before
     * an ADD COLUMN simply lacks that key in its decoded map (NULL on
     * extract), while the same wire value re-types across a MODIFY
-    * boundary (e.g. signed passthrough -> unsigned mask). */
+    * boundary (e.g. signed passthrough -> unsigned mask).
+    *
+    * A row whose position PRECEDES the earliest catalog version (a catalog
+    * bootstrapped mid-binlog stamps its CREATE at bootstrap position, so
+    * earlier rows exist legitimately) falls back to the raw image — the
+    * same passthrough an unknown table gets in
+    * [[decodeAllTablesVersioned]] — rather than NULLing it out, which
+    * would silently drop the row's data cells downstream. */
   def decodeVersionedImage(image: Column, posCol: Column,
                            versions: Seq[TableSchemaV]): Column = {
     require(versions.nonEmpty, "decodeVersionedImage requires >= 1 schema version")
-    import org.apache.spark.sql.types.{MapType, StringType}
-    versions.foldLeft(lit(null).cast(MapType(StringType, StringType))) { (acc, v) =>
+    versions.foldLeft(image) { (acc, v) =>
       when(posCol >= v.validFromMs && image.isNotNull, decodeImage(image, v))
         .otherwise(acc)
     }

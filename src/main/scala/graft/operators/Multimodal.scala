@@ -540,7 +540,8 @@ object Multimodal {
     * joined pair. Emits (a_id, b_id, hamming), a < b. */
   def phashNearDup(hashed: DataFrame, idCol: Column, hashCol: Column,
       maxHamming: Int, bands: Int = 8, comboBands: Int = 1,
-      maxBandDf: Int = Int.MaxValue): DataFrame = {
+      maxBandDf: Int = Int.MaxValue,
+      saltHotDf: Int = Int.MaxValue, saltBlocks: Int = 16): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
     require(comboBands >= 1 && comboBands <= bands,
       s"comboBands must be in [1, $bands], got $comboBands")
@@ -548,6 +549,8 @@ object Multimodal {
       s"recall guarantee needs maxHamming <= bands - comboBands " +
         s"($maxHamming > $bands - $comboBands)")
     require(maxBandDf >= 1, "maxBandDf must be >= 1")
+    require(saltHotDf >= 1 && saltBlocks >= 1,
+      "saltHotDf and saltBlocks must be >= 1")
     val bandLen = 64 / bands
     // Two representations of the same hash: band(-combination) substrings
     // as the join key, and four 16-bit INTEGER chunks for the postfilter —
@@ -597,20 +600,53 @@ object Multimodal {
     // x/y subplans below collapse into one reused exchange)
     val banded0 = h.select(col("id"), col("hl"), explode(keyArr).as("k"))
       .select(col("id"), col("hl"), col("k.b").as("b"), col("k.bv").as("bv"))
-    val banded = if (maxBandDf == Int.MaxValue) banded0 else {
+    val needDf = maxBandDf != Int.MaxValue || saltHotDf != Int.MaxValue
+    val withDf = if (!needDf) banded0 else {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "bv")
       banded0.withColumn("bdf", count(lit(1)).over(w))
-        .filter(col("bdf") <= maxBandDf).drop("bdf")
+        .filter(col("bdf") <= maxBandDf)
     }
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        col("x.hl").as("ah"), col("y.hl").as("bh"))
-      .distinct() // a pair agreeing on k keys meets k times
+    def pairsOf(x: DataFrame, y: DataFrame, extra: Column) =
+      x.as("x").join(y.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            extra && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+          col("x.hl").as("ah"), col("y.hl").as("bh"))
+    // third skew lever — the NON-LOSSY one: block-salting WITHIN hot band
+    // keys. Keys whose df exceeds saltHotDf get their self-join spread
+    // over `saltBlocks` reducer tasks: the left side keeps its one hashed
+    // block (pmod(xxhash64(id), B)), the right side replicates to ALL B
+    // blocks, and the join adds blk to the key — pair {p, q} (p < q)
+    // still meets EXACTLY once per shared key (at p's block, where q's
+    // replica is), so the pair set is provably identical to the unsalted
+    // join; only the per-task group size drops from f² to f²/B. Total
+    // comparison volume is unchanged (Σf² is inherent to the band
+    // guarantee) — this converts the worst key from one straggler task
+    // into B parallel ones, at B-1 extra copies of hot rows only.
+    val cand = (if (saltHotDf == Int.MaxValue)
+        pairsOf(withDf, withDf, lit(true))
+      else {
+        val cold = withDf.filter(col("bdf") <= saltHotDf)
+        val hot = withDf.filter(col("bdf") > saltHotDf).drop("bdf")
+        val hx = hot.withColumn("blk",
+          pmod(xxhash64(col("id")), lit(saltBlocks)).cast("int"))
+        val hy = hot.withColumn("blk",
+          explode(array((0 until saltBlocks).map(lit): _*)))
+        pairsOf(cold.drop("bdf"), cold.drop("bdf"), lit(true))
+          .unionAll(pairsOf(hx, hy, col("x.blk") === col("y.blk")))
+      })
+    // postfilter BEFORE the dedup: the Hamming check is a handful of ALU
+    // ops per joined row (scan-local, inside the join's output iterator),
+    // while distinct() is a shuffle — filtering first commutes with the
+    // dedup and shrinks the distinct's input from candidate volume (Σf²,
+    // measured 224-315M rows at ×10) to passing volume (the true pair
+    // set × ≤k key multiplicity, 500-1500× smaller on the gated corpora).
+    // The comparisons themselves are unavoidable under the band
+    // guarantee; shuffling the losers was not.
     cand.withColumn("hamming", expr("cast(bit_count(ah ^ bh) as int)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct() // a pair agreeing on k keys meets k times
   }
 
   /** Sample-level PCM feature extraction via `mapPartitions`; appends a

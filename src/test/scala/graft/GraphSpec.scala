@@ -164,7 +164,11 @@ class GraphSpec extends SparkTestBase {
       assert(written != null && written.nonEmpty,
         "checkpoint dir must hold written RDD state")
     } finally {
-      hadCk.foreach(spark.sparkContext.setCheckpointDir)
+      // unconditionally reset: restore the old dir when one was set,
+      // otherwise point at a fresh temp dir — leaving the session aimed
+      // at the deleted ckDir would break any later .checkpoint() caller
+      spark.sparkContext.setCheckpointDir(hadCk.getOrElse(
+        java.nio.file.Files.createTempDirectory("graphck-reset").toString))
       try {
         import scala.reflect.io.Directory
         new Directory(new java.io.File(ckDir)).deleteRecursively(); ()

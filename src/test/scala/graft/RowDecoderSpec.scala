@@ -109,6 +109,26 @@ class RowDecoderSpec extends SparkTestBase {
     assert(dec(800L) == (("219", "7")))    // v2: same wire value, unsigned mask
   }
 
+  test("versioned decode: a row BEFORE the first catalog version passes through raw") {
+    // a catalog bootstrapped mid-binlog stamps its CREATE at the bootstrap
+    // position; rows earlier than that must NOT be NULLed (silent data
+    // loss) — they fall back to the raw image exactly like an
+    // unknown-table row in decodeAllTablesVersioned
+    val cat = new SchemaCatalog("test")
+    cat.applyDdl("CREATE TABLE acct (id INT NOT NULL PRIMARY KEY, val TINYINT UNSIGNED)", 500L)
+    val versions = cat.versionsOf("acct")
+    val rows = Seq(
+      (100L, Map("id" -> "1", "val" -> "-37")),  // pre-bootstrap: raw passthrough
+      (500L, Map("id" -> "2", "val" -> "-37")))  // at/after: decoded (unsigned mask)
+      .toDF("pos", "after")
+    val dec = rows.select(col("pos"),
+        RowDecoder.decodeVersionedImage(col("after"), col("pos"), versions).as("d"))
+      .select(col("pos"), element_at(col("d"), "val").as("val"))
+      .as[(Long, String)].collect().toMap
+    assert(dec(100L) == "-37")  // untouched wire value, not NULL
+    assert(dec(500L) == "219")
+  }
+
   test("collation-aware charset decode: latin1 vs utf8 hex transport") {
     import graft.model.{ColumnSpec, TableSchemaV}
     val schema = TableSchemaV("test", "t", 0, Seq(
