@@ -3884,7 +3884,7 @@ object SparkEntry {
         lpad(bin(col("fingerprint")), 64, "0").as("ah"))
       Multimodal.phashNearDup(hashed, col("doc_id"), col("ah"),
         maxHamming = 6, bands = 8, comboBands = 2,
-        saltHotDf = 512, saltBlocks = 16)
+        saltHotDf = 2048, saltBlocks = 16)
     }),
 
     "mm_payload_dedup" -> ((s, d) =>
@@ -3966,7 +3966,7 @@ object SparkEntry {
       Multimodal.phashNearDup(
         Multimodal.perceptualHash(withPng, "payload"),
         col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
-        comboBands = 2, saltHotDf = 512, saltBlocks = 16)
+        comboBands = 2, saltHotDf = 2048, saltBlocks = 16)
     }),
 
     "mm_phash_clusters" -> ((s, d) => {
@@ -3989,7 +3989,7 @@ object SparkEntry {
       val pairs = Multimodal.phashNearDup(
           Multimodal.perceptualHash(withPng, "payload"),
           col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
-          comboBands = 2, saltHotDf = 512, saltBlocks = 16)
+          comboBands = 2, saltHotDf = 2048, saltBlocks = 16)
         .select(col("a_id"), col("b_id"))
       Dedup.resolveCanonicalStars(pairs)
         .groupBy(col("canonical_id").as("cluster_id"))
