@@ -626,8 +626,22 @@ object Multimodal {
     val cand = (if (saltHotDf == Int.MaxValue)
         pairsOf(withDf, withDf, lit(true))
       else {
-        val cold = withDf.filter(col("bdf") <= saltHotDf)
-        val hot = withDf.filter(col("bdf") > saltHotDf).drop("bdf")
+        // the cold/hot split references the banded+df relation FOUR times
+        // (cold×2, hot×2) and the decode→hash→band upstream sits behind
+        // typed-map object boundaries that defeat exchange-reuse
+        // canonicalization — so the executed plan recomputes the whole
+        // codec scan per branch (measured: a sf0.01 run whose join is 2 s
+        // spends 9 s total). A lazy persist alone does NOT fix it: all
+        // four branch stages launch inside ONE job and race past the
+        // still-empty cache. EAGER materialization (persist + count before
+        // the pair job — the pageRank loop posture) makes the codec scan
+        // run once; MEMORY_AND_DISK so the relation is evictable and
+        // recompute-safe, and sweep harnesses clear caches between queries.
+        val shared = withDf.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shared.count()
+        val cold = shared.filter(col("bdf") <= saltHotDf)
+        val hot = shared.filter(col("bdf") > saltHotDf).drop("bdf")
         val hx = hot.withColumn("blk",
           pmod(xxhash64(col("id")), lit(saltBlocks)).cast("int"))
         val hy = hot.withColumn("blk",
