@@ -58,6 +58,30 @@ class PlanShapeSpec extends SparkTestBase {
       s"dup-span stats must not plan a span-partitioned window:\n$p")
   }
 
+  test("salted mm near-dup: Hamming check rides the join, losers never " +
+      "reach the dedup shuffle; shared banded relation is cache-fed") {
+    // the round-11 shape (SCALE.md §Round 11 / MM_NEARDUP_AUDIT.json):
+    // (a) the bit_count postfilter must sit ON the band join (as its
+    // condition) so the Σf² candidate losers die inside the join iterator
+    // instead of shuffling into distinct() — regressing to
+    // distinct-then-filter re-ships 500-1500× the pair volume;
+    // (b) the cold/hot salt split references the banded+df relation four
+    // times across a Union — the eager persist must show as cache scans,
+    // or every branch re-runs the codec upstream;
+    // (c) never a cross product.
+    val p = plan("mm_phash_neardup")
+    assert(p.contains("bit_count") && p.contains("<= 6"),
+      s"Hamming postfilter missing from the candidate join:\n${p.take(3000)}")
+    val joinCond = "Join [^\\n]*bit_count|BroadcastHashJoin [^\\n]*bit_count|ShuffledHashJoin [^\\n]*bit_count|SortMergeJoin [^\\n]*bit_count".r
+    assert(joinCond.findFirstIn(p).isDefined,
+      s"bit_count must ride the join condition, not a post-shuffle filter:\n${p.take(3000)}")
+    assert(p.contains("Union"), s"cold/hot salt split must plan a Union:\n${p.take(2000)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"shared banded relation must be cache-fed (eager persist):\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    spark.sharedState.cacheManager.clearCache() // the operator's eager persist
+  }
+
   test("token budget: window bounded by md5 bucket, offsets broadcast back") {
     // the per-source cumsum must partition by (source, bucket) — a plain
     // per-source window sorts a whole capped source on one task
