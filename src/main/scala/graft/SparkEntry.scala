@@ -2269,8 +2269,14 @@ object SparkEntry {
       val withScore = map_concat(base, map_from_arrays(
         array(lit("score")),
         array(((col("event_id") % 100) - 50).cast("string"))))
-      val ops = ev.select(col("event_id").as("pos"),
-        when(col("event_id") >= 400, withScore).otherwise(base).as("after"))
+      // self-cap (see selfCappedQueries): the output `id` IS event_id, so
+      // the outputCaps predicate applied HERE — before the decode — prunes
+      // 90% of rows ahead of the versioned when-chain instead of making
+      // Catalyst inline the decode into a pushed-down post-filter and
+      // evaluate it twice (measured 0.32 -> 1.04 s the generic way)
+      val ops = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").as("pos"),
+          when(col("event_id") >= 400, withScore).otherwise(base).as("after"))
       val dec = ops.withColumn("dec",
         graft.augment.RowDecoder.decodeVersionedImage(col("after"), col("pos"), versions))
       dec.select(
@@ -7364,12 +7370,19 @@ object SparkEntry {
     "q_window_dist" -> (("event_id", 10)),
     "q_winsorize" -> (("event_id", 10)))
 
+  /** Queries that apply their outputCaps predicate INSIDE the body, on a
+    * raw column BEFORE expensive derivation — the generic post-filter would
+    * make Catalyst inline the derivation into the pushed-down predicate and
+    * evaluate it twice per row. The oracle side still wraps (the filter
+    * commutes), so engine and oracle stay row-identical. */
+  private[graft] val selfCappedQueries: Set[String] = Set("cdc_schema_evolution")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries.map { case (name, fn) =>
       name -> (outputCaps.get(name) match {
-        case Some((key, m)) =>
+        case Some((key, m)) if !selfCappedQueries(name) =>
           (s: SparkSession, d: String) => fn(s, d).filter(expr(s"($key) % $m = 0"))
-        case None => fn
+        case _ => fn
       })
     }
 
