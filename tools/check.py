@@ -143,10 +143,17 @@ def main():
     mode = "strict" if STRICT else "lax"
     print(f"\n{ok}/{len(results)} ok ({mode})")
     # machine-readable artifact for tools/headline.py (NOTES numbers must
-    # come from committed artifacts, not prose — the r6-r8 drift rule)
-    with open("CHECK_local.json", "w") as f:
-        json.dump({"ok": ok, "total": len(results), "mode": mode,
-                   "sf_dir": sf_dir, "results": results}, f, indent=0)
+    # come from committed artifacts, not prose — the r6-r8 drift rule).
+    # Written ONLY when the check covered the FULL oracle map: a
+    # single-query debug check must not clobber the committed full-sweep
+    # artifact (it did, twice, in round 11 — this guard is the fix).
+    if len(results) >= len(oracle):
+        with open("CHECK_local.json", "w") as f:
+            json.dump({"ok": ok, "total": len(results), "mode": mode,
+                       "sf_dir": sf_dir, "results": results}, f, indent=0)
+    else:
+        print(f"[check] partial run ({len(results)}/{len(oracle)}) — "
+              "CHECK_local.json left untouched")
 
 if __name__ == "__main__":
     main()
