@@ -1,0 +1,172 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Throwaway profiling main (round-11 optimization session): stage timings
+  * for the pagerank/ppr edge construction and the phash-clusters star
+  * contraction, plus an engine-vs-engine equivalence check for the
+  * src-partitioned distinct variant. */
+object ProfR11 {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    val li = graft.SparkEntry.t(spark, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+
+    // --- pagerank edge construction: current vs src-partitioned distinct ---
+    def edgesCur = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    def edgesNew = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").repartition(col("src")).distinct()
+    t("edges current (distinct) noop")(noop(edgesCur))
+    t("edges src-part (distinct) noop")(noop(edgesNew))
+    t("edges current again")(noop(edgesCur))
+    t("edges src-part again")(noop(edgesNew))
+    t("pagerank current total")(noop(
+      graft.operators.Graph.pageRank(edgesCur, col("src"), col("dst"), 3)))
+    spark.sharedState.cacheManager.clearCache()
+    t("pagerank src-part total")(noop(
+      graft.operators.Graph.pageRank(edgesNew, col("src"), col("dst"), 3)))
+    spark.sharedState.cacheManager.clearCache()
+    // equivalence: integer pagerank is deterministic, so rows must be equal
+    val a = graft.operators.Graph.pageRank(edgesCur, col("src"), col("dst"), 3)
+    spark.sharedState.cacheManager.clearCache()
+    val b = graft.operators.Graph.pageRank(edgesNew, col("src"), col("dst"), 3)
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    println(s"[prof] pagerank equivalence diff rows: $diff")
+    spark.sharedState.cacheManager.clearCache()
+
+    // --- phash clusters: pairs vs contraction split ---
+    import spark.implicits._
+    val withPng = graft.SparkEntry.t(spark, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.operators.Multimodal.ImageCodec.buildPng(8, 8,
+          java.util.Arrays.copyOf(text.getBytes("US-ASCII"), 64)))
+      }.toDF("doc_id", "payload")
+    val pairs = graft.operators.Multimodal.phashNearDup(
+        graft.operators.Multimodal.perceptualHash(withPng, "payload"),
+        col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
+        comboBands = 2, saltHotDf = 2048, saltBlocks = 16)
+      .select(col("a_id"), col("b_id"))
+    val np = t("pairs count")(pairs.count())
+    println(s"[prof] n pairs: $np")
+    val res = t("resolveCanonicalStars")(
+      graft.operators.Dedup.resolveCanonicalStars(pairs))
+    t("cluster census noop")(noop(
+      res.groupBy(col("canonical_id")).agg(count(lit(1)).as("n"))))
+    spark.stop()
+  }
+}
+/* appended: round-count instrumentation for the star contraction */
+object ProfStars {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val withPng = graft.SparkEntry.t(spark, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.operators.Multimodal.ImageCodec.buildPng(8, 8,
+          java.util.Arrays.copyOf(text.getBytes("US-ASCII"), 64)))
+      }.toDF("doc_id", "payload")
+    val pairs = graft.operators.Multimodal.phashNearDup(
+        graft.operators.Multimodal.perceptualHash(withPng, "payload"),
+        col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
+        comboBands = 2, saltHotDf = 2048, saltBlocks = 16)
+      .select(col("a_id"), col("b_id"))
+    // replicate resolveCanonicalStars with per-round timing
+    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    def star(e: org.apache.spark.sql.DataFrame, large: Boolean, dedup: Boolean) = {
+      val grouped = e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"), collect_list(col("v")).as("nbrs"))
+      val withSel = grouped.select(col("u"), col("m"),
+        (if (large) filter(col("nbrs"), w => w > col("u"))
+         else array_union(filter(col("nbrs"), w => w <= col("u")), array(col("u")))).as("sel"))
+      val emitted = withSel.select(col("m"), explode(col("sel")).as("w"))
+        .filter(col("m") =!= col("w"))
+      val sym = emitted.select(col("w").as("u"), col("m").as("v"))
+        .union(emitted.select(col("m").as("u"), col("w").as("v")))
+      if (dedup) sym.distinct() else sym
+    }
+    def signature(e: org.apache.spark.sql.DataFrame) =
+      e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+    var t0 = System.nanoTime()
+    var prevSig = signature(edges)
+    println(f"[prof] initial edges+sig: ${(System.nanoTime()-t0)/1e9}%.2f s  sig=$prevSig")
+    var rounds = 0; var stable = false
+    while (!stable && rounds < 50) {
+      t0 = System.nanoTime()
+      val next = star(star(edges, large = true, dedup = false),
+        large = false, dedup = true).localCheckpoint(false)
+      val sig = signature(next)
+      stable = sig == prevSig; prevSig = sig; edges = next; rounds += 1
+      println(f"[prof] round $rounds: ${(System.nanoTime()-t0)/1e9}%.2f s  sig=$sig stable=$stable")
+    }
+    spark.stop()
+  }
+}
+/* appended: plan dump for the pagerank edge-construction variants (the gated
+ * body materializes per round, so Explain on it shows only the final
+ * checkpointed RDD; the lazy checkpointEvery=0 form has the same logical
+ * round algebra and shows the construction plan). */
+object ExplainPr {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = graft.SparkEntry.t(spark, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def base = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val seeds = li.select(col("pk").as("v")).distinct()
+      .filter(col("v") % 97 === 0)
+    for ((name, edges) <- Seq(
+        "q_pagerank_before" -> base.distinct(),
+        "q_pagerank_after" -> base.repartition(col("src")).distinct())) {
+      println(s"\n========== $name ==========")
+      println(graft.operators.Graph.pageRank(edges, col("src"), col("dst"),
+          graft.SparkEntry.PageRankRounds, checkpointEvery = 0)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      println(s"\n========== ${name.replace("pagerank", "ppr")} ==========")
+      println(graft.operators.Graph.personalizedPageRank(edges, col("src"),
+          col("dst"), seeds, col("v"), graft.SparkEntry.PageRankRounds,
+          checkpointEvery = 0)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
