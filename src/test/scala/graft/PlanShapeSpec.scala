@@ -362,17 +362,24 @@ class PlanShapeSpec extends SparkTestBase {
       // the final 1×1 stats crossJoin is the only allowed product
       "CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
       s"unexpected products:\n$p")
+    assert(!p.contains("], [], ["), s"unpartitioned window forbidden:\n$p")
     // r9: the maxBasket hub cap is a row_number window PARTITIONED BY the
     // order key — allowed (per-group state, fully parallel; Spark further
     // rewrites it to a partial+final WindowGroupLimit, i.e. the cap prunes
-    // map-side before the exchange). The plan TEXT replicates the capped
-    // subtree under every consumer (runtime collapses them into reused
-    // exchanges), so the pin is on window KIND, not count: an
-    // unpartitioned window, whose spec prints an empty partition list
-    // ("], [], [") and moves every row to one task, stays forbidden.
-    assert(p.contains("WindowGroupLimit"),
-      s"the cap should prune map-side via WindowGroupLimit:\n$p")
-    assert(!p.contains("], [], ["), s"unpartitioned window forbidden:\n$p")
+    // map-side before the exchange). r11: triangleStats materializes the
+    // und/ori relations (the multi-reference replay fix), which hides the
+    // construction subtree behind checkpointed-RDD scans in the FULL query
+    // plan — so the cap pin moves to the construction relation itself,
+    // same assertions, same graph.
+    import org.apache.spark.sql.functions.col
+    val li = SparkEntry.t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val cp = graft.operators.Graph.coOccurrenceEdges(
+      li, col("ok"), col("pk"), maxBasket = 32)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("WindowGroupLimit"),
+      s"the cap should prune map-side via WindowGroupLimit:\n$cp")
+    assert(!cp.contains("], [], ["), s"unpartitioned window forbidden:\n$cp")
   }
 
   test("r8: join-view maintenance — the stored view anti-joins against a " +
