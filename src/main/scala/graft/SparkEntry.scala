@@ -1019,8 +1019,12 @@ object SparkEntry {
         li, col("ok"), col("pk"), maxBasket = 32)
       val wed = multi.groupBy("src", "dst").agg(count(lit(1)).as("c"))
         .select(col("src"), col("dst"), expr("1000000 div c").as("w"))
-      val sym = wed.unionAll(
-        wed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      // explode-based symmetrization (round-11): the self-union executed
+      // the co-occurrence + weight aggregation once per branch
+      val sym = wed.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"), col("p.w").as("w"))
       val seeds = t(s, d, "part").filter(col("p_size") === 50)
         .select(col("p_partkey").as("v"))
       graft.operators.Graph.sssp(sym, col("src"), col("dst"), col("w"),

@@ -178,9 +178,16 @@ object Dedup {
     * approximates without the df-sort. */
   def containmentPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int,
                        thresholdPpm: Long, maxDf: Long = 0L): DataFrame = {
+    // persist the hashed gram sets (the minhashNearDupPairs posture): the
+    // posting relation feeds BOTH sides of the self-join (plus the hot-gram
+    // census when maxDf > 0), and without the persist the tokenize +
+    // spanHashes pipeline re-executes once per reference (measured
+    // 3.0 → 2.0 s at sf0.1). The explode per consumer is narrow and cheap;
+    // the compact pre-explode relation is what's worth caching.
     val docs = tokenized(df, idCol, textCol)
       .select(col("id"), array_distinct(spanHashes(col("__toks"), n)).as("gh"))
       .withColumn("sz", size(col("gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams0 = docs.select(col("id"), col("sz"), explode(col("gh")).as("g"))
     val grams =
       if (maxDf <= 0) grams0
@@ -754,9 +761,15 @@ object Dedup {
     * graphs this converges in 2-3 rounds. */
   def resolveCanonical(pairs: DataFrame, maxRounds: Int = 100): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // edges are re-read every round but their plan never grows — persist
-    val edges = pairs.select(col("a_id").as("id"), col("b_id").as("peer"))
-      .union(pairs.select(col("b_id").as("id"), col("a_id").as("peer")))
+    // edges are re-read every round but their plan never grows — persist.
+    // Symmetrization is explode-based (round-11, the resolveCanonicalStars
+    // form): the union referenced the upstream candidate-generation +
+    // verify pipeline once per branch, so the persist's one materialization
+    // job ran it twice.
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("id"), col("b_id").as("peer")),
+        struct(col("b_id").as("id"), col("a_id").as("peer")))).as("p"))
+      .select(col("p.id").as("id"), col("p.peer").as("peer"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Lineage bookkeeping: each round references the previous labels three
     // times (peer join + both sides of the pointer-doubling self-join), so
@@ -936,9 +949,20 @@ object Dedup {
     // DFS at the same cadence if executor loss during the (short) round
     // window matters; old rounds are released by the ContextCleaner as the
     // reference moves.
-    // undirected edge multiset as (u, v) both ways, deduplicated
-    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // undirected edge multiset as (u, v) both ways, deduplicated.
+    // Symmetrization is EXPLODE-based, not a self-union (round-11): a
+    // union references the upstream pipeline twice and Spark executes both
+    // branches — for the candidate-pair feeds this kernel gets (banded
+    // near-dup joins), that doubled the input pass; the 2-element array
+    // explode emits both directions in one pass (measured 2.4 → 2.0 s warm
+    // / 5.0 → 2.7 s cold per contraction on the sf0.1 phash-cluster feed,
+    // labels bit-identical).
+    def bothWays(df: DataFrame, a: String, b: String): DataFrame =
+      df.select(explode(array(
+          struct(col(a).as("u"), col(b).as("v")),
+          struct(col(b).as("u"), col(a).as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+    var edges = bothWays(pairs, "a_id", "b_id")
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(false)
     // star ops share one shape: group u's neighborhood, take m = min(v, u),
@@ -953,8 +977,9 @@ object Dedup {
          else array_union(filter(col("nbrs"), w => w <= col("u")), array(col("u")))).as("sel"))
       val emitted = withSel.select(col("m"), explode(col("sel")).as("w"))
         .filter(col("m") =!= col("w"))
-      val sym = emitted.select(col("w").as("u"), col("m").as("v"))
-        .union(emitted.select(col("m").as("u"), col("w").as("v")))
+      // same explode-based symmetrization as the input edge set: the union
+      // form re-executed the whole groupBy+explode pipeline once per branch
+      val sym = bothWays(emitted, "w", "m")
       if (dedup) sym.distinct() else sym
     }
     def signature(e: DataFrame) =
@@ -1072,12 +1097,16 @@ object Dedup {
     val dfreq = tok.groupBy("tk").agg(count(lit(1)).as("tdf"))
     // global rare-first order: (df asc, token asc) — struct sort is
     // lexicographic, and per-doc tokens are distinct so the order is total
+    // persisted (the minhashNearDupPairs posture): this relation feeds the
+    // prefix explode AND both verify-join sides — three references, each
+    // otherwise replaying the tokenize + df-order + collect pipeline
     val ordered = tok.join(dfreq, "tk")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("tdf"), col("tk")))).as("ot"))
       .select(col("id"),
         transform(col("ot"), s => s.getField("tk")).as("tks"),
         size(col("ot")).cast("long").as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix p = len − ⌈θ·len⌉ + 1, ceil in integer ppm form. The prefix
     // rows carry ONLY (id, len, element) — never the set arrays: at θ=0.8
     // a 50-element set exposes 11 prefix rows, so an array carried here

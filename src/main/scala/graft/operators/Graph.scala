@@ -367,6 +367,15 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+    // deliberately the UNION form, not an explode-based one-pass
+    // symmetrization (round-11 tried it): the kernels that iterate over this
+    // relation persist it and every round reads the CACHED partitions — the
+    // union's two branches double the cached partition count, and the
+    // explode variant measurably starved the round loops (bfs +25%,
+    // label_prop +45%, modularity +25% at sf0.1) while saving only one
+    // dedup-agg pass at materialization. resolveCanonicalStars, whose rounds
+    // re-shuffle per round instead of re-reading one cached relation, keeps
+    // the explode form — measured faster there.
     und.union(und.select(col("b").as("a"), col("a").as("b")))
   }
 

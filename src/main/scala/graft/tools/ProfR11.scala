@@ -340,3 +340,96 @@ object ProfTri {
     spark.stop()
   }
 }
+/* appended: star-contraction kernel variants — union-based symmetrization
+ * (current) vs explode-based (single reference), and single vs double star
+ * rounds per materialization. Fair A/B: pairs pre-materialized, each variant
+ * run twice, compare second runs. */
+object ProfStars3 {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    val withPng = graft.SparkEntry.t(spark, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.operators.Multimodal.ImageCodec.buildPng(8, 8,
+          java.util.Arrays.copyOf(text.getBytes("US-ASCII"), 64)))
+      }.toDF("doc_id", "payload")
+    val pairs = graft.operators.Multimodal.phashNearDup(
+        graft.operators.Multimodal.perceptualHash(withPng, "payload"),
+        col("doc_id"), col("ahash"), maxHamming = 6, bands = 8,
+        comboBands = 2, saltHotDf = 2048, saltBlocks = 16)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    def starU(e: org.apache.spark.sql.DataFrame, large: Boolean, dedup: Boolean) = {
+      val grouped = e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"), collect_list(col("v")).as("nbrs"))
+      val withSel = grouped.select(col("u"), col("m"),
+        (if (large) filter(col("nbrs"), w => w > col("u"))
+         else array_union(filter(col("nbrs"), w => w <= col("u")), array(col("u")))).as("sel"))
+      val emitted = withSel.select(col("m"), explode(col("sel")).as("w"))
+        .filter(col("m") =!= col("w"))
+      val sym = emitted.select(col("w").as("u"), col("m").as("v"))
+        .union(emitted.select(col("m").as("u"), col("w").as("v")))
+      if (dedup) sym.distinct() else sym
+    }
+    def starE(e: org.apache.spark.sql.DataFrame, large: Boolean, dedup: Boolean) = {
+      val grouped = e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"), collect_list(col("v")).as("nbrs"))
+      val withSel = grouped.select(col("u"), col("m"),
+        (if (large) filter(col("nbrs"), w => w > col("u"))
+         else array_union(filter(col("nbrs"), w => w <= col("u")), array(col("u")))).as("sel"))
+      val emitted = withSel.select(col("m"), explode(col("sel")).as("w"))
+        .filter(col("m") =!= col("w"))
+      val sym = emitted.select(explode(array(
+          struct(col("w").as("u"), col("m").as("v")),
+          struct(col("m").as("u"), col("w").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      if (dedup) sym.distinct() else sym
+    }
+    def signature(e: org.apache.spark.sql.DataFrame) =
+      e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+    def contract(star: (org.apache.spark.sql.DataFrame, Boolean, Boolean) => org.apache.spark.sql.DataFrame,
+                 explodeInit: Boolean, doubled: Boolean): Long = {
+      var edges = (if (explodeInit)
+          pairs.select(explode(array(
+              struct(col("a_id").as("u"), col("b_id").as("v")),
+              struct(col("b_id").as("u"), col("a_id").as("v")))).as("p"))
+            .select(col("p.u").as("u"), col("p.v").as("v"))
+        else pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+          .union(pairs.select(col("b_id").as("u"), col("a_id").as("v"))))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(false)
+      var prevSig = signature(edges)
+      var rounds = 0; var stable = false
+      while (!stable && rounds < 50) {
+        var next = star(star(edges, true, false), false, true)
+        if (doubled) next = star(star(next, true, false), false, true)
+        val ck = next.localCheckpoint(false)
+        val sig = signature(ck)
+        stable = sig == prevSig; prevSig = sig; edges = ck; rounds += 1
+      }
+      val labels = edges.groupBy(col("u").as("id"))
+        .agg(least(min(col("v")), first(col("u"))).as("canonical_id"))
+      labels.agg(count(lit(1)), bit_xor(xxhash64(col("id"), col("canonical_id"))))
+        .collect()(0).getLong(1)
+    }
+    for (pass <- 1 to 2) {
+      val s1 = t(s"union single pass$pass")(contract(starU, false, false))
+      val s2 = t(s"explode single pass$pass")(contract(starE, true, false))
+      val s3 = t(s"explode double pass$pass")(contract(starE, true, true))
+      println(s"[prof] label sigs: unionSingle=$s1 explodeSingle=$s2 explodeDouble=$s3")
+    }
+    spark.stop()
+  }
+}
