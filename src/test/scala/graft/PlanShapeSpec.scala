@@ -382,6 +382,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!cp.contains("], [], ["), s"unpartitioned window forbidden:\n$cp")
   }
 
+  test("r11: triangle census materializes und/ori — the full-query plan no " +
+      "longer replays the edge construction per reference (was 103 " +
+      "Exchanges / 68 scans; a rescan of lineitem in the final plan means " +
+      "the materialization regressed)") {
+    val p = plan("q_triangles")
+    assert(!p.contains("Scan parquet"),
+      s"construction must run once inside the materialization, not per reference:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 8,
+      s"triangle census should keep single-digit exchanges after materialization:\n$p")
+  }
+
+  test("r11: containment/jaccard self-joins read the persisted set relation " +
+      "(InMemoryTableScan), not a replayed tokenize+hash chain") {
+    assert(plan("dedup_containment").contains("InMemoryTableScan"),
+      "containmentPairs must persist the hashed-gram relation")
+    assert(plan("dedup_jaccard_join").contains("InMemoryTableScan"),
+      "jaccardJoin must persist the df-ordered set relation")
+  }
+
   test("r8: join-view maintenance — the stored view anti-joins against a " +
       "BROADCAST touched-key set (scanned, never shuffled)") {
     val p = plan("cdc_join_maintain")
