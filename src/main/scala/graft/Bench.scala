@@ -156,6 +156,33 @@ object Bench {
         .groupBy("l_returnflag").count().write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => () }
 
+    // SELF-CALIBRATION probe (round-12, additive): one fixed,
+    // data-independent compute+shuffle job timed COLD right after the
+    // warmup — 150M xxhash64 rows through a 997-key hash-agg at the
+    // session's core count. Its seconds depend only on box state (CPU
+    // contention, scheduler), never on engine code or input data, so a
+    // PERF comparison can divide out box drift: round-11 measured
+    // byte-identical code at 141.5 s vs 179.9 s across sessions, and
+    // 25/37 driver-bench "regressions" were box state on untouched
+    // queries. Reported as "calib_sec" in both JSON artifacts.
+    val calibSec = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      val t0 = System.nanoTime()
+      try {
+        spark.range(0L, 150000000L, 1L,
+            try math.max(1, cpus.toInt) catch { case _: Throwable => 32 })
+          .select(pmod(xxhash64(col("id")), lit(997L)).as("k"),
+            // pmod-bounded so the 150M-row sum stays far inside 64 bits
+            // (ANSI mode: a full-range xxhash64 sum overflows and throws)
+            pmod(xxhash64(col("id") + lit(1L)), lit(1000003L)).as("h"))
+          .groupBy("k").agg(sum(col("h")).as("s"))
+          .write.mode("overwrite").format("noop").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration probe failed: $e")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // The two CDC bench entries measure the WRITE PATH, not the sandbox's
     // input-synthesis adapter (EventsAsCdc.*FromEvents — the stand-in for a
     // live binlog; ~60% of their r3 wall time per the stage profile): the
@@ -450,7 +477,7 @@ object Bench {
     // line — the driver captures only the last ~2000 chars of stdout, and the
     // r6 full line (98 queries + load map) outgrew that window, so the round
     // shipped an unparseable BENCH_r06.json ("parsed": null).
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load":$loads,"runs_per_query":$passes,"reran":"${rerun.map(_._1).mkString(",")}","cdc_synthesis_sec":$synthSec%.3f}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_sec":$calibSec%.3f,"queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load":$loads,"runs_per_query":$passes,"reran":"${rerun.map(_._1).mkString(",")}","cdc_synthesis_sec":$synthSec%.3f}"""
     // Artifact routing: filtered debug runs (SPARK_GRAFT_BENCH_ONLY set)
     // write to BENCH_solo.json so they can never clobber the committed
     // full-sweep reference; full runs refuse to overwrite the committed
@@ -504,7 +531,7 @@ object Bench {
     }
     val qvArr = qvKept._1.mkString("[", ",", "]")
     val qvOmitted = results.size - qvKept._2
-    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfShort","runs":$passes,"nq":${results.size},"artifact":"$fullPath","loadavg_start":$loadStart%.2f,"qv":$qvArr,"qv_omitted":$qvOmitted,"queries":{"""
+    val prefix = f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfShort","runs":$passes,"nq":${results.size},"artifact":"$fullPath","calib_sec":$calibSec%.2f,"loadavg_start":$loadStart%.2f,"qv":$qvArr,"qv_omitted":$qvOmitted,"queries":{"""
     val entries = results.map { case (k, (sec, _)) => "\"" + k + f"\":$sec%.2f" }
     val sb = new StringBuilder(prefix)
     var kept = 0

@@ -1053,15 +1053,22 @@ object SparkEntry {
       // O(k) output via two TakeOrdered legs on (score desc, id)
       val li = t(s, d, "lineitem").filter(col("l_quantity") >= 45)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // the constructed edge set materializes ONCE (round-12): the lazy
+      // 2-round HITS iterate references `ed` five times (two joins per
+      // round + the node census), each otherwise replaying the
+      // lineitem⋈orders join + distinct — the triangleStats
+      // multi-reference pattern applied at the caller
       val ed = li.join(
           t(s, d, "orders").select(col("o_orderkey").as("ok"),
             col("o_custkey").as("ck")), "ok")
         .select((col("ck").cast("long") + lit(HitsCustOff)).as("src"),
           col("pk").cast("long").as("dst"))
         .distinct()
-      // at 2 rounds the pure lazy plan beats per-round materialization
-      // (3.3 → 2.1 s at sf0.1): one job, no round launches — deeper
-      // iterates should flip back to the checkpoint cadence
+        .localCheckpoint()
+      // at 2 rounds the pure lazy ROUND plan beats per-round score
+      // materialization (3.3 → 2.1 s at sf0.1): one job, no round
+      // launches — deeper iterates should flip back to the checkpoint
+      // cadence
       val sc = graft.operators.Graph.hits(
         ed, col("src"), col("dst"), rounds = HitsRounds, checkpointEvery = 0)
       val auth = sc.filter(col("v") < HitsCustOff)
@@ -3107,26 +3114,33 @@ object SparkEntry {
       // dedup_incremental_lsh, now through the parquet round-trip.
       val docs = t(s, d, "documents")
       // build-once (per process, per corpus): v1 from the standing corpus,
-      // batch-1 probe/append -> v2, batch-1's pairs persisted — the gated
-      // body times the STEADY-STATE leg (sign batch-2, probe stored v2)
+      // batch-1 probe/append -> v2 — ONLY index generations are stored
+      // (the IVM contract). The gated body recomputes BOTH probe legs
+      // against the stored generations (batch-1 vs v1, batch-2 vs v2): no
+      // result rows ever come from the fixture (round-11 stored batch-1's
+      // pair output and read it back — result caching, fixed this round).
       val dir = fixture("lsh", d) { dir =>
         val (b1, s1) = Dedup.lshIndexBuild(docs.filter(col("doc_id") < 250),
           col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16)
         Dedup.writeLshIndex(b1, s1, dir, version = 1L)
         val (rb1, rs1) = Dedup.readLshIndex(s, dir, version = 1L)
-        val (p1, b2, s2) = Dedup.lshProbeAppend(rb1, rs1,
+        val (_, b2, s2) = Dedup.lshProbeAppend(rb1, rs1,
           docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
           col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
           thresholdPpm = 800000L)
         Dedup.writeLshIndex(b2, s2, dir, version = 2L)
-        p1.write.mode("overwrite").parquet(s"$dir/pairs_v2")
       }
+      val (rb1, rs1) = Dedup.readLshIndex(s, dir, version = 1L)
+      val (p1, _, _) = Dedup.lshProbeAppend(rb1, rs1,
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+        col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
+        thresholdPpm = 800000L)
       val (rb2, rs2) = Dedup.readLshIndex(s, dir, version = 2L)
       val (p2, _, _) = Dedup.lshProbeAppend(rb2, rs2,
         docs.filter(col("doc_id") >= 375),
         col("doc_id"), col("text"), n = 3, numHashes = 64, bands = 16,
         thresholdPpm = 800000L)
-      s.read.parquet(s"$dir/pairs_v2").unionByName(p2)
+      p1.unionByName(p2)
     }),
 
     "dedup_lsh_cdc" -> ((s, d) => {

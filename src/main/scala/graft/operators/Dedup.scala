@@ -184,6 +184,8 @@ object Dedup {
     // spanHashes pipeline re-executes once per reference (measured
     // 3.0 → 2.0 s at sf0.1). The explode per consumer is narrow and cheap;
     // the compact pre-explode relation is what's worth caching.
+    // CACHE LIFECYCLE (documented leak): no unpersist — see jaccardJoin's
+    // note; callers composing many queries clear the cache between them.
     val docs = tokenized(df, idCol, textCol)
       .select(col("id"), array_distinct(spanHashes(col("__toks"), n)).as("gh"))
       .withColumn("sz", size(col("gh")))
@@ -273,7 +275,18 @@ object Dedup {
       .select(least(col("p_id"), col("q_id")).as("a_id"),
         greatest(col("p_id"), col("q_id")).as("b_id"))
       .distinct()
-    jaccardVerify(cands, idx.unionByName(neu), "id", "sh", thresholdPpm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify ONLY candidate-touched docs (the lshProbeAppend round-12
+    // restriction): jaccardVerify re-hashes and persists whatever relation
+    // it is given, and candidates are batch-scale while idx ∪ neu is
+    // corpus-scale — the semi-join broadcasts the batch-sized id set and
+    // the pair output is provably unchanged (both sides of every candidate
+    // pair survive)
+    val touched = cands.select(col("a_id").as("id"))
+      .unionByName(cands.select(col("b_id").as("id"))).distinct()
+    val verifySets = idx.unionByName(neu)
+      .join(broadcast(touched), Seq("id"), "left_semi")
+    jaccardVerify(cands, verifySets, "id", "sh", thresholdPpm)
   }
 
   /** Build the STORED form of the MinHash-LSH index: the band rows (the
@@ -328,13 +341,29 @@ object Dedup {
     val probe = newBands.select(col("band_id"), col("band_hash"), col("doc_id").as("p_id"))
     val build = storedBands.unionByName(newBands)
       .select(col("band_id"), col("band_hash"), col("doc_id").as("q_id"))
+    // cands is PAIR-sized: persist it — it feeds the touched-id census
+    // below AND the verify joins, and recomputing it replays the banded
+    // probe join per consumer
     val cands = probe.join(build, Seq("band_id", "band_hash"))
       .filter(col("p_id") =!= col("q_id"))
       .select(least(col("p_id"), col("q_id")).as("a_id"),
         greatest(col("p_id"), col("q_id")).as("b_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allSets = storedSets.unionByName(newSets)
-    (jaccardVerify(cands, allSets, "id", "sh", thresholdPpm),
+    // verify ONLY docs that appear in a candidate pair: the stored sets
+    // relation is CORPUS-sized and [[jaccardVerify]] re-hashes and persists
+    // whatever it is given — unrestricted, every probe batch paid a
+    // full-corpus shingle-hash pass, exactly the O(corpus) work the
+    // stored-index contract exists to avoid. Candidate ids are the batch
+    // plus its matched stored docs — batch-scale — so the semi-join
+    // broadcasts (the lshApplyDeletes posture) and the verify inputs shrink
+    // from corpus to candidate volume with the pair output provably
+    // unchanged (both sides of every candidate pair survive the semi-join).
+    val touched = cands.select(col("a_id").as("id"))
+      .unionByName(cands.select(col("b_id").as("id"))).distinct()
+    val verifySets = allSets.join(broadcast(touched), Seq("id"), "left_semi")
+    (jaccardVerify(cands, verifySets, "id", "sh", thresholdPpm),
       storedBands.unionByName(newBands), allSets)
   }
 
@@ -676,11 +705,17 @@ object Dedup {
     * clustering, which is the algorithm's documented trade. */
   def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
                     centroids: DataFrame, threshold: Double,
-                    blocks: Int = 1): DataFrame = {
+                    blocks: Int = 1,
+                    materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(blocks >= 0, "blocks must be >= 0 (0 = default)")
     val b = blocks.max(1)
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
-      .withColumn("__sd_n", sqrt(Similarity.dot(col("v"), col("v"))))
+    // materialize the assigned relation ONCE (the knnGraphIvf policy knob:
+    // localCheckpoint local default, reliable checkpoint() on clusters,
+    // identity = pure lazy plan): it feeds both pair-join sides AND the
+    // final kept-flag join — unmaterialized, each of the three references
+    // replays the O(n·c·dim) assignment scan (n^1.5 at the derived c ≈ √n).
+    val assigned = materialize(Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      .withColumn("__sd_n", sqrt(Similarity.dot(col("v"), col("v")))))
     val right = assigned.select(col("centroid_id"), col("vec_id").as("__sd_bid"),
         col("v").as("__sd_bv"), col("__sd_n").as("__sd_bn"))
       .withColumn("__sd_blk", explode(sequence(lit(0), lit(b - 1))))
@@ -1099,7 +1134,12 @@ object Dedup {
     // lexicographic, and per-doc tokens are distinct so the order is total
     // persisted (the minhashNearDupPairs posture): this relation feeds the
     // prefix explode AND both verify-join sides — three references, each
-    // otherwise replaying the tokenize + df-order + collect pipeline
+    // otherwise replaying the tokenize + df-order + collect pipeline.
+    // CACHE LIFECYCLE (documented leak): no unpersist — the entry lives
+    // until the caller clears it (Bench/Verify clearCache between queries);
+    // an unpersist before the returned DataFrame's action would drop the
+    // blocks the result still reads. Long-lived drivers composing many
+    // queries should clear the cache between them.
     val ordered = tok.join(dfreq, "tk")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("tdf"), col("tk")))).as("ot"))

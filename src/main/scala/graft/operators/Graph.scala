@@ -82,15 +82,22 @@ object Graph {
       .select(col("v"), expr(s"${scale}L div nn").as("r"))
     var i = 0
     while (i < iterations) {
+      // per-round shape (round-12): the node-completion LEFT JOIN is fused
+      // INTO the contribution aggregation — a zero row per node rides the
+      // same groupBy that sums the edge contributions, so sinks/sources
+      // surface with s = 0 (≡ the old coalesce(s, 0)) and each round costs
+      // ONE node-keyed exchange instead of exchange + node-sized join.
+      // Bit-identical: Σ(contribs ∪ {0}) = coalesce(Σ contribs, 0), all
+      // integer.
       val contrib = edDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst").as("v"))
-        .agg(sum(expr("r div deg")).as("s"))
-      ranks = nodes.crossJoin(broadcast(n))
-        .join(contrib, Seq("v"), "left")
+        .select(col("dst").as("v"), expr("r div deg").as("c"))
+      ranks = contrib.unionByName(nodes.select(col("v"), lit(0L).as("c")))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(n))
         .select(col("v"),
           (expr(s"${scale * 15L / 100L} div nn") +
-            expr("85 * coalesce(s, 0L) div 100")).as("r"))
+            expr("85 * s div 100")).as("r"))
       i += 1
       // rank-table materialization cadence (default: every round). Two
       // effects: (a) lineage cap — without it a 50-round plan is 50 joins
@@ -139,6 +146,15 @@ object Graph {
     * d(d−1) is always even so the /2 is exact integer). */
   def triangleStats(edges: DataFrame, srcCol: Column, dstCol: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // NOTE on the `materialize` default (here and in every kernel carrying
+    // this knob): localCheckpoint is EAGER — DataFrame *construction* runs
+    // the upstream Spark jobs, so building the plan for inspection only
+    // (explain, plan-shape tests) should pass `identity`; and localCheckpoint
+    // blocks are non-replayable, so cluster callers that must survive
+    // executor loss pass `_.checkpoint()` (reliable, requires
+    // setCheckpointDir). localCheckpoint stays the local default because it
+    // is 10-100× cheaper and local[n] has no executor loss to survive.
+    //
     // und and ori MATERIALIZE (same policy knob as pageRank: localCheckpoint
     // locally, reliable checkpoint() on clusters, identity = pure lazy plan):
     // und is referenced twice (deg + orientation) and ori three times
@@ -287,15 +303,22 @@ object Graph {
         when(isSeed, expr(s"${scale}L div k")).otherwise(lit(0L)).as("r"))
     var i = 0
     while (i < iterations) {
+      // same round fusion as [[pageRank]], with the teleport term riding
+      // the per-node zero row (it is seed-dependent here, so it cannot be
+      // a post-agg constant): every node contributes exactly one teleport
+      // row, so sum(t) IS its teleport and sum(c) the coalesced
+      // contribution — one node-keyed exchange per round, no left join.
       val contrib = edDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
-        .groupBy(col("dst").as("v"))
-        .agg(sum(expr("r div deg")).as("s"))
-      ranks = nodes.crossJoin(broadcast(ns))
-        .join(contrib, Seq("v"), "left")
+        .select(col("dst").as("v"), lit(0L).as("t"), expr("r div deg").as("c"))
+      val tele = nodes.crossJoin(broadcast(ns))
         .select(col("v"),
-          (when(isSeed, expr(s"${scale * 15L / 100L} div k")).otherwise(lit(0L))
-            + expr("85 * coalesce(s, 0L) div 100")).as("r"))
+          when(isSeed, expr(s"${scale * 15L / 100L} div k"))
+            .otherwise(lit(0L)).as("t"),
+          lit(0L).as("c"))
+      ranks = contrib.unionByName(tele)
+        .groupBy("v").agg(sum(col("t")).as("t"), sum(col("c")).as("s"))
+        .select(col("v"), (col("t") + expr("85 * s div 100")).as("r"))
       i += 1
       if (doMat && i % checkpointEvery == 0 && i < iterations)
         ranks = materialize(ranks)
@@ -696,12 +719,18 @@ object Graph {
     * labeling (LPA's output labels every node of the same graph). */
   def modularityPpm(edges: DataFrame, srcCol: Column, dstCol: Column,
       labels: DataFrame, vCol: Column, labCol: Column,
-      scale: Long = 1000000L): DataFrame = {
-    val und = edges.select(srcCol.as("a"), dstCol.as("b"))
+      scale: Long = 1000000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // the canonical undirected edge set is referenced THREE times (m census,
+    // the label join, the degree census) — materialize it once (the
+    // triangleStats policy knob: localCheckpoint locally, checkpoint() on
+    // clusters, identity = pure lazy plan); unmaterialized, each reference
+    // replays the caller's edge construction plus this dedup exchange
+    val und = materialize(edges.select(srcCol.as("a"), dstCol.as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .distinct()
+      .distinct())
     val lab = labels.select(vCol.as("v"), labCol.as("lab"))
     val mm = und.agg(count(lit(1)).as("m"))
     // NO broadcast hint on the labels table: it is NODE-sized, and a forced

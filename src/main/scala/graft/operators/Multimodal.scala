@@ -598,14 +598,39 @@ object Multimodal {
     // with post-join hash lookups was measured SLOWER here — the two
     // lookup joins recompute the decode→hash subplan, while the identical
     // x/y subplans below collapse into one reused exchange)
-    val banded0 = h.select(col("id"), col("hl"), explode(keyArr).as("k"))
-      .select(col("id"), col("hl"), col("k.b").as("b"), col("k.bv").as("bv"))
     val needDf = maxBandDf != Int.MaxValue || saltHotDf != Int.MaxValue
-    val withDf = if (!needDf) banded0 else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("b", "bv")
-      banded0.withColumn("bdf", count(lit(1)).over(w))
-        .filter(col("bdf") <= maxBandDf)
-    }
+    // when df logic is live, persist the COMPACT pre-explode relation
+    // (id, h, hl — n rows; the exploded band relation is combos× bigger):
+    // the census action below materializes it, so the codec decode runs
+    // once however many branches the pair job takes (the containmentPairs
+    // "cache the compact relation" posture; round-11 cached the exploded
+    // relation instead and paid its size). Unneeded (and skipped) in the
+    // plain path, whose two identical join sides collapse into one reused
+    // exchange.
+    val hShared = if (!needDf) h
+      else h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded0 = hShared.select(col("id"), col("hl"), explode(keyArr).as("k"))
+      .select(col("id"), col("hl"), col("k.b").as("b"), col("k.bv").as("bv"))
+    // exact per-key df census, STRUCTURALLY bounded: at most
+    // C(bands, comboBands) · 2^(comboBands·bandLen) keys exist (1.8M at
+    // the gate's 8/2 config) at ANY corpus size, so it broadcasts and the
+    // per-row df attach is a scan-local broadcast join — where round-11's
+    // window form shuffled the whole banded relation to count it.
+    val census = if (!needDf) null else
+      banded0.groupBy("b", "bv").agg(count(lit(1)).as("bdf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one driver scalar decides the salt machinery AND eagerly materializes
+    // hShared/census (the round-11 persist+count posture, now paying off
+    // double duty): corpora with NO hot key — the measured sf0.1 state,
+    // max band df 340/1519 vs the 2048 threshold — take the plain unsalted
+    // join and skip the 4-branch split entirely, recovering the small-
+    // corpus constant the unconditional salt cost (audit: 2.96→3.50 s
+    // phash, 1.06→1.77 s audio at sf0.1), while hot corpora (×10: max df
+    // 3445/15253) keep the full skew treatment.
+    val hotKeys = if (saltHotDf == Int.MaxValue) 0L
+      else census.filter(col("bdf") > saltHotDf).count()
+    def withDf = banded0.join(broadcast(census), Seq("b", "bv"))
+      .filter(col("bdf") <= maxBandDf)
     def pairsOf(x: DataFrame, y: DataFrame, extra: Column) =
       x.as("x").join(y.as("y"),
           col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
@@ -623,23 +648,15 @@ object Multimodal {
     // comparison volume is unchanged (Σf² is inherent to the band
     // guarantee) — this converts the worst key from one straggler task
     // into B parallel ones, at B-1 extra copies of hot rows only.
-    val cand = (if (saltHotDf == Int.MaxValue)
-        pairsOf(withDf, withDf, lit(true))
-      else {
-        // the cold/hot split references the banded+df relation FOUR times
-        // (cold×2, hot×2) and the decode→hash→band upstream sits behind
-        // typed-map object boundaries that defeat exchange-reuse
-        // canonicalization — so the executed plan recomputes the whole
-        // codec scan per branch (measured: a sf0.01 run whose join is 2 s
-        // spends 9 s total). A lazy persist alone does NOT fix it: all
-        // four branch stages launch inside ONE job and race past the
-        // still-empty cache. EAGER materialization (persist + count before
-        // the pair job — the pageRank loop posture) makes the codec scan
-        // run once; MEMORY_AND_DISK so the relation is evictable and
-        // recompute-safe, and sweep harnesses clear caches between queries.
-        val shared = withDf.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        shared.count()
+    val cand = (if (hotKeys == 0L) {
+        // no hot key anywhere: the salted plan and the plain plan are the
+        // SAME pair set by the block argument above (the hot branch is
+        // empty), so take the cheap one. maxBandDf, when set, still
+        // applies through the broadcast census attach.
+        if (maxBandDf == Int.MaxValue) pairsOf(banded0, banded0, lit(true))
+        else pairsOf(withDf.drop("bdf"), withDf.drop("bdf"), lit(true))
+      } else {
+        val shared = withDf
         val cold = shared.filter(col("bdf") <= saltHotDf)
         val hot = shared.filter(col("bdf") > saltHotDf).drop("bdf")
         val hx = hot.withColumn("blk",

@@ -125,9 +125,18 @@ object Similarity {
     * is the scan-local plan-literal argmax of [[ivfAssign]]; everything
     * downstream of scoring is byte-identical to the exact form. */
   def knnGraphIvf(corpus: DataFrame, idCol: Column, vecCol: Column,
-      centroids: DataFrame, k: Int): DataFrame = {
-    val a = ivfAssign(corpus, idCol, vecCol, centroids)
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      centroids: DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // materialize the assigned relation ONCE (same overridable policy knob
+    // as the Graph kernels: localCheckpoint local default, reliable
+    // checkpoint() for clusters, identity = pure lazy plan): both self-join
+    // sides reference it, and unmaterialized each side re-runs the
+    // O(n·c·dim) centroid-assignment scan — with c ≈ √n that is n^1.5 work
+    // paid twice (exchange reuse does not fire across the alias-renamed
+    // branches). NOTE: the default makes construction eager — pass
+    // `identity` when building plans for inspection only.
+    val a = materialize(ivfAssign(corpus, idCol, vecCol, centroids)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
     val b = a.select(col("centroid_id").as("__qc"),
       col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = a.join(b,
@@ -160,13 +169,26 @@ object Similarity {
     * (structural, distribution-independent). The gated CORRECTNESS row
     * replays the (√n, p = 3) configuration exactly in SQL. */
   def knnGraphIvfMultiprobe(corpus: DataFrame, idCol: Column, vecCol: Column,
-      centroids: DataFrame, k: Int, probes: Int): DataFrame = {
-    val a = ivfAssign(corpus, idCol, vecCol, centroids)
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val q = ivfAssignProbes(corpus, idCol, vecCol, centroids, probes)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(col("probe_ids")).as("__qc"))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      centroids: DataFrame, k: Int, probes: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    // ONE centroid-assignment pass serves BOTH join sides: the stored side
+    // is probe_ids(0) ([[graft.functions.VecAlgos.topCentroids]] shares
+    // [[ivfAssign]]'s exact total order — higher round(cos,6), ties to the
+    // smaller id — so element 0 IS the nearest centroid), and the query
+    // side explodes the same array. Before, the stored side ran
+    // NearestCentroidExpr and the query side TopCentroidsExpr — two full
+    // O(n·c·dim) scans (n^1.5 each at c ≈ √n) of the same corpus, plus a
+    // per-exploded-row norm (3n dots instead of n). Materialized once
+    // (same policy knob as [[knnGraphIvf]]; identity = lazy plan for
+    // inspection), the join branches read the assigned relation instead of
+    // replaying it.
+    val ap = materialize(
+      ivfAssignProbes(corpus, idCol, vecCol, centroids, probes)
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))))
+    val a = ap.select(col("vec_id"), col("probe_ids")(0).as("centroid_id"),
+      col("v"), col("nrm"))
+    val q = ap.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), explode(col("probe_ids")).as("__qc"))
     val scored = a.join(q,
         col("centroid_id") === col("__qc") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim",

@@ -348,25 +348,24 @@ object Text {
     *
     * Scale shape: the model is two corpus-wide count aggregations
     * (map-side-combined; the shuffle carries DISTINCT bigrams, not token
-    * occurrences). Scoring aggregates each doc's bigrams to (doc, w1, w2,
-    * k) FIRST, so the model join also moves only distinct doc-bigrams —
-    * high-frequency bigrams ride the join as one row per doc, not one per
-    * occurrence, which is what keeps Zipf-skewed keys from melting a
-    * 100 TB shuffle. Output: doc_id, n_bigrams, lm_ppm (NULL for docs with
+    * occurrences). Output: doc_id, n_bigrams, lm_ppm (NULL for docs with
     * fewer than two tokens).
     *
-    * `cache` (default OFF): the per-doc bigram table and the corpus bigram
-    * counts feed multiple consumers; caching them trades a corpus-scale
-    * executor-storage footprint (roughly doubling the pipeline's I/O at
-    * 100 TB) for skipping 2-3 rescans of the tokenizer+partial-agg chain.
-    * The default follows dsirSelect's rescan posture — recomputation is a
-    * codegen'd scan-local chain and every shuffle it feeds is map-side
-    * combined; flip it on only when the corpus comfortably fits executor
-    * storage (see SCALE.md). */
+    * MODEL policy (`broadcastModel`, default ON): the model — distinct
+    * corpus bigram counts — is bigram-TYPE-sized (Heaps-sublinear), not
+    * corpus-sized, so it is the one relation this operator persists
+    * (stopping each consumer from re-running the corpus-scale tokenize +
+    * count chain) and, by default, BROADCASTS into the scoring join: the
+    * per-occurrence scored stream then never shuffles at all — model
+    * lookup is map-side and the only exchange left is the per-doc
+    * aggregation (partial-agg'd; a doc's bigrams are scan-contiguous).
+    * The corpus-scale streams themselves are never cached (the dsirSelect
+    * rescan posture). Set `broadcastModel = false` for corpora whose
+    * bigram-type table outgrows the broadcast cap: the scoring join then
+    * compresses to per-doc distinct bigrams first so high-frequency
+    * bigrams ride the shuffle once per doc, not once per occurrence. */
   def lmBigramScore(df: DataFrame, idCol: Column, textCol: Column,
-      cache: Boolean = false): DataFrame = {
-    def maybeCache(d: DataFrame): DataFrame =
-      if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
+      broadcastModel: Boolean = true): DataFrame = {
     val toks = df.select(idCol.as("doc_id"), split(normalized(textCol), " ").as("toks"))
     // adjacent pairs via zip of the two shifted slices: empty for <2 tokens
     val bi = toks.select(col("doc_id"),
@@ -374,10 +373,11 @@ object Text {
           slice(col("toks"), lit(1), size(col("toks")) - 1).as("w1"),
           slice(col("toks"), lit(2), size(col("toks")) - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // per-doc bigram multiplicity before any join (see scale note above)
-    val docBi = maybeCache(bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k")))
-    // model tables derive from the (much smaller) corpus bigram counts
-    val c2 = maybeCache(docBi.groupBy("w1", "w2").agg(sum(col("k")).as("c2")))
+    // the MODEL: distinct corpus bigram counts (map-side-combined shuffle
+    // carries bigram types, not occurrences), persisted — it feeds the
+    // unigram rollup AND the scoring join
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // unigram counts AND the vocabulary in ONE pass over the bigram model
     // (rollup: the (w1) rows carry c1, the grand-total row carries
     // countDistinct(w2) = V). This small table is the one cache the
@@ -391,17 +391,32 @@ object Text {
     val c1 = uni.filter(col("gid") === 0).select(col("w1"), col("c1"))
     val vocab = uni.filter(col("gid") === 1).select(col("v"))
     // c1/vocab BROADCAST (unigram-vocabulary-sized): the scored stream
-    // never reshuffles by the Zipf-skewed bare w1 key; the only shuffle
-    // join left is docBi ⋈ c2 on the much better-distributed bigram key
-    val scored = docBi
-      .join(c2, Seq("w1", "w2")).join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("s", floor((col("c2") + 1).cast("double") * lit(1000000.0d)
+    // never reshuffles by the Zipf-skewed bare w1 key
+    val smoothed = (c: DataFrame) =>
+      c.withColumn("s", floor((col("c2") + 1).cast("double") * lit(1000000.0d)
         / (col("c1") + col("v")).cast("double")).cast("long"))
-    val perDoc = scored.groupBy("doc_id").agg(
-      sum(col("k")).as("n_bigrams"),
-      floor(sum(col("s") * col("k")).cast("double") / sum(col("k")).cast("double"))
-        .cast("long").as("lm_ppm"))
+    // per-doc mean over bigram OCCURRENCES: Σ s·k over distinct doc-bigrams
+    // equals Σ s over occurrences (exact integer sums, order-free), so the
+    // two join shapes below produce bit-identical (n_bigrams, lm_ppm)
+    val perDoc =
+      if (broadcastModel)
+        smoothed(bi.join(broadcast(c2), Seq("w1", "w2"))
+            .join(broadcast(c1), Seq("w1")).crossJoin(broadcast(vocab)))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_bigrams"),
+            floor(sum(col("s")).cast("double") / count(lit(1)).cast("double"))
+              .cast("long").as("lm_ppm"))
+      else {
+        // per-doc bigram multiplicity before the shuffle join (scale note
+        // in the scaladoc)
+        val docBi = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+        smoothed(docBi.join(c2, Seq("w1", "w2"))
+            .join(broadcast(c1), Seq("w1")).crossJoin(broadcast(vocab)))
+          .groupBy("doc_id").agg(
+            sum(col("k")).as("n_bigrams"),
+            floor(sum(col("s") * col("k")).cast("double") / sum(col("k")).cast("double"))
+              .cast("long").as("lm_ppm"))
+      }
     df.select(idCol.as("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_ppm"))
   }

@@ -7,6 +7,13 @@ package graft
 class PlanShapeSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
+  // NOTE: queries built on kernels whose `materialize` knob defaults to
+  // localCheckpoint run those upstream jobs EAGERLY at construction — for
+  // them this helper is an execution test of the checkpointed stages, not
+  // a pure planning test, and the returned plan shows the checkpoint scan
+  // in place of the upstream algebra (assert invariants like "no parquet
+  // rescan" on what remains, not absolute operator counts of hidden
+  // subtrees).
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
@@ -59,27 +66,51 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("salted mm near-dup: Hamming check rides the join, losers never " +
-      "reach the dedup shuffle; shared banded relation is cache-fed") {
-    // the round-11 shape (SCALE.md §Round 11 / MM_NEARDUP_AUDIT.json):
+      "reach the dedup shuffle; hash relation is cache-fed; salt is " +
+      "census-gated (cold corpus plans NO salt split)") {
+    // the round-12 shape (SCALE.md §Round 11-12 / MM_NEARDUP_AUDIT.json):
     // (a) the bit_count postfilter must sit ON the band join (as its
     // condition) so the Σf² candidate losers die inside the join iterator
     // instead of shuffling into distinct() — regressing to
     // distinct-then-filter re-ships 500-1500× the pair volume;
-    // (b) the cold/hot salt split references the banded+df relation four
-    // times across a Union — the eager persist must show as cache scans,
-    // or every branch re-runs the codec upstream;
-    // (c) never a cross product.
+    // (b) the compact hash relation is persisted and the pair job reads
+    // the cache — or every branch re-runs the codec upstream;
+    // (c) the salt machinery is CENSUS-GATED: this corpus has no band key
+    // over the 2048 threshold (audit: max df 340 at sf0.1), so the plan
+    // must be the PLAIN self-join — no cold/hot Union, no blk column
+    // (round-11 paid the 4-branch split unconditionally: sf0.1
+    // 2.96→3.50 s for nothing);
+    // (d) never a cross product.
     val p = plan("mm_phash_neardup")
     assert(p.contains("bit_count") && p.contains("<= 6"),
       s"Hamming postfilter missing from the candidate join:\n${p.take(3000)}")
     val joinCond = "Join [^\\n]*bit_count|BroadcastHashJoin [^\\n]*bit_count|ShuffledHashJoin [^\\n]*bit_count|SortMergeJoin [^\\n]*bit_count".r
     assert(joinCond.findFirstIn(p).isDefined,
       s"bit_count must ride the join condition, not a post-shuffle filter:\n${p.take(3000)}")
-    assert(p.contains("Union"), s"cold/hot salt split must plan a Union:\n${p.take(2000)}")
     assert(p.contains("InMemoryTableScan"),
-      s"shared banded relation must be cache-fed (eager persist):\n${p.take(2000)}")
+      s"hash relation must be cache-fed (persist + census action):\n${p.take(2000)}")
+    assert(!p.contains("blk"),
+      s"no hot key on this corpus — salt split must be census-gated OFF:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    spark.sharedState.cacheManager.clearCache() // the operator's eager persist
+    spark.sharedState.cacheManager.clearCache() // the operator's persist
+  }
+
+  test("salted mm near-dup: a corpus WITH a hot band key plans the cold/hot " +
+      "Union with the block-salted right side replicated") {
+    // synthetic hot key: 64 identical hashes → every band key has df 64 >
+    // saltHotDf 16 → the hot branch must exist (Union) and salt by blk
+    import org.apache.spark.sql.functions.{col, lit, lpad}
+    val hashed = spark.range(0, 64)
+      .select(col("id"), lpad(lit(""), 64, "0").as("ah"))
+    val p = graft.operators.Multimodal.phashNearDup(
+        hashed, col("id"), col("ah"), maxHamming = 6,
+        saltHotDf = 16, saltBlocks = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Union"),
+      s"hot corpus must plan the cold/hot salt Union:\n${p.take(2000)}")
+    assert(p.contains("blk"),
+      s"hot branch must join on the salt block:\n${p.take(2000)}")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("token budget: window bounded by md5 bucket, offsets broadcast back") {
@@ -145,18 +176,26 @@ class PlanShapeSpec extends SparkTestBase {
       s"tf must not shuffle by term for scoring:\n${p.take(2000)}")
   }
 
-  test("r6: lm score broadcasts the unigram model; no corpus-sized persist by default") {
+  test("r6/r12: lm score broadcasts the WHOLE model; scored stream never " +
+      "shuffles on a token key; only model-sized caches") {
     val q = SparkEntry.queries("text_lm_score")(spark, dir)
     val p = q.queryExecution.executedPlan.toString
-    // c1/vocab (unigram-vocabulary-sized) broadcast; the only shuffle
-    // join left keys on the better-distributed (w1, w2) bigram pair
+    // round-12: the bigram model c2 (bigram-TYPE-sized) broadcasts along
+    // with c1/vocab, so the per-occurrence scored stream does model lookup
+    // map-side — NO sort-merge join may appear anywhere (the only
+    // exchanges left are the model aggregations and the per-doc agg)
     assert(p.contains("BroadcastHashJoin"),
-      s"unigram model must broadcast:\n${p.take(2000)}")
-    // default cache=false: nothing corpus-sized may sit in the plan as an
-    // InMemoryRelation — the single allowed cache is the vocab-sized
-    // rollup (uni), recognizable by its grouping-id column
+      s"model must broadcast:\n${p.take(2000)}")
+    // no sort-merge join may key on a TOKEN column (w1/w2) — the doc-keyed
+    // completion join is allowed to SMJ in the static plan (AQE broadcasts
+    // it at runtime once the node-sized side measures small)
+    assert("SortMergeJoin [^\\n]*w[12]".r.findFirstIn(p).isEmpty,
+      s"scored stream must never shuffle-join on a token key:\n${p.take(2000)}")
+    // allowed caches are MODEL-sized only: c2 (distinct corpus bigrams,
+    // Heaps-sublinear) + the vocab-sized uni rollup — never the corpus
+    // occurrence stream
     val imrs = "InMemoryTableScan".r.findAllIn(p).size
-    assert(imrs <= 2, s"only the vocab-sized uni cache may materialize (saw $imrs):\n${p.take(2000)}")
+    assert(imrs <= 4, s"only the model caches may materialize (saw $imrs):\n${p.take(2000)}")
     spark.sharedState.cacheManager.clearCache()
   }
 
@@ -492,8 +531,25 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("sim_knn_graph_ivf_mp")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"multiprobe kNN must equi-join on the cell:\n$p")
-    assert(p.contains("top_centroids"),
-      s"probe assignment must be the scan-local plan-literal kernel:\n$p")
+    // round-12: the gated plan materializes ONE assignment pass (the
+    // kernel hides behind its checkpoint scan), so the top_centroids pin
+    // moves to the construction relation — built here with the lazy knob
+    import org.apache.spark.sql.functions.col
+    val emb = SparkEntry.t(spark, dir, "embeddings")
+    val cts = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("cvec"))
+    val cp = graft.operators.Similarity.knnGraphIvfMultiprobe(
+        emb, col("vec_id"), col("embedding"), cts, k = 5, probes = 3,
+        materialize = identity)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("top_centroids"),
+      s"probe assignment must be the scan-local plan-literal kernel:\n$cp")
+    // and exactly ONE assignment kernel feeds both join sides: the stored
+    // side must be probe_ids[0] of the SAME pass, never a second
+    // nearest_centroid scan
+    assert(!cp.contains("nearest_centroid"),
+      s"stored side must reuse the top_centroids pass (probe_ids[0]):\n$cp")
     spark.sharedState.cacheManager.clearCache()
   }
 

@@ -113,6 +113,17 @@ class SamplingSpec extends SparkTestBase {
     // s(a,b)=floor(3e6/5)=600000, s(b,a)=floor(2e6/4)=500000, s(x,y)=500000
     // doc1 = floor((2*600000+500000)/3) = 566666; doc2 = 500000; doc3 = NULL
     assert(got == Set((1L, 3L, Some(566666L)), (2L, 1L, Some(500000L)), (3L, 0L, None)))
+    // round-12: the broadcast-model shape (default) and the shuffle-join
+    // fallback must be bit-identical — Σ s·k over distinct doc-bigrams
+    // equals Σ s over occurrences
+    spark.sharedState.cacheManager.clearCache()
+    val fallback = Text.lmBigramScore(docs, col("doc_id"), col("text"),
+        broadcastModel = false)
+      .select("doc_id", "n_bigrams", "lm_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(fallback == got)
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("stupid backoff: each tier hand-checked, unseen unigram scores 0") {
